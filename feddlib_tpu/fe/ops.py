@@ -1,0 +1,161 @@
+"""Global assembly operations: Domain(s) → CsrMatrix / vectors.
+
+The convenience layer over feddlib_tpu.fe.assembly that mirrors the
+reference's FE-factory entry points (FE_decl.hpp:41): each function builds
+(or reuses) the scatter pattern for its operator and runs the batched element
+kernel + segment-sum scatter.  Patterns are cached on the Domain, so
+reassembly (Newton, time loops) is a pure device computation.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from feddlib_tpu.fe import assembly as asm
+from feddlib_tpu.fe.domain import Domain
+from feddlib_tpu.la.csr import CsrMatrix
+
+
+def _square_pattern(domain: Domain, dofs_per_node: int):
+    def build():
+        dofs = domain.elem_dofs(dofs_per_node)
+        n = domain.n_dofs(dofs_per_node)
+        return asm.scatter_pattern(dofs, dofs, n, n)
+
+    return domain.pattern(("square", dofs_per_node), build)
+
+
+def assemble_laplace(domain: Domain) -> CsrMatrix:
+    """Scalar Laplace stiffness (FE::assemblyLaplace, FE_def.hpp:604)."""
+    K = asm.elem_laplace(domain.vert_coords(), domain.dim, domain.fe_type)
+    return asm.assemble_matrix(_square_pattern(domain, 1), K)
+
+
+def assemble_laplace_vec(domain: Domain, viscosity: float = 1.0) -> CsrMatrix:
+    """Vector Laplace (FE::assemblyLaplaceVecField, FE_def.hpp:670)."""
+    Kb = asm.elem_laplace_vec(domain.vert_coords(), domain.dim,
+                              domain.fe_type, viscosity)
+    K = asm.vectorize_elem_mat(Kb)
+    return asm.assemble_matrix(_square_pattern(domain, domain.dim), K)
+
+
+def assemble_mass(domain: Domain, dofs_per_node: int = 1) -> CsrMatrix:
+    """Mass matrix, scalar or vector (FE::assemblyMass, FE_def.hpp:454)."""
+    M = asm.elem_mass(domain.vert_coords(), domain.dim, domain.fe_type)
+    if dofs_per_node > 1:
+        eye = jnp.eye(dofs_per_node, dtype=jnp.float64)
+        M = asm.vectorize_elem_mat(jnp.einsum("eab,ij->eabij", M, eye))
+    return asm.assemble_matrix(_square_pattern(domain, dofs_per_node), M)
+
+
+def assemble_stress(domain: Domain, viscosity: float = 1.0) -> CsrMatrix:
+    """Symmetric-gradient stress form 2μ ∫ε(u):ε(v)
+    (FE::assemblyStress, FE_def.hpp:2407)."""
+    S = asm.elem_stress_sym(domain.vert_coords(), domain.dim,
+                            domain.fe_type, viscosity)
+    return asm.assemble_matrix(_square_pattern(domain, domain.dim),
+                               asm.vectorize_elem_mat(S))
+
+
+def assemble_lin_elasticity(domain: Domain, mu: float, lam: float) -> CsrMatrix:
+    """2μ ε(u):ε(v) + λ div u div v (FE::assemblyLinElasXDim,
+    FE_def.hpp:2739).  λ, μ from (E, ν) as in LinElas_def.hpp:84-91."""
+    K = asm.elem_lin_elasticity(domain.vert_coords(), domain.dim,
+                                domain.fe_type, mu, lam)
+    return asm.assemble_matrix(_square_pattern(domain, domain.dim),
+                               asm.vectorize_elem_mat(K))
+
+
+def lame_parameters(E: float, nu: float):
+    mu = E / (2.0 * (1.0 + nu))
+    lam = nu * E / ((1.0 + nu) * (1.0 - 2.0 * nu))
+    return mu, lam
+
+
+def u_elem_values(domain: Domain, u: jnp.ndarray) -> jnp.ndarray:
+    """Nodal vector field u [n_nodes*dim] (NodeWise) → per-element values
+    [E, nb, dim] — the reference's repeated-form u_rep_
+    (NavierStokes_decl.hpp:102)."""
+    dim = domain.dim
+    un = u.reshape(domain.n_nodes, dim)
+    return un[domain.elem_nodes()]
+
+
+def assemble_advection(domain: Domain, u: jnp.ndarray) -> CsrMatrix:
+    """N(u): (u·∇)u convection block, expanded to vector dofs
+    (FE::assemblyAdvectionVecField, FE_def.hpp:1685)."""
+    ue = u_elem_values(domain, u)
+    N = asm.elem_advection(domain.vert_coords(), ue, domain.dim, domain.fe_type)
+    eye = jnp.eye(domain.dim, dtype=jnp.float64)
+    Nv = asm.vectorize_elem_mat(jnp.einsum("eab,ij->eabij", N, eye))
+    return asm.assemble_matrix(_square_pattern(domain, domain.dim), Nv)
+
+
+def assemble_advection_in_u(domain: Domain, u: jnp.ndarray) -> CsrMatrix:
+    """W(u): Newton linearisation (∇u)·δu
+    (FE::assemblyAdvectionInUVecField, FE_def.hpp:1839)."""
+    ue = u_elem_values(domain, u)
+    W = asm.elem_advection_in_u(domain.vert_coords(), ue,
+                                domain.dim, domain.fe_type)
+    return asm.assemble_matrix(_square_pattern(domain, domain.dim),
+                               asm.vectorize_elem_mat(W))
+
+
+def assemble_divergence(dom_u: Domain, dom_p: Domain):
+    """Mixed divergence blocks B (p-rows × u-cols) and Bᵀ
+    (FE::assemblyDivAndDivT, FE_def.hpp:1932).  dom_u and dom_p must share
+    the element ordering (P2-from-P1 preserves it)."""
+    dim = dom_u.dim
+    Bb = asm.elem_divergence(dom_u.vert_coords(), dim,
+                             dom_u.fe_type, dom_p.fe_type)  # [E, np, nu, dim]
+    E, npb, nub, _ = Bb.shape
+    Bmat = Bb.reshape(E, npb, nub * dim)
+
+    def build():
+        rows = dom_p.elem_dofs(1)
+        cols = dom_u.elem_dofs(dim)
+        return asm.scatter_pattern(rows, cols, dom_p.n_dofs(1), dom_u.n_dofs(dim))
+
+    pat = dom_p.pattern(("div", id(dom_u)), build)
+    B = asm.assemble_matrix(pat, Bmat)
+    BT = B.transpose()
+    return B, BT
+
+
+def assemble_bd_stabilization(dom_p: Domain) -> CsrMatrix:
+    """Bochev–Dohrmann P1-P1 pressure stabilization block C
+    (FE::assemblyBDStabilization, FE_def.hpp:2151)."""
+    C = asm.elem_bd_stabilization(dom_p.vert_coords(), dom_p.dim, dom_p.fe_type)
+    return asm.assemble_matrix(_square_pattern(dom_p, 1), C)
+
+
+def assemble_rhs(domain: Domain, f: Callable, dofs_per_node: int = 1,
+                 degree: Optional[int] = None) -> jnp.ndarray:
+    """Volume source term (FE::assemblyRHS, FE_def.hpp:4694).
+    f(x) → scalar (dofs_per_node=1) or [dofs_per_node]."""
+    vec = asm.elem_rhs(domain.vert_coords(), domain.dim, domain.fe_type,
+                       f, degree=degree, n_comp=dofs_per_node)
+    return asm.assemble_vector(domain.elem_nodes(), vec,
+                               domain.n_dofs(dofs_per_node))
+
+
+def assemble_surface_rhs(domain: Domain, g: Callable, flag: int,
+                         dofs_per_node: int = 1, degree: int = 3) -> jnp.ndarray:
+    """Neumann boundary load over surfaces with the given flag
+    (FE::assemblySurfaceIntegral, FE_def.hpp:4511; BCBuilder 'Neumann')."""
+    mesh = domain.mesh
+    if mesh.surfaces is None:
+        raise ValueError("mesh has no surface entities")
+    sel = mesh.surface_flags == flag
+    surf = mesh.surfaces[sel]
+    out = jnp.zeros(domain.n_dofs(dofs_per_node), jnp.float64)
+    if len(surf) == 0:
+        return out
+    nverts = domain.dim  # vertices of the surface simplex
+    coords = jnp.asarray(mesh.points[surf[:, :nverts]], jnp.float64)
+    vec = asm.elem_surface_rhs(coords, domain.dim, domain.fe_type, g,
+                               degree=degree)
+    return asm.assemble_vector(surf, vec, domain.n_dofs(dofs_per_node))

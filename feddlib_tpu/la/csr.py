@@ -1,0 +1,251 @@
+"""Sparse matrix with host-symbolic structure and device-resident values.
+
+Replaces the reference's Tpetra CrsMatrix facade
+(core/LinearAlgebra/Matrix_decl.hpp:29).  The reference's dynamic
+insertGlobalValues → fillComplete flow becomes:
+
+1. *Symbolic phase* (host, once): dedupe COO (row, col) pairs → CSR pattern
+   + an assembly plan mapping every raw COO contribution to its slot
+   (`SparsityPattern.from_coo`).  This is the fillComplete analog — static,
+   deterministic, reusable across reassemblies (Newton, time steps).
+2. *Numeric phase* (device, per assembly): `segment_sum(values, slots)` —
+   deterministic scatter-add, jittable, TPU-friendly.
+
+Device apply format is padded ELL: row-padded column/value planes so SpMV is
+a dense gather + row reduction the TPU executes at HBM bandwidth:
+    y[i] = sum_k  ell_data[i, k] * x[ell_cols[i, k]]
+Padding columns point at row 0 with value 0.  A Pallas SpMV kernel can slot
+in behind `matvec` without changing callers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_LANE = 8  # pad ELL width to a multiple of this
+
+
+def _trace_state_clean() -> bool:
+    try:
+        from jax.core import trace_state_clean
+
+        return trace_state_clean()
+    except ImportError:
+        try:
+            from jax._src.core import trace_state_clean
+
+            return trace_state_clean()
+        except ImportError:
+            return False
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass(frozen=True)
+class SparsityPattern:
+    """Host-side symbolic CSR structure + COO→slot assembly plan."""
+
+    n_rows: int
+    n_cols: int
+    indptr: np.ndarray  # [n_rows+1] int64
+    indices: np.ndarray  # [nnz] int64, sorted within each row
+    coo_slots: Optional[np.ndarray] = None  # [n_raw_coo] slot of each raw entry
+
+    @property
+    def nnz(self) -> int:
+        return len(self.indices)
+
+    @classmethod
+    def from_coo(cls, rows: np.ndarray, cols: np.ndarray,
+                 n_rows: int, n_cols: int) -> "SparsityPattern":
+        rows = np.asarray(rows, dtype=np.int64).ravel()
+        cols = np.asarray(cols, dtype=np.int64).ravel()
+        key = rows * n_cols + cols
+        uniq, inv = np.unique(key, return_inverse=True)
+        urows = uniq // n_cols
+        ucols = uniq % n_cols
+        indptr = np.zeros(n_rows + 1, dtype=np.int64)
+        np.add.at(indptr, urows + 1, 1)
+        np.cumsum(indptr, out=indptr)
+        return cls(n_rows, n_cols, indptr, ucols, coo_slots=inv.astype(np.int64))
+
+    @classmethod
+    def from_csr(cls, indptr, indices, n_cols) -> "SparsityPattern":
+        return cls(len(indptr) - 1, int(n_cols),
+                   np.asarray(indptr, np.int64), np.asarray(indices, np.int64))
+
+    def row_lengths(self) -> np.ndarray:
+        return np.diff(self.indptr)
+
+    def rows_of_slots(self) -> np.ndarray:
+        return np.repeat(np.arange(self.n_rows, dtype=np.int64),
+                         self.row_lengths())
+
+
+class CsrMatrix:
+    """Sparse matrix = static SparsityPattern + device value buffer.
+
+    Values are canonically stored in CSR slot order (`data[k]` ↔
+    `pattern.indices[k]`); the ELL gather plan for SpMV is derived lazily and
+    cached on the pattern's shape.
+    """
+
+    def __init__(self, pattern: SparsityPattern, data=None,
+                 dtype=jnp.float64):
+        self.pattern = pattern
+        self.dtype = dtype
+        if data is None:
+            data = jnp.zeros(pattern.nnz, dtype=dtype)
+        self.data = jnp.asarray(data, dtype=dtype)
+        self._ell = None  # (ell_cols [n_rows, K], slot_of [n_rows, K]) numpy
+        self._ell_dev = None  # device-promoted copy (built outside traces)
+
+    # -- constructors -------------------------------------------------------
+    @classmethod
+    def from_coo(cls, rows, cols, vals, n_rows, n_cols, dtype=jnp.float64):
+        pat = SparsityPattern.from_coo(rows, cols, n_rows, n_cols)
+        m = cls(pat, dtype=dtype)
+        m.assemble(jnp.asarray(vals, dtype=dtype))
+        return m
+
+    @classmethod
+    def from_scipy(cls, sp, dtype=jnp.float64):
+        sp = sp.tocsr()
+        sp.sort_indices()
+        pat = SparsityPattern.from_csr(sp.indptr, sp.indices, sp.shape[1])
+        return cls(pat, data=jnp.asarray(sp.data, dtype=dtype), dtype=dtype)
+
+    def to_scipy(self):
+        import scipy.sparse as sps
+
+        return sps.csr_matrix(
+            (np.asarray(self.data), self.pattern.indices, self.pattern.indptr),
+            shape=(self.pattern.n_rows, self.pattern.n_cols),
+        )
+
+    # -- assembly (numeric fillComplete) ------------------------------------
+    def assemble(self, coo_vals: jnp.ndarray) -> None:
+        """Sum raw COO contributions (in the order given to from_coo) into
+        the CSR value buffer.  Deterministic segment-sum scatter."""
+        slots = self.pattern.coo_slots
+        if slots is None:
+            raise ValueError("pattern has no COO assembly plan")
+        self.data = assemble_csr_data(
+            coo_vals.astype(self.dtype), jnp.asarray(slots), self.pattern.nnz
+        )
+
+    # -- shape / properties -------------------------------------------------
+    @property
+    def shape(self):
+        return (self.pattern.n_rows, self.pattern.n_cols)
+
+    @property
+    def nnz(self):
+        return self.pattern.nnz
+
+    # -- ELL plan -----------------------------------------------------------
+    def _ell_plan(self):
+        if self._ell is None:
+            pat = self.pattern
+            lens = pat.row_lengths()
+            K = max(_round_up(int(lens.max()) if len(lens) else 1, _LANE), _LANE)
+            ell_cols = np.zeros((pat.n_rows, K), dtype=np.int32)
+            slot_of = np.full((pat.n_rows, K), pat.nnz, dtype=np.int32)  # pad→extra 0
+            pos = np.arange(pat.nnz) - np.repeat(pat.indptr[:-1], lens)
+            r = pat.rows_of_slots()
+            ell_cols[r, pos] = pat.indices.astype(np.int32)
+            slot_of[r, pos] = np.arange(pat.nnz, dtype=np.int32)
+            # cache as NUMPY: building device arrays lazily inside a jit
+            # trace would leak tracers; numpy constants are trace-safe
+            self._ell = (ell_cols, slot_of)
+        if self._ell_dev is None and _trace_state_clean():
+            # promote to device arrays once we are outside any trace, so
+            # repeated matvecs don't re-transfer the plan
+            self._ell_dev = tuple(jnp.asarray(a) for a in self._ell)
+        return self._ell_dev if self._ell_dev is not None else self._ell
+
+    def ell_arrays(self):
+        """(ell_cols [n_rows,K], ell_data [n_rows,K]) for external kernels."""
+        ell_cols, slot_of = self._ell_plan()
+        padded = jnp.concatenate([self.data, jnp.zeros(1, self.dtype)])
+        return ell_cols, padded[slot_of]
+
+    # -- operations ---------------------------------------------------------
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        ell_cols, slot_of = self._ell_plan()
+        return _ell_matvec(self.data, ell_cols, slot_of, x)
+
+    def __matmul__(self, x):
+        return self.matvec(x)
+
+    def diagonal(self) -> jnp.ndarray:
+        pat = self.pattern
+        r = pat.rows_of_slots()
+        mask = pat.indices == r
+        slot = np.full(pat.n_rows, pat.nnz, dtype=np.int64)
+        slot[r[mask]] = np.nonzero(mask)[0]
+        padded = jnp.concatenate([self.data, jnp.zeros(1, self.dtype)])
+        return padded[jnp.asarray(slot)]
+
+    def scale(self, alpha) -> "CsrMatrix":
+        return CsrMatrix(self.pattern, self.data * alpha, self.dtype)
+
+    def add(self, other: "CsrMatrix", alpha=1.0, beta=1.0) -> "CsrMatrix":
+        """alpha*self + beta*other (reference: Matrix::addMatrix,
+        Matrix_decl.hpp:126).  Same pattern → pure device add; otherwise a
+        host symbolic union is built once."""
+        if other.pattern is self.pattern or (
+            len(other.pattern.indices) == len(self.pattern.indices)
+            and np.array_equal(other.pattern.indptr, self.pattern.indptr)
+            and np.array_equal(other.pattern.indices, self.pattern.indices)
+        ):
+            return CsrMatrix(self.pattern,
+                             alpha * self.data + beta * other.data, self.dtype)
+        rows = np.concatenate([self.pattern.rows_of_slots(),
+                               other.pattern.rows_of_slots()])
+        cols = np.concatenate([self.pattern.indices, other.pattern.indices])
+        pat = SparsityPattern.from_coo(rows, cols, *self.shape)
+        m = CsrMatrix(pat, dtype=self.dtype)
+        vals = jnp.concatenate([alpha * self.data, beta * other.data])
+        m.assemble(vals)
+        return m
+
+    def transpose(self) -> "CsrMatrix":
+        pat = self.pattern
+        rows = pat.rows_of_slots()
+        tpat = SparsityPattern.from_coo(pat.indices, rows,
+                                        pat.n_cols, pat.n_rows)
+        m = CsrMatrix(tpat, dtype=self.dtype)
+        m.assemble(self.data)
+        return m
+
+    def write_matrix_market(self, path: str) -> None:
+        """MatrixMarket dump (reference: Matrix::writeMM, Matrix_decl.hpp:124)."""
+        import scipy.io as sio
+
+        sio.mmwrite(path, self.to_scipy())
+
+    def __repr__(self):
+        return f"CsrMatrix({self.shape[0]}x{self.shape[1]}, nnz={self.nnz})"
+
+
+@partial(jax.jit, static_argnames=("nnz",))
+def assemble_csr_data(coo_vals, slots, nnz):
+    return jax.ops.segment_sum(coo_vals.ravel(), slots,
+                               num_segments=nnz, indices_are_sorted=False)
+
+
+@jax.jit
+def _ell_matvec(data, ell_cols, slot_of, x):
+    padded = jnp.concatenate([data, jnp.zeros(1, data.dtype)])
+    vals = padded[slot_of]  # [n_rows, K]
+    xg = x[ell_cols]  # [n_rows, K]
+    return jnp.sum(vals * xg, axis=1)

@@ -1,0 +1,276 @@
+"""SPMD distributed linear algebra over a JAX device mesh.
+
+The TPU-native replacement for Tpetra Import/Export + MPI (SURVEY.md §2.9):
+the host precomputes *static* communication plans (the analog of Tpetra
+Import objects cached on vectors, MultiVector_decl.hpp:156-157), and jitted
+`shard_map` programs execute them with XLA collectives over ICI:
+
+- unique→repeated import (halo exchange): boundary values are all-gathered
+  (only the inter-partition boundary, not the full vector) and each device
+  gathers its ghosts from the buffer with a precomputed index plan;
+- repeated→unique export/add: ghost contributions are all-gathered and
+  segment-summed into owner rows (Tpetra Export with Add combine);
+- global reductions ride `lax.psum` (the dot-product allreduce of
+  SURVEY.md §3.5).
+
+Layout: every per-device array is stacked host-side into [n_dev, ...] and
+passed through shard_map with `P('dd')`, so each device sees its own [1, ...]
+slice.  Owned vectors are zero-padded to the max local size — padded lanes
+stay zero through SpMV/axpy/dots by construction.
+
+Local (per-device) matrix layout: rows = owned dofs (padded), columns in
+*column-map local* numbering [owned | ghost], ELL-padded — SpMV is a dense
+gather + row reduction at HBM bandwidth.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from feddlib_tpu.la.csr import CsrMatrix
+from feddlib_tpu.la.map import IndexMap
+
+AXIS = "dd"  # the domain-decomposition mesh axis name
+
+
+@dataclass
+class DeviceAxis:
+    """1-D device mesh wrapper for the DD axis."""
+
+    n_dev: int
+    mesh: Mesh
+
+    @classmethod
+    def make(cls, n_dev: Optional[int] = None) -> "DeviceAxis":
+        devs = jax.devices()
+        n = n_dev or len(devs)
+        return cls(n, Mesh(np.array(devs[:n]), (AXIS,)))
+
+    def shard_map(self, f, in_specs, out_specs):
+        return jax.shard_map(f, mesh=self.mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+
+
+def _pad_stack(arrs: List[np.ndarray], pad_value, width: Optional[int] = None,
+               dtype=None) -> np.ndarray:
+    w = width if width is not None else max((len(a) for a in arrs), default=0)
+    w = max(w, 1)
+    out = np.full((len(arrs), w), pad_value,
+                  dtype=dtype or (arrs[0].dtype if len(arrs) else np.int64))
+    for i, a in enumerate(arrs):
+        out[i, : len(a)] = a
+    return out
+
+
+class HaloPlan:
+    """Static unique↔repeated exchange plan over the DD axis.
+
+    Built from a unique (owned) map and per-part global column lists
+    (col_gids[p] = owned gids ++ ghost gids, owned first — the local column
+    map).  All arrays are stacked [n_dev, ...] ready for shard_map.
+    """
+
+    def __init__(self, unique_map: IndexMap, col_gids: List[np.ndarray]):
+        n_dev = unique_map.n_parts
+        self.n_dev = n_dev
+        self.n_owned = unique_map.local_sizes  # [n_dev]
+        self.N_o = int(self.n_owned.max())
+        owner = unique_map.owner_of()
+
+        owned_lists = unique_map.partition_indices
+        ghost_lists = []
+        for p in range(n_dev):
+            n_own = len(owned_lists[p])
+            if not np.array_equal(col_gids[p][:n_own], owned_lists[p]):
+                raise ValueError("col_gids must start with the owned gids")
+            ghost_lists.append(col_gids[p][n_own:])
+        self.G = max(max((len(g) for g in ghost_lists), default=0), 1)
+
+        # position of each global id within its owner's owned list
+        pos_in_owner = np.full(unique_map.n_global, -1, dtype=np.int64)
+        for p in range(n_dev):
+            pos_in_owner[owned_lists[p]] = np.arange(len(owned_lists[p]))
+
+        # send sets: owned ids needed as ghosts elsewhere
+        needed_by = [[] for _ in range(n_dev)]
+        for p in range(n_dev):
+            for g_owner, gid in zip(owner[ghost_lists[p]], ghost_lists[p]):
+                needed_by[g_owner].append(gid)
+        send_gids = [np.unique(np.array(lst, dtype=np.int64))
+                     for lst in needed_by]
+        self.B = max(max((len(s) for s in send_gids), default=0), 1)
+        # send_idx: positions in x_own to pull (pad: 0 → sends a junk value
+        # nobody reads)
+        self.send_idx = jnp.asarray(_pad_stack(
+            [pos_in_owner[s] for s in send_gids], 0, self.B, np.int32))
+
+        # ghost_src: for each ghost gid of part p, flat index owner*B + pos
+        # into the all-gathered [n_dev, B] buffer
+        ghost_src = []
+        send_slot = {}
+        for q in range(n_dev):
+            for i, gid in enumerate(send_gids[q]):
+                send_slot[(q, int(gid))] = i
+        for p in range(n_dev):
+            src = np.array(
+                [owner[g] * self.B + send_slot[(owner[g], int(g))]
+                 for g in ghost_lists[p]], dtype=np.int64)
+            ghost_src.append(src)
+        self.ghost_src = jnp.asarray(_pad_stack(ghost_src, 0, self.G, np.int32))
+
+        # export/add reverse plan: ghost contributions → owner rows.
+        # For owner p: entries (src_dev q, ghost position k in q) with
+        # ghost_lists[q][k] owned by p; destination = local owned position.
+        recv_src, recv_dst = [], []
+        for p in range(n_dev):
+            src_list, dst_list = [], []
+            for q in range(n_dev):
+                if q == p:
+                    continue
+                gl = ghost_lists[q]
+                sel = np.nonzero(owner[gl] == p)[0]
+                src_list.append(q * self.G + sel)
+                dst_list.append(pos_in_owner[gl[sel]])
+            src = (np.concatenate(src_list) if src_list
+                   else np.array([], np.int64))
+            dst = (np.concatenate(dst_list) if dst_list
+                   else np.array([], np.int64))
+            recv_src.append(src)
+            recv_dst.append(dst)
+        self.R = max(max((len(s) for s in recv_src), default=0), 1)
+        self.recv_src = jnp.asarray(_pad_stack(recv_src, 0, self.R, np.int32))
+        # pad destination → N_o (an extra accumulator slot that is dropped)
+        self.recv_dst = jnp.asarray(_pad_stack(recv_dst, self.N_o, self.R,
+                                               np.int32))
+
+        # mask of real (non-pad) owned lanes
+        self.owned_mask = jnp.asarray(
+            (np.arange(self.N_o)[None, :] < self.n_owned[:, None]))
+
+def import_ghosts(x_own, send_idx, ghost_src):
+    """Inside shard_map: x_own [N_o] (local), send_idx [B], ghost_src [G]
+    → x_col [N_o + G]."""
+    xb = x_own[send_idx]  # [B]
+    buf = lax.all_gather(xb, AXIS)  # [n_dev, B]
+    ghosts = buf.reshape(-1)[ghost_src]  # [G]
+    return jnp.concatenate([x_own, ghosts])
+
+
+def export_add(y_col, N_o, recv_src, recv_dst):
+    """Inside shard_map: y_col [N_o + G] local contributions (owned ++
+    ghost rows) → y_own [N_o] with remote ghost contributions summed in
+    (Tpetra Export, Add combine)."""
+    ghost_part = y_col[N_o:]
+    buf = lax.all_gather(ghost_part, AXIS)  # [n_dev, G]
+    vals = buf.reshape(-1)[recv_src]  # [R]
+    add = jax.ops.segment_sum(vals, recv_dst, num_segments=N_o + 1)[:N_o]
+    return y_col[:N_o] + add
+
+
+class DistributedCsr:
+    """Row-distributed sparse matrix in per-device ELL layout.
+
+    Built host-side from a global CsrMatrix + a unique row map: rows are
+    scattered to owners; the per-device column map is the union of owned ids
+    and the column support of owned rows (ghosts), which defines the halo
+    plan for SpMV."""
+
+    def __init__(self, global_csr: CsrMatrix, unique_map: IndexMap,
+                 dtype=jnp.float64):
+        self.n_global = global_csr.shape[0]
+        if global_csr.shape[0] != global_csr.shape[1]:
+            raise ValueError("DistributedCsr requires a square matrix")
+        if unique_map.n_global != self.n_global:
+            raise ValueError("row map size mismatch")
+        self.unique_map = unique_map
+        n_dev = unique_map.n_parts
+        self.n_dev = n_dev
+
+        sp = global_csr.to_scipy()
+        data_np = np.asarray(global_csr.data)
+
+        col_gids = []
+        ell_cols_l, ell_data_l = [], []
+        K = 0
+        rows_info = []
+        N_o = unique_map.max_local_size
+        for p in range(n_dev):
+            owned = unique_map.partition_indices[p]
+            sub = sp[owned]  # [n_own, n_global] CSR
+            cols_support = np.unique(sub.indices)
+            ghosts = np.setdiff1d(cols_support, owned, assume_unique=False)
+            cg = np.concatenate([owned, ghosts])
+            col_gids.append(cg)
+            # global col id → col-map local.  The device-side x_col layout is
+            # [owned padded to N_o | ghosts], so ghost locals start at N_o,
+            # not at n_own.
+            lookup = np.full(self.n_global, -1, dtype=np.int64)
+            lookup[owned] = np.arange(len(owned))
+            lookup[ghosts] = N_o + np.arange(len(ghosts))
+            rows_info.append((sub, lookup, len(cg)))
+            K = max(K, int(np.diff(sub.indptr).max()) if sub.nnz else 1)
+        K = max(((K + 7) // 8) * 8, 8)
+        self.K = K
+        self.plan = HaloPlan(unique_map, col_gids)
+        assert self.plan.N_o == N_o
+        G = self.plan.G
+
+        for p in range(n_dev):
+            sub, lookup, n_col = rows_info[p]
+            n_own = sub.shape[0]
+            ec = np.zeros((N_o, K), dtype=np.int32)
+            ed = np.zeros((N_o, K), dtype=np.float64)
+            lens = np.diff(sub.indptr)
+            r = np.repeat(np.arange(n_own), lens)
+            pos = np.arange(sub.nnz) - np.repeat(sub.indptr[:-1], lens)
+            ec[r, pos] = lookup[sub.indices]
+            ed[r, pos] = sub.data
+            ell_cols_l.append(ec)
+            ell_data_l.append(ed)
+        self.ell_cols = jnp.asarray(np.stack(ell_cols_l))  # [ndev, N_o, K]
+        self.ell_data = jnp.asarray(np.stack(ell_data_l), dtype=dtype)
+
+    # device-side local matvec (inside shard_map)
+    @staticmethod
+    def local_matvec(ell_data, ell_cols, x_col):
+        """ell_* [N_o, K] local; x_col [N_o + G] → y_own [N_o]."""
+        return jnp.sum(ell_data * x_col[ell_cols], axis=1)
+
+    def matvec_fn(self):
+        """Returns f(x_own_local, ell_data, ell_cols, send_idx, ghost_src)
+        for composition inside shard_map."""
+        def f(x_own, ell_data, ell_cols, send_idx, ghost_src):
+            x_col = import_ghosts(x_own, send_idx, ghost_src)
+            return self.local_matvec(ell_data, ell_cols, x_col)
+        return f
+
+
+# -- host-side vector scatter/gather ----------------------------------------
+
+
+def distribute_vector(x_global: np.ndarray, unique_map: IndexMap,
+                      N_o: Optional[int] = None) -> jnp.ndarray:
+    """Global [n] → stacked owned [n_dev, N_o] (zero-padded)."""
+    N_o = N_o or unique_map.max_local_size
+    out = np.zeros((unique_map.n_parts, N_o), dtype=np.float64)
+    xg = np.asarray(x_global)
+    for p, ix in enumerate(unique_map.partition_indices):
+        out[p, : len(ix)] = xg[ix]
+    return jnp.asarray(out)
+
+
+def collect_vector(x_dist, unique_map: IndexMap) -> np.ndarray:
+    """Stacked owned [n_dev, N_o] → global [n]."""
+    xd = np.asarray(x_dist)
+    out = np.zeros(unique_map.n_global, dtype=xd.dtype)
+    for p, ix in enumerate(unique_map.partition_indices):
+        out[ix] = xd[p, : len(ix)]
+    return out

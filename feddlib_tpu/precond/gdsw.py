@@ -1,0 +1,212 @@
+"""GDSW coarse space + two-level Schwarz — the FROSch GDSWCoarseOperator
+equivalent (SURVEY.md §2.8: the largest rebuild item; parametersPrec.xml
+"CoarseOperator Type: GDSWCoarseOperator", TwoLevel=true, additive).
+
+GDSW (Generalized Dryja–Smith–Widlund) construction:
+
+1. *Interface classification*: the interface Γ of the nonoverlapping
+   decomposition = dofs whose node is held by ≥2 subdomains (from the
+   repeated maps, exactly what FEDDLib feeds FROSch —
+   Preconditioner_def.hpp:295,380).  Γ is split into connected components by
+   the *set of touching subdomains*: nodes with identical subdomain sets
+   form one component (vertices/edges/faces arise naturally; FROSch's
+   GDSW* partition-of-unity classification).
+2. *Null space*: constants for scalar problems; translations (+ rotations)
+   for elasticity (null_space="laplace" | "elasticity").
+3. *Coarse functions* Φ: restrict each null-space vector to each interface
+   component, extend by zero on the rest of Γ, and extend harmonically into
+   the subdomain interiors:  Φ_I = −A_II⁻¹ A_IΓ Φ_Γ  (energy-minimal
+   extension; per-subdomain sparse solves, host-side at setup).
+4. *Galerkin coarse operator* A₀ = Φᵀ A Φ (RAP; host SpGEMM at setup —
+   SURVEY.md §7 hard part 3 allows host fallback first).
+5. *Apply* (device, additive 2-level):  z = Σ_p R_pᵀ D_p A_p⁻¹ R_p r
+   + Φ A₀⁻¹ Φᵀ r.  Φ applies are device SpMV (ELL); the coarse solve is a
+   dense inverse matmul (coarse dim = O(#components × null dim), small).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sps
+import scipy.sparse.linalg as spla
+
+from feddlib_tpu.la.csr import CsrMatrix
+from feddlib_tpu.la.map import IndexMap
+from feddlib_tpu.precond.schwarz import SchwarzPreconditioner
+
+
+def interface_components(node_part_sets: List[np.ndarray], n_nodes: int):
+    """Group interface nodes by their touching-subdomain set.
+
+    node_part_sets: per-part arrays of (repeated) node ids.
+    Returns (components: list of node-id arrays, interface_mask [n_nodes])."""
+    # multiplicity + a hashable signature of the part set per node
+    touch: List[list] = [[] for _ in range(n_nodes)]
+    for p, nodes in enumerate(node_part_sets):
+        for g in nodes:
+            touch[g].append(p)
+    sig = {}
+    for g in range(n_nodes):
+        if len(touch[g]) >= 2:
+            sig.setdefault(tuple(touch[g]), []).append(g)
+    comps = [np.array(v, dtype=np.int64) for _, v in sorted(sig.items())]
+    mask = np.zeros(n_nodes, dtype=bool)
+    for c in comps:
+        mask[c] = True
+    return comps, mask
+
+
+def build_null_space(kind: str, points: np.ndarray, dofs_per_node: int):
+    """Null-space basis evaluated at nodes → [n_nodes, dofs_per_node, k].
+
+    kind='laplace': constants per component (k = dofs_per_node).
+    kind='elasticity': translations + rotations (k = 3 in 2D, 6 in 3D) —
+    FROSch null spaces (SURVEY.md §2.8)."""
+    n, d = points.shape[0], dofs_per_node
+    if kind == "laplace":
+        ns = np.zeros((n, d, d))
+        for c in range(d):
+            ns[:, c, c] = 1.0
+        return ns
+    if kind == "elasticity":
+        dim = d
+        k = 3 if dim == 2 else 6
+        ns = np.zeros((n, d, k))
+        for c in range(dim):
+            ns[:, c, c] = 1.0
+        if dim == 2:
+            ns[:, 0, 2] = -points[:, 1]
+            ns[:, 1, 2] = points[:, 0]
+        else:
+            # rotations about z, x, y
+            ns[:, 0, 3] = -points[:, 1]
+            ns[:, 1, 3] = points[:, 0]
+            ns[:, 1, 4] = -points[:, 2]
+            ns[:, 2, 4] = points[:, 1]
+            ns[:, 0, 5] = points[:, 2]
+            ns[:, 2, 5] = -points[:, 0]
+        return ns
+    raise ValueError(f"unknown null space {kind!r}")
+
+
+class GDSWCoarseOperator:
+    """Φ and A₀ for a GDSW coarse level; device-resident apply."""
+
+    def __init__(self, A: CsrMatrix, unique_map: IndexMap,
+                 node_part_sets: List[np.ndarray], points: np.ndarray,
+                 dofs_per_node: int = 1, null_space: str = "laplace",
+                 dirichlet_mask: Optional[np.ndarray] = None,
+                 dtype=jnp.float64):
+        n = A.shape[0]
+        n_nodes = points.shape[0]
+        if n != n_nodes * dofs_per_node:
+            raise ValueError("matrix size != n_nodes * dofs_per_node")
+        sp = A.to_scipy().tocsr()
+
+        comps, iface_node = interface_components(node_part_sets, n_nodes)
+        ns = build_null_space(null_space, points, dofs_per_node)
+        k = ns.shape[2]
+
+        # dof-level interface mask; Dirichlet dofs are excluded from the
+        # coarse space (their rows are identity — extending through them
+        # would pollute Φ)
+        iface_dof = np.repeat(iface_node, dofs_per_node)
+        if dirichlet_mask is not None:
+            iface_dof = iface_dof & ~dirichlet_mask
+
+        # Φ_Γ: one column per (component, nullspace vector); drop zero cols
+        cols = []
+        for c in comps:
+            cdofs = (c[:, None] * dofs_per_node
+                     + np.arange(dofs_per_node)[None, :]).ravel()
+            keep = iface_dof[cdofs]
+            for j in range(k):
+                vals = ns[c][:, :, j].ravel()[keep]
+                if len(vals) and np.abs(vals).max() > 0:
+                    cols.append((cdofs[keep], vals))
+        nc = len(cols)
+        if nc == 0:
+            raise ValueError("empty coarse space (no interface components)")
+
+        rows_t, cols_t, vals_t = [], [], []
+        for j, (dofs, vals) in enumerate(cols):
+            rows_t.append(dofs)
+            cols_t.append(np.full(len(dofs), j, dtype=np.int64))
+            vals_t.append(vals)
+        phi_gamma = sps.csr_matrix(
+            (np.concatenate(vals_t),
+             (np.concatenate(rows_t), np.concatenate(cols_t))),
+            shape=(n, nc))
+
+        # harmonic extension per subdomain: interior = owned, non-interface,
+        # non-Dirichlet dofs (energy-minimal extension, reuses the subdomain
+        # solves FROSch would — here sparse LU at setup)
+        owner_parts = unique_map.partition_indices
+        interior_all = ~iface_dof
+        if dirichlet_mask is not None:
+            interior_all = interior_all & ~dirichlet_mask
+        for p in range(unique_map.n_parts):
+            owned = owner_parts[p]
+            I = owned[interior_all[owned]]
+            if len(I) == 0:
+                continue
+            subI = sp[I]
+            A_II = subI[:, I].tocsc()
+            # boundary of the extension = interface dofs adjacent to I
+            Gcols = np.unique(subI.indices)
+            G = Gcols[iface_dof[Gcols]]
+            if len(G) == 0:
+                continue
+            rhs = -(subI[:, G] @ phi_gamma[G]).toarray()
+            lu = spla.splu(A_II)
+            X = lu.solve(rhs)
+            rr, cc = np.nonzero(np.abs(X) > 1e-14)
+            rows_t.append(I[rr])
+            cols_t.append(cc.astype(np.int64))
+            vals_t.append(X[rr, cc])
+        phi = sps.csr_matrix(
+            (np.concatenate(vals_t),
+             (np.concatenate(rows_t), np.concatenate(cols_t))),
+            shape=(n, nc))
+
+        A0 = (phi.T @ sp @ phi).toarray()
+        # regularize exact zero diagonal (fully-Dirichlet components)
+        d0 = np.abs(np.diag(A0))
+        bad = d0 < 1e-14 * max(d0.max(), 1.0)
+        if bad.any():
+            A0[bad, bad] = 1.0
+        self.n_coarse = nc
+        self.phi = CsrMatrix.from_scipy(phi, dtype=dtype)
+        self.phiT = CsrMatrix.from_scipy(phi.T.tocsr(), dtype=dtype)
+        self.A0_inv = jnp.asarray(np.linalg.inv(A0), dtype)
+
+    def apply(self, r: jnp.ndarray) -> jnp.ndarray:
+        rc = self.phiT.matvec(r)
+        zc = self.A0_inv @ rc
+        return self.phi.matvec(zc)
+
+
+class TwoLevelSchwarz:
+    """Additive two-level Schwarz: one-level overlapping Schwarz + GDSW
+    coarse level (parametersPrec.xml: TwoLevel=true, Level Combination
+    Additive)."""
+
+    def __init__(self, A: CsrMatrix, unique_map: IndexMap,
+                 node_part_sets: List[np.ndarray], points: np.ndarray,
+                 dofs_per_node: int = 1, overlap: int = 1,
+                 combine: str = "Restricted", null_space: str = "laplace",
+                 dirichlet_mask: Optional[np.ndarray] = None):
+        self.level1 = SchwarzPreconditioner(A, unique_map, overlap=overlap,
+                                            combine=combine)
+        self.coarse = GDSWCoarseOperator(
+            A, unique_map, node_part_sets, points, dofs_per_node,
+            null_space, dirichlet_mask)
+
+    def apply(self, r: jnp.ndarray) -> jnp.ndarray:
+        return self.level1.apply(r) + self.coarse.apply(r)
+
+    def __call__(self, r):
+        return self.apply(r)

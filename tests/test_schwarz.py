@@ -1,0 +1,78 @@
+"""One-level overlapping Schwarz tests (FROSch AlgebraicOverlappingOperator
+equivalent)."""
+
+import numpy as np
+import pytest
+
+from feddlib_tpu.bc import BCBuilder
+from feddlib_tpu.fe import ops
+from feddlib_tpu.fe.domain import Domain
+from feddlib_tpu.mesh.partition import MeshPartition
+from feddlib_tpu.precond.schwarz import SchwarzPreconditioner, grow_overlap
+from feddlib_tpu.solvers.krylov import cg, gmres
+
+
+@pytest.fixture(scope="module")
+def poisson():
+    dom = Domain.structured(2, 16)
+    K = ops.assemble_laplace(dom)
+    bcb = BCBuilder()
+    bcb.add_bc(lambda x, t: 0.0, 1, 0, dom, "Dirichlet", 1)
+    b = ops.assemble_rhs(dom, lambda x: 1.0 + 0 * x[0])
+    Kb, bb = bcb.apply_symmetric(K, b, 0)
+    ref = gmres(Kb.matvec, bb, tol=1e-8, maxiter=500)
+    return dom, Kb, bb, ref
+
+
+def test_overlap_growth():
+    dom = Domain.structured(2, 8)
+    K = ops.assemble_laplace(dom)
+    sp = K.to_scipy()
+    part = MeshPartition(dom.mesh, 4)
+    owned = part.unique_map.partition_indices[0]
+    ov0 = grow_overlap(sp, owned, 0)
+    ov1 = grow_overlap(sp, owned, 1)
+    ov2 = grow_overlap(sp, owned, 2)
+    assert len(ov0) == len(owned)
+    assert len(ov1) > len(ov0)
+    assert len(ov2) > len(ov1)
+    assert np.all(np.isin(ov0, ov1)) and np.all(np.isin(ov1, ov2))
+
+
+@pytest.mark.parametrize("combine", ["Restricted", "Averaging", "Full"])
+def test_schwarz_accelerates_gmres(poisson, combine):
+    dom, Kb, bb, ref = poisson
+    part = MeshPartition(dom.mesh, 4)
+    prec = SchwarzPreconditioner(Kb, part.unique_map, overlap=1,
+                                 combine=combine)
+    res = gmres(Kb.matvec, bb, M=prec.apply, tol=1e-8, maxiter=500)
+    assert res.converged
+    assert res.iters < ref.iters  # must beat unpreconditioned
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               atol=1e-7)
+
+
+def test_schwarz_exact_single_subdomain(poisson):
+    """With one subdomain and no overlap the Schwarz apply is a direct
+    solve: GMRES converges in 1-2 iterations."""
+    dom, Kb, bb, ref = poisson
+    from feddlib_tpu.la.map import IndexMap
+
+    umap = IndexMap.contiguous(dom.n_nodes, 1)
+    prec = SchwarzPreconditioner(Kb, umap, overlap=0, combine="Restricted")
+    res = gmres(Kb.matvec, bb, M=prec.apply, tol=1e-8, maxiter=10)
+    assert res.converged
+    assert res.iters <= 2
+
+
+def test_overlap_reduces_iterations(poisson):
+    dom, Kb, bb, ref = poisson
+    part = MeshPartition(dom.mesh, 8)
+    iters = []
+    for ov in (0, 1, 2):
+        prec = SchwarzPreconditioner(Kb, part.unique_map, overlap=ov,
+                                     combine="Restricted")
+        res = gmres(Kb.matvec, bb, M=prec.apply, tol=1e-8, maxiter=500)
+        iters.append(res.iters)
+    assert iters[1] <= iters[0]
+    assert iters[2] <= iters[1]
