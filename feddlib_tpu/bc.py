@@ -166,13 +166,31 @@ class BCBuilder:
 
     def apply_to_system(self, system: BlockMatrix) -> BlockMatrix:
         """Apply Dirichlet row-masking to a whole block system
-        (Problem::setBoundariesSystem semantics)."""
+        (Problem::setBoundariesSystem semantics).  If a block row carries
+        Dirichlet dofs but has no diagonal block (e.g. a pinned pressure dof
+        in a Taylor-Hood system without stabilization), a sparse identity-at-
+        Dirichlet diagonal block is synthesized so the system stays
+        nonsingular."""
         out = BlockMatrix(system.row_sizes, system.col_sizes)
         for (i, j), m in system.blocks.items():
             if i == j:
                 out.add_block(i, j, self.apply_to_matrix(m, i))
             else:
                 out.add_block(i, j, self.apply_to_offdiag_matrix(m, i))
+        for i in range(system.n_block_rows):
+            if (i, i) in out.blocks:
+                continue
+            n = system.row_sizes[i]
+            mask = self.dirichlet_mask(i, n)
+            if not mask.any():
+                continue
+            d = np.nonzero(mask)[0]
+            from feddlib_tpu.la.csr import SparsityPattern
+
+            pat = SparsityPattern.from_coo(d, d, n, system.col_sizes[i])
+            diag = CsrMatrix(pat)
+            diag.assemble(jnp.ones(len(d)))
+            out.add_block(i, i, diag)
         return out
 
     # -- RHS / residual application -----------------------------------------

@@ -19,6 +19,47 @@ from feddlib_tpu.fe.domain import Domain
 from feddlib_tpu.la.csr import CsrMatrix
 
 
+
+# Assembly is chunked over elements: TPU tiling pads the small trailing dims
+# of element-matrix tensors ([E, nb, nb] → lanes of 128), so materializing
+# all elements at once wastes up to 32x HBM.  Each chunk runs kernel + post +
+# flatten inside ONE jit (cached per operator key) so only 1-D buffers ever
+# materialize in HBM.
+_CHUNK = 32768
+_fused_cache: dict = {}
+
+
+def _fused_kernel(key, kernel, post):
+    f = _fused_cache.get(key)
+    if f is None:
+        import jax
+
+        def flat(vc, *extra):
+            out = kernel(vc, *extra)
+            if post is not None:
+                out = post(out)
+            return out.reshape(-1)
+
+        f = jax.jit(flat)
+        _fused_cache[key] = f
+    return f
+
+
+def _assemble_chunked(pattern, key, kernel, vert_coords, *extra,
+                      post=None) -> CsrMatrix:
+    """key must uniquely identify (operator, dim, fe_type, coefficients) —
+    it is the jit-cache key for the fused kernel."""
+    fused = _fused_kernel(key, kernel, post)
+    E = vert_coords.shape[0]
+    vals = []
+    for s in range(0, E, _CHUNK):
+        vals.append(fused(vert_coords[s:s + _CHUNK],
+                          *(a[s:s + _CHUNK] for a in extra)))
+    flat = vals[0] if len(vals) == 1 else jnp.concatenate(vals)
+    m = CsrMatrix(pattern)
+    m.assemble(flat)
+    return m
+
 def _square_pattern(domain: Domain, dofs_per_node: int):
     def build():
         dofs = domain.elem_dofs(dofs_per_node)
@@ -30,43 +71,59 @@ def _square_pattern(domain: Domain, dofs_per_node: int):
 
 def assemble_laplace(domain: Domain) -> CsrMatrix:
     """Scalar Laplace stiffness (FE::assemblyLaplace, FE_def.hpp:604)."""
-    K = asm.elem_laplace(domain.vert_coords(), domain.dim, domain.fe_type)
-    return asm.assemble_matrix(_square_pattern(domain, 1), K)
+    return _assemble_chunked(
+        _square_pattern(domain, 1),
+        ("laplace", domain.dim, domain.fe_type),
+        lambda vc: asm.elem_laplace(vc, domain.dim, domain.fe_type),
+        domain.vert_coords())
 
 
 def assemble_laplace_vec(domain: Domain, viscosity: float = 1.0) -> CsrMatrix:
     """Vector Laplace (FE::assemblyLaplaceVecField, FE_def.hpp:670)."""
-    Kb = asm.elem_laplace_vec(domain.vert_coords(), domain.dim,
-                              domain.fe_type, viscosity)
-    K = asm.vectorize_elem_mat(Kb)
-    return asm.assemble_matrix(_square_pattern(domain, domain.dim), K)
+    return _assemble_chunked(
+        _square_pattern(domain, domain.dim),
+        ("laplace_vec", domain.dim, domain.fe_type, viscosity),
+        lambda vc: asm.elem_laplace_vec(vc, domain.dim, domain.fe_type,
+                                        viscosity),
+        domain.vert_coords(), post=asm.vectorize_elem_mat)
 
 
 def assemble_mass(domain: Domain, dofs_per_node: int = 1) -> CsrMatrix:
     """Mass matrix, scalar or vector (FE::assemblyMass, FE_def.hpp:454)."""
-    M = asm.elem_mass(domain.vert_coords(), domain.dim, domain.fe_type)
-    if dofs_per_node > 1:
-        eye = jnp.eye(dofs_per_node, dtype=jnp.float64)
-        M = asm.vectorize_elem_mat(jnp.einsum("eab,ij->eabij", M, eye))
-    return asm.assemble_matrix(_square_pattern(domain, dofs_per_node), M)
+    eye = jnp.eye(dofs_per_node, dtype=jnp.float64)
+
+    def post(M):
+        if dofs_per_node > 1:
+            return asm.vectorize_elem_mat(jnp.einsum("eab,ij->eabij", M, eye))
+        return M
+
+    return _assemble_chunked(
+        _square_pattern(domain, dofs_per_node),
+        ("mass", domain.dim, domain.fe_type, dofs_per_node),
+        lambda vc: asm.elem_mass(vc, domain.dim, domain.fe_type),
+        domain.vert_coords(), post=post)
 
 
 def assemble_stress(domain: Domain, viscosity: float = 1.0) -> CsrMatrix:
     """Symmetric-gradient stress form 2μ ∫ε(u):ε(v)
     (FE::assemblyStress, FE_def.hpp:2407)."""
-    S = asm.elem_stress_sym(domain.vert_coords(), domain.dim,
-                            domain.fe_type, viscosity)
-    return asm.assemble_matrix(_square_pattern(domain, domain.dim),
-                               asm.vectorize_elem_mat(S))
+    return _assemble_chunked(
+        _square_pattern(domain, domain.dim),
+        ("stress", domain.dim, domain.fe_type, viscosity),
+        lambda vc: asm.elem_stress_sym(vc, domain.dim, domain.fe_type,
+                                       viscosity),
+        domain.vert_coords(), post=asm.vectorize_elem_mat)
 
 
 def assemble_lin_elasticity(domain: Domain, mu: float, lam: float) -> CsrMatrix:
     """2μ ε(u):ε(v) + λ div u div v (FE::assemblyLinElasXDim,
     FE_def.hpp:2739).  λ, μ from (E, ν) as in LinElas_def.hpp:84-91."""
-    K = asm.elem_lin_elasticity(domain.vert_coords(), domain.dim,
-                                domain.fe_type, mu, lam)
-    return asm.assemble_matrix(_square_pattern(domain, domain.dim),
-                               asm.vectorize_elem_mat(K))
+    return _assemble_chunked(
+        _square_pattern(domain, domain.dim),
+        ("linelas", domain.dim, domain.fe_type, mu, lam),
+        lambda vc: asm.elem_lin_elasticity(vc, domain.dim, domain.fe_type,
+                                           mu, lam),
+        domain.vert_coords(), post=asm.vectorize_elem_mat)
 
 
 def lame_parameters(E: float, nu: float):
@@ -88,20 +145,26 @@ def assemble_advection(domain: Domain, u: jnp.ndarray) -> CsrMatrix:
     """N(u): (u·∇)u convection block, expanded to vector dofs
     (FE::assemblyAdvectionVecField, FE_def.hpp:1685)."""
     ue = u_elem_values(domain, u)
-    N = asm.elem_advection(domain.vert_coords(), ue, domain.dim, domain.fe_type)
     eye = jnp.eye(domain.dim, dtype=jnp.float64)
-    Nv = asm.vectorize_elem_mat(jnp.einsum("eab,ij->eabij", N, eye))
-    return asm.assemble_matrix(_square_pattern(domain, domain.dim), Nv)
+    return _assemble_chunked(
+        _square_pattern(domain, domain.dim),
+        ("advection", domain.dim, domain.fe_type),
+        lambda vc, uc: asm.elem_advection(vc, uc, domain.dim, domain.fe_type),
+        domain.vert_coords(), ue,
+        post=lambda N: asm.vectorize_elem_mat(
+            jnp.einsum("eab,ij->eabij", N, eye)))
 
 
 def assemble_advection_in_u(domain: Domain, u: jnp.ndarray) -> CsrMatrix:
     """W(u): Newton linearisation (∇u)·δu
     (FE::assemblyAdvectionInUVecField, FE_def.hpp:1839)."""
     ue = u_elem_values(domain, u)
-    W = asm.elem_advection_in_u(domain.vert_coords(), ue,
-                                domain.dim, domain.fe_type)
-    return asm.assemble_matrix(_square_pattern(domain, domain.dim),
-                               asm.vectorize_elem_mat(W))
+    return _assemble_chunked(
+        _square_pattern(domain, domain.dim),
+        ("advection_in_u", domain.dim, domain.fe_type),
+        lambda vc, uc: asm.elem_advection_in_u(vc, uc, domain.dim,
+                                               domain.fe_type),
+        domain.vert_coords(), ue, post=asm.vectorize_elem_mat)
 
 
 def assemble_divergence(dom_u: Domain, dom_p: Domain):
@@ -109,18 +172,30 @@ def assemble_divergence(dom_u: Domain, dom_p: Domain):
     (FE::assemblyDivAndDivT, FE_def.hpp:1932).  dom_u and dom_p must share
     the element ordering (P2-from-P1 preserves it)."""
     dim = dom_u.dim
-    Bb = asm.elem_divergence(dom_u.vert_coords(), dim,
-                             dom_u.fe_type, dom_p.fe_type)  # [E, np, nu, dim]
-    E, npb, nub, _ = Bb.shape
-    Bmat = Bb.reshape(E, npb, nub * dim)
+    aligned = (dom_u.mesh is dom_p.mesh
+               or (dom_u.parent_p1 is not None
+                   and dom_u.parent_p1.mesh is dom_p.mesh)
+               or (dom_p.parent_p1 is not None
+                   and dom_p.parent_p1.mesh is dom_u.mesh)
+               or (dom_u.parent_p1 is not None and dom_p.parent_p1 is not None
+                   and dom_u.parent_p1.mesh is dom_p.parent_p1.mesh))
+    if not aligned:
+        raise ValueError(
+            "mixed-space assembly requires domains sharing one mesh "
+            "(build the P2 space with dom_p.p2_domain())")
 
     def build():
         rows = dom_p.elem_dofs(1)
         cols = dom_u.elem_dofs(dim)
-        return asm.scatter_pattern(rows, cols, dom_p.n_dofs(1), dom_u.n_dofs(dim))
+        return asm.scatter_pattern(rows, cols, dom_p.n_dofs(1),
+                                   dom_u.n_dofs(dim))
 
     pat = dom_p.pattern(("div", id(dom_u)), build)
-    B = asm.assemble_matrix(pat, Bmat)
+    B = _assemble_chunked(
+        pat,
+        ("div", dim, dom_u.fe_type, dom_p.fe_type),
+        lambda vc: asm.elem_divergence(vc, dim, dom_u.fe_type, dom_p.fe_type),
+        dom_u.vert_coords())
     BT = B.transpose()
     return B, BT
 
@@ -128,8 +203,11 @@ def assemble_divergence(dom_u: Domain, dom_p: Domain):
 def assemble_bd_stabilization(dom_p: Domain) -> CsrMatrix:
     """Bochev–Dohrmann P1-P1 pressure stabilization block C
     (FE::assemblyBDStabilization, FE_def.hpp:2151)."""
-    C = asm.elem_bd_stabilization(dom_p.vert_coords(), dom_p.dim, dom_p.fe_type)
-    return asm.assemble_matrix(_square_pattern(dom_p, 1), C)
+    return _assemble_chunked(
+        _square_pattern(dom_p, 1),
+        ("bd_stab", dom_p.dim, dom_p.fe_type),
+        lambda vc: asm.elem_bd_stabilization(vc, dom_p.dim, dom_p.fe_type),
+        dom_p.vert_coords())
 
 
 def assemble_rhs(domain: Domain, f: Callable, dofs_per_node: int = 1,

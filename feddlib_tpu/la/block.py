@@ -74,6 +74,7 @@ class BlockMatrix:
         self.row_sizes = list(row_sizes)
         self.col_sizes = list(col_sizes if col_sizes is not None else row_sizes)
         self.blocks: Dict[Tuple[int, int], CsrMatrix] = {}
+        self._merged: Optional[CsrMatrix] = None
 
     @property
     def n_block_rows(self):
@@ -90,6 +91,7 @@ class BlockMatrix:
                 f"({self.row_sizes[i]},{self.col_sizes[j]})"
             )
         self.blocks[(i, j)] = m
+        self._merged = None
 
     def get_block(self, i: int, j: int) -> Optional[CsrMatrix]:
         return self.blocks.get((i, j))
@@ -117,7 +119,10 @@ class BlockMatrix:
 
     def merge(self) -> CsrMatrix:
         """Flatten to one monolithic CSR with global block offsets
-        (reference: BlockMatrix::merge, BlockMatrix_def.hpp:119)."""
+        (reference: BlockMatrix::merge, BlockMatrix_def.hpp:119).  Memoized
+        until a block changes — time loops merge once per lhs."""
+        if self._merged is not None:
+            return self._merged
         row_off = np.concatenate([[0], np.cumsum(self.row_sizes)])
         col_off = np.concatenate([[0], np.cumsum(self.col_sizes)])
         n_rows, n_cols = int(row_off[-1]), int(col_off[-1])
@@ -132,6 +137,7 @@ class BlockMatrix:
         pat = SparsityPattern.from_coo(rows, cols, n_rows, n_cols)
         out = CsrMatrix(pat)
         out.assemble(jnp.concatenate(vals_l))
+        self._merged = out
         return out
 
     def __repr__(self):

@@ -141,6 +141,11 @@ class CsrMatrix:
         self.data = assemble_csr_data(
             coo_vals.astype(self.dtype), jnp.asarray(slots), self.pattern.nnz
         )
+        if _trace_state_clean():
+            # eagerly build + device-promote the ELL plan so a later matvec
+            # first invoked inside a jit trace doesn't bake the plan in as a
+            # multi-MB constant (re-uploaded per call)
+            self._ell_plan()
 
     # -- shape / properties -------------------------------------------------
     @property
@@ -152,17 +157,22 @@ class CsrMatrix:
         return self.pattern.nnz
 
     # -- ELL plan -----------------------------------------------------------
+    # TPU-native layout: the ELL planes are stored TRANSPOSED, [K, n_rows],
+    # so the row index rides the 128-lane dimension and XLA's (8,128) tiling
+    # pads only n_rows (negligible).  The naive [n_rows, K] layout pads K to
+    # 128 lanes — an 4-16x memory blowup for FEM row widths (K=16..32).
+    # SpMV is then K fused multiply-add+gather passes over [n_rows] vectors.
     def _ell_plan(self):
         if self._ell is None:
             pat = self.pattern
             lens = pat.row_lengths()
-            K = max(_round_up(int(lens.max()) if len(lens) else 1, _LANE), _LANE)
-            ell_cols = np.zeros((pat.n_rows, K), dtype=np.int32)
-            slot_of = np.full((pat.n_rows, K), pat.nnz, dtype=np.int32)  # pad→extra 0
+            K = max(int(lens.max()) if len(lens) else 1, 1)
+            ell_cols = np.zeros((K, pat.n_rows), dtype=np.int32)
+            slot_of = np.full((K, pat.n_rows), pat.nnz, dtype=np.int32)  # pad→extra 0
             pos = np.arange(pat.nnz) - np.repeat(pat.indptr[:-1], lens)
             r = pat.rows_of_slots()
-            ell_cols[r, pos] = pat.indices.astype(np.int32)
-            slot_of[r, pos] = np.arange(pat.nnz, dtype=np.int32)
+            ell_cols[pos, r] = pat.indices.astype(np.int32)
+            slot_of[pos, r] = np.arange(pat.nnz, dtype=np.int32)
             # cache as NUMPY: building device arrays lazily inside a jit
             # trace would leak tracers; numpy constants are trace-safe
             self._ell = (ell_cols, slot_of)
@@ -173,7 +183,8 @@ class CsrMatrix:
         return self._ell_dev if self._ell_dev is not None else self._ell
 
     def ell_arrays(self):
-        """(ell_cols [n_rows,K], ell_data [n_rows,K]) for external kernels."""
+        """(ell_cols [K,n_rows], ell_data [K,n_rows]) — transposed ELL planes
+        for external kernels."""
         ell_cols, slot_of = self._ell_plan()
         padded = jnp.concatenate([self.data, jnp.zeros(1, self.dtype)])
         return ell_cols, padded[slot_of]
@@ -246,6 +257,6 @@ def assemble_csr_data(coo_vals, slots, nnz):
 @jax.jit
 def _ell_matvec(data, ell_cols, slot_of, x):
     padded = jnp.concatenate([data, jnp.zeros(1, data.dtype)])
-    vals = padded[slot_of]  # [n_rows, K]
-    xg = x[ell_cols]  # [n_rows, K]
-    return jnp.sum(vals * xg, axis=1)
+    vals = padded[slot_of]  # [K, n_rows]
+    xg = x[ell_cols]  # [K, n_rows]
+    return jnp.sum(vals * xg, axis=0)

@@ -69,7 +69,7 @@ class DistributedSolver:
 
             def A(x):
                 x_col = import_ghosts(x, si, gs)
-                return jnp.sum(ed * x_col[ec], axis=1)
+                return jnp.sum(ed * x_col[ec], axis=0)
 
             if prec_build is None:
                 M = lambda r: r
@@ -115,9 +115,9 @@ def _jacobi_diag(dm: DistributedCsr) -> jnp.ndarray:
     """[n_dev, N_o] inverse diagonal (0 on padding)."""
     N_o = dm.plan.N_o
     # local diagonal: column-map local id of owned row i is i itself
-    diag_idx = jnp.arange(N_o)[None, :, None]
-    is_diag = dm.ell_cols == diag_idx  # [ndev, N_o, K]
-    d = jnp.sum(jnp.where(is_diag, dm.ell_data, 0.0), axis=2)
+    diag_idx = jnp.arange(N_o)[None, None, :]
+    is_diag = dm.ell_cols == diag_idx  # [ndev, K, N_o]
+    d = jnp.sum(jnp.where(is_diag, dm.ell_data, 0.0), axis=1)
     return jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 0.0)
 
 

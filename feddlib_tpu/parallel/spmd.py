@@ -217,7 +217,6 @@ class DistributedCsr:
             lookup[ghosts] = N_o + np.arange(len(ghosts))
             rows_info.append((sub, lookup, len(cg)))
             K = max(K, int(np.diff(sub.indptr).max()) if sub.nnz else 1)
-        K = max(((K + 7) // 8) * 8, 8)
         self.K = K
         self.plan = HaloPlan(unique_map, col_gids)
         assert self.plan.N_o == N_o
@@ -226,23 +225,25 @@ class DistributedCsr:
         for p in range(n_dev):
             sub, lookup, n_col = rows_info[p]
             n_own = sub.shape[0]
-            ec = np.zeros((N_o, K), dtype=np.int32)
-            ed = np.zeros((N_o, K), dtype=np.float64)
+            # transposed ELL [K, N_o]: rows ride the 128-lane axis (see
+            # feddlib_tpu.la.csr._ell_plan for the layout rationale)
+            ec = np.zeros((K, N_o), dtype=np.int32)
+            ed = np.zeros((K, N_o), dtype=np.float64)
             lens = np.diff(sub.indptr)
             r = np.repeat(np.arange(n_own), lens)
             pos = np.arange(sub.nnz) - np.repeat(sub.indptr[:-1], lens)
-            ec[r, pos] = lookup[sub.indices]
-            ed[r, pos] = sub.data
+            ec[pos, r] = lookup[sub.indices]
+            ed[pos, r] = sub.data
             ell_cols_l.append(ec)
             ell_data_l.append(ed)
-        self.ell_cols = jnp.asarray(np.stack(ell_cols_l))  # [ndev, N_o, K]
+        self.ell_cols = jnp.asarray(np.stack(ell_cols_l))  # [ndev, K, N_o]
         self.ell_data = jnp.asarray(np.stack(ell_data_l), dtype=dtype)
 
     # device-side local matvec (inside shard_map)
     @staticmethod
     def local_matvec(ell_data, ell_cols, x_col):
-        """ell_* [N_o, K] local; x_col [N_o + G] → y_own [N_o]."""
-        return jnp.sum(ell_data * x_col[ell_cols], axis=1)
+        """ell_* [K, N_o] local; x_col [N_o + G] → y_own [N_o]."""
+        return jnp.sum(ell_data * x_col[ell_cols], axis=0)
 
     def matvec_fn(self):
         """Returns f(x_own_local, ell_data, ell_cols, send_idx, ghost_src)

@@ -55,6 +55,24 @@ def grow_overlap(csr: sps.csr_matrix, seed_rows: np.ndarray,
     return current
 
 
+def _robust_inverse(block: np.ndarray) -> np.ndarray:
+    """Dense inverse with a regularized fallback: subdomain blocks of
+    saddle-point systems (Stokes/NS) carry a local constant-pressure null
+    space and are exactly singular — the reference's KLU factors them thanks
+    to pivot perturbations; we shift the diagonal by ~machine-eps·‖A‖
+    instead (preconditioner quality is unaffected)."""
+    try:
+        return np.linalg.inv(block)
+    except np.linalg.LinAlgError:
+        scale = np.abs(block).max() or 1.0
+        for eps in (1e-12, 1e-10, 1e-8):
+            try:
+                return np.linalg.inv(block + eps * scale * np.eye(len(block)))
+            except np.linalg.LinAlgError:
+                continue
+        return np.linalg.pinv(block)
+
+
 class SchwarzPreconditioner:
     """One-level additive/restricted Schwarz built from a global matrix and
     a unique (owned) dof map."""
@@ -91,7 +109,7 @@ class SchwarzPreconditioner:
             # identity padding keeps the dense factor well-posed
             block = np.eye(S)
             block[:k, :k] = sub
-            inv[p] = np.linalg.inv(block)
+            inv[p] = _robust_inverse(block)
             if combine == "Restricted":
                 keep[p, :k] = (owner[ov] == p).astype(np.float64)
             else:

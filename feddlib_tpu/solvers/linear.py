@@ -1,0 +1,171 @@
+"""LinearSolver + Preconditioner factory — the Belos/Stratimikos +
+FROSch-factory glue of the reference (problems/Solver/LinearSolver_decl.hpp,
+Preconditioner_decl.hpp:41), without Thyra: operators are plain callables.
+
+`LinearSolver.solve(problem)` mirrors the reference's Monolithic path
+(LinearSolver_def.hpp:72-135): merge the block system, build/reuse the
+preconditioner from the parameter list, run GMRES (or CG), split the
+solution back into blocks.
+
+Parameter keys follow the reference XMLs so configs carry over:
+  General → "Preconditioner Method"  (Monolithic | ...)
+  ThyraSolver → "Convergence Tolerance", "Maximum Iterations", "Num Blocks"
+  FROSch-style → "Overlap", "TwoLevel", "Combine Values in Overlap",
+                 "Null Space Type"
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from feddlib_tpu.la.block import BlockVector
+from feddlib_tpu.la.csr import CsrMatrix
+from feddlib_tpu.mesh.partition import MeshPartition
+from feddlib_tpu.solvers.krylov import cg, gmres
+from feddlib_tpu.utils.config import ParameterList
+
+
+class Preconditioner:
+    """Preconditioner factory bound to a problem (reference:
+    Preconditioner_decl.hpp:41).  Builds once, reusable across solves
+    ("Reuse" semantics); rebuilt on request (Newton reassembly)."""
+
+    def __init__(self, problem):
+        self.problem = problem
+        self._apply: Optional[Callable] = None
+
+    def build(self, matrix: CsrMatrix) -> None:
+        params = self.problem.parameter_list
+        prec_type = params.get("Preconditioner Type", "SchwarzTwoLevel")
+        if prec_type in ("None", "Id"):
+            self._apply = None
+            return
+        if prec_type == "Jacobi":
+            d = matrix.diagonal()
+            dinv = jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 1.0)
+            self._apply = lambda r: dinv * r
+            return
+        # Schwarz variants need the mesh partition of the (first) domain
+        n_sub = int(params.get("Subdomains", 4))
+        overlap = int(params.get("Overlap", 1))
+        combine = params.get("Combine Values in Overlap", "Restricted")
+        dom0 = self.problem.domains[0]
+        # partition the P1 parent mesh when the leading space is P2, so all
+        # blocks (e.g. Stokes u-P2 / p-P1) share one element partition
+        base_mesh = (dom0.parent_p1.mesh if dom0.parent_p1 is not None
+                     else dom0.mesh)
+        part = MeshPartition(base_mesh, n_sub)
+        # dof-level unique map across the merged system
+        dof_map = self._merged_dof_map(part)
+        if prec_type in ("SchwarzTwoLevel", "GDSW", "TwoLevel"):
+            from feddlib_tpu.precond.gdsw import TwoLevelSchwarz
+
+            nsp = params.get("Null Space Type", "laplace").lower()
+            nsp = "elasticity" if "elas" in nsp else "laplace"
+            prec = TwoLevelSchwarz(
+                matrix, dof_map, part.repeated_map.partition_indices,
+                dom0.mesh.points, self.problem.total_dofs_per_node(),
+                overlap=overlap, combine=combine, null_space=nsp,
+                dirichlet_mask=self.problem.merged_dirichlet_mask())
+        else:  # "SchwarzOneLevel" / "Schwarz"
+            from feddlib_tpu.precond.schwarz import SchwarzPreconditioner
+
+            prec = SchwarzPreconditioner(matrix, dof_map, overlap=overlap,
+                                         combine=combine)
+        self._apply = prec.apply
+
+    def _merged_dof_map(self, part: MeshPartition):
+        """Dof-level unique map for the merged monolithic system.
+
+        Single-variable problems: node map × dofs.  Multi-variable (block)
+        problems: concatenated per-block dof maps with block offsets —
+        mirrors the reference feeding FROSch per-block repeated maps
+        (Preconditioner_def.hpp:295-383).
+        """
+        from feddlib_tpu.la.map import IndexMap
+
+        prob = self.problem
+        offsets = np.concatenate([[0], np.cumsum(prob.block_sizes())])
+        parts = [[] for _ in range(part.n_parts)]
+        for b, (dom, dofs, _) in enumerate(prob.variables):
+            if dom.mesh is part.mesh:
+                node_map = part.unique_map
+            elif (dom.parent_p1 is not None
+                  and dom.parent_p1.mesh is part.mesh):
+                # P2 domain sharing the P1 parent mesh: extend the node
+                # partition to P2 nodes via owning of the parent edge ends
+                node_map = _p2_unique_map(part, dom)
+            else:
+                raise ValueError(
+                    f"block {b} domain does not share the partitioned mesh")
+            dmap = node_map.build_vec_field_map(dofs)
+            for p in range(part.n_parts):
+                parts[p].append(dmap.partition_indices[p] + offsets[b])
+        merged = [np.sort(np.concatenate(lst)) for lst in parts]
+        return IndexMap(int(offsets[-1]), merged)
+
+    def apply(self):
+        return self._apply
+
+
+def _p2_unique_map(part: MeshPartition, dom):
+    """Unique node map for a P2 domain built from the P1 partition: midpoint
+    nodes are owned by the owner of their lower-numbered edge endpoint."""
+    from feddlib_tpu.la.map import IndexMap
+
+    mesh = dom.mesh
+    n_p1 = part.mesh.n_points
+    owner_p1 = part.unique_map.owner_of()
+    mid_owner = owner_p1[mesh.p2_edges.min(axis=1)]
+    parts = []
+    for p in range(part.n_parts):
+        own_p1 = part.unique_map.partition_indices[p]
+        own_mid = n_p1 + np.nonzero(mid_owner == p)[0]
+        parts.append(np.sort(np.concatenate([own_p1, own_mid])))
+    return IndexMap(mesh.n_points, parts)
+
+
+class LinearSolver:
+    """Monolithic Krylov solve of a (block) problem."""
+
+    def solve_system(self, problem, b: BlockVector):
+        """Solve the BC-applied system for an arbitrary RHS without touching
+        problem.solution (used directly by Newton for the update δ).
+        Returns (x: BlockVector, iters)."""
+        params = problem.parameter_list
+        tol = float(params.get("Convergence Tolerance", 1e-8))
+        maxiter = int(params.get("Maximum Iterations", 1000))
+        restart = int(params.get("Num Blocks", 100))
+        method = params.get("Solver Type", "gmres").lower()
+
+        system = problem.bc_system()
+        if len(problem.variables) == 1:
+            A = system.get_block(0, 0)
+        else:
+            A = system.merge()
+        if problem.preconditioner.apply() is None or problem._prec_stale:
+            problem.preconditioner.build(A)
+            problem._prec_stale = False
+
+        M = problem.preconditioner.apply()
+        bf = b.concat()
+        if method == "cg":
+            res = cg(A.matvec, bf, M=M, tol=tol, maxiter=maxiter)
+        else:
+            res = gmres(A.matvec, bf, M=M, tol=tol, restart=restart,
+                        maxiter=maxiter)
+        problem.last_relres = res.relres
+        if not res.converged:
+            import warnings
+
+            warnings.warn(f"linear solve not converged: relres={res.relres}")
+        return BlockVector.split(res.x, problem.block_sizes()), res.iters
+
+    def solve(self, problem, rhs: Optional[BlockVector] = None) -> int:
+        x, iters = self.solve_system(
+            problem, rhs if rhs is not None else problem.rhs)
+        problem.solution = x
+        return iters

@@ -1,0 +1,58 @@
+"""NonLinearSolver — Newton and fixed-point drivers (reference:
+problems/Solver/NonLinearSolver_decl.hpp:43-60; hand-written loops at
+NonLinearSolver_def.hpp:274 (FixedPoint) and :334 (Newton)).
+
+Criteria and defaults mirror the reference (NonLinearSolver_def.hpp:285-287,
+:345-347): relNonLinTol = 1e-6, MaxNonLinIts = 10, criterion "Residual"
+(relative residual ‖F‖/‖F₀‖) or "Update" (‖δ‖).  "Cancel MaxNonLinIts"
+raises if the cap is hit (used by tests, :326-328).
+
+Newton step: solve J(u) δ = −F(u), u ← u + δ.  Dirichlet handling follows
+the reference's residual convention: F = u − g on constrained dofs and J has
+identity rows there, so δ = g − u restores the BC exactly each step.
+"""
+
+from __future__ import annotations
+
+
+class NonLinearSolver:
+    def __init__(self, method: str = "Newton"):
+        if method not in ("Newton", "FixedPoint"):
+            raise ValueError(f"unknown nonlinear method {method!r}")
+        self.method = method
+
+    def solve(self, problem, t: float = 0.0) -> int:
+        pl = problem.parameter_list
+        tol = float(pl.get("relNonLinTol", 1e-6))
+        max_its = int(pl.get("MaxNonLinIts", 10))
+        criterion = pl.get("Criterion", "Residual")
+        cancel = bool(pl.get("Cancel MaxNonLinIts", False))
+
+        problem.init_vectors()
+        # BC-consistent initial guess so ‖F₀‖ is meaningful
+        problem.solution = problem.bc_builder.apply_to_rhs(problem.solution, t)
+
+        r = problem.calculate_residual(t)
+        norm0 = problem.residual_norm(r)
+        if norm0 == 0.0:
+            return 0
+        its = 0
+        crit = 1.0
+        self.linear_iters = []
+        while crit > tol and its < max_its:
+            problem.reassemble(self.method)
+            delta, lin_its = problem.linear_solver.solve_system(
+                problem, r.scale(-1.0))
+            self.linear_iters.append(lin_its)
+            problem.solution = problem.solution.axpy(1.0, delta)
+            r = problem.calculate_residual(t)
+            its += 1
+            if criterion == "Update":
+                crit = float(delta.norm2())
+            else:
+                crit = problem.residual_norm(r) / norm0
+        self.final_criterion = crit
+        if cancel and its >= max_its and crit > tol:
+            raise RuntimeError(
+                f"Newton hit MaxNonLinIts={max_its} (criterion {crit:.2e})")
+        return its

@@ -60,7 +60,7 @@ def test_distributed_matvec(poisson, n_parts):
     def prog(x_own, ed, ec, si, gs):
         x_own, ed, ec, si, gs = x_own[0], ed[0], ec[0], si[0], gs[0]
         x_col = import_ghosts(x_own, si, gs)
-        return jnp.sum(ed * x_col[ec], axis=1)[None]
+        return jnp.sum(ed * x_col[ec], axis=0)[None]
 
     f = jax.jit(axis.shard_map(prog, (P(AXIS),) * 5, P(AXIS)))
     y = f(x_dist, dmat.ell_data, dmat.ell_cols,

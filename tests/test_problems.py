@@ -1,0 +1,152 @@
+"""End-to-end problem-layer tests — the analog of the reference's per-physics
+integration drivers (problems/tests/laplace, stokes, steadyNavierStokes,
+steadyLinElas; SURVEY.md §4)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from feddlib_tpu.fe.domain import Domain
+from feddlib_tpu.problems import Laplace, LinElas, NavierStokes, Stokes
+from feddlib_tpu.solvers.nonlinear import NonLinearSolver
+from feddlib_tpu.utils.config import ParameterList
+
+from conftest import reference_mesh
+
+
+def _params(**kw):
+    p = ParameterList("Parameters")
+    for k, v in kw.items():
+        p[k.replace("_", " ")] = v
+    return p
+
+
+def test_laplace_driver():
+    """Mirror of problems/tests/laplace/main.cpp on square.mesh."""
+    dom = Domain.from_file(reference_mesh("square.mesh"))
+    prob = Laplace(dom, parameter_list=_params(
+        **{"Preconditioner Type": "SchwarzOneLevel", "Subdomains": 4}))
+    prob.assemble()
+    prob.assemble_source(lambda x: 1.0 + 0 * x[0])
+    for flag in (1, 2, 3, 4):
+        prob.add_bc(lambda x, t: 0.0, flag, 0)
+    prob.set_boundaries_rhs()
+    iters = prob.solve()
+    assert prob.last_relres <= 1e-8
+    u = np.asarray(prob.solution[0])
+    assert u.max() > 0  # interior positive for positive source
+    mask = prob.bc_builder.dirichlet_mask(0, dom.n_nodes)
+    assert np.abs(u[mask]).max() < 1e-8
+
+
+def test_laplace_two_level():
+    dom = Domain.structured(2, 16)
+    prob = Laplace(dom, parameter_list=_params(
+        **{"Preconditioner Type": "SchwarzTwoLevel", "Subdomains": 4}))
+    prob.assemble()
+    prob.assemble_source(lambda x: 1.0 + 0 * x[0])
+    prob.add_bc(lambda x, t: 0.0, 1, 0)
+    prob.set_boundaries_rhs()
+    iters = prob.solve()
+    assert prob.last_relres <= 1e-8
+    assert iters < 40
+
+
+def test_linelas_driver():
+    """3D cantilever-ish: clamp one face, load the rest weakly."""
+    dom = Domain.structured(2, 8)
+    pl = _params(E=1.0, **{"Poisson Ratio": 0.3,
+                           "Preconditioner Type": "Jacobi"})
+    prob = LinElas(dom, parameter_list=pl)
+    prob.assemble()
+    prob.assemble_source(lambda x: jnp.array([0.0, -0.1]))
+    prob.add_bc(lambda x, t: jnp.zeros(2), 1, 0)
+    prob.set_boundaries_rhs()
+    prob.solve()
+    assert prob.last_relres <= 1e-8
+    d = np.asarray(prob.solution[0]).reshape(-1, 2)
+    assert d[:, 1].min() < 0  # sags under downward load
+
+
+def test_stokes_driver():
+    """Lid-driven-cavity-like Stokes, P2-P1 Taylor-Hood."""
+    dom_p = Domain.structured(2, 6)
+    dom_u = dom_p.p2_domain()
+    prob = Stokes(dom_u, dom_p, parameter_list=_params(
+        Viscosity=1.0, **{"Preconditioner Type": "SchwarzOneLevel",
+                          "Subdomains": 2, "Maximum Iterations": 2000}))
+    prob.assemble()
+
+    def lid(x, t):
+        on_lid = jnp.isclose(x[1], 1.0)
+        return jnp.where(on_lid, jnp.array([1.0, 0.0]), jnp.zeros(2))
+
+    prob.add_bc(lid, 1, 0)
+    # pin one pressure dof via flag trick: fix pressure block singular mode
+    prob.bc_builder.add_bc(lambda x, t: 0.0, _pin_flag(dom_p), 1, dom_p,
+                           "Dirichlet", 1)
+    prob.set_boundaries_rhs()
+    prob.solve()
+    assert prob.last_relres <= 1e-8
+    u = np.asarray(prob.solution[0]).reshape(-1, 2)
+    # flow should circulate: some negative x-velocity below the lid
+    assert u[:, 0].min() < -1e-3
+    # divergence-free-ish: Bu small in the interior
+    Bu = np.asarray(prob.system.get_block(1, 0).matvec(prob.solution[0]))
+    assert np.abs(Bu).max() < 1e-6
+
+
+def _pin_flag(dom_p):
+    """Give node 0 of the pressure mesh a unique flag and return it."""
+    flag = 77
+    dom_p.mesh.point_flags = dom_p.mesh.point_flags.copy()
+    dom_p.mesh.point_flags[0] = flag
+    return flag
+
+
+def test_navier_stokes_newton():
+    """Steady NS at moderate Reynolds on a cavity; Newton must converge in
+    few iterations (reference criteria: relNonLinTol 1e-6, MaxNonLinIts 10,
+    NonLinearSolver_def.hpp:285-287)."""
+    dom_p = Domain.structured(2, 6)
+    dom_u = dom_p.p2_domain()
+    prob = NavierStokes(dom_u, dom_p, parameter_list=_params(
+        Viscosity=0.1, **{"Preconditioner Type": "SchwarzOneLevel",
+                          "Subdomains": 2, "Maximum Iterations": 2000,
+                          "Cancel MaxNonLinIts": True}))
+    prob.assemble()
+
+    def lid(x, t):
+        on_lid = jnp.isclose(x[1], 1.0)
+        return jnp.where(on_lid, jnp.array([1.0, 0.0]), jnp.zeros(2))
+
+    prob.add_bc(lid, 1, 0)
+    prob.bc_builder.add_bc(lambda x, t: 0.0, _pin_flag(dom_p), 1, dom_p,
+                           "Dirichlet", 1)
+    solver = NonLinearSolver("Newton")
+    its = solver.solve(prob)
+    assert its <= 10
+    assert solver.final_criterion <= 1e-6
+    u = np.asarray(prob.solution[0]).reshape(-1, 2)
+    assert u[:, 0].min() < -1e-3
+
+
+def test_navier_stokes_fixed_point():
+    dom_p = Domain.structured(2, 5)
+    dom_u = dom_p.p2_domain()
+    prob = NavierStokes(dom_u, dom_p, parameter_list=_params(
+        Viscosity=0.5, **{"Preconditioner Type": "Jacobi",
+                          "Maximum Iterations": 4000,
+                          "MaxNonLinIts": 20}))
+    prob.assemble()
+
+    def lid(x, t):
+        on_lid = jnp.isclose(x[1], 1.0)
+        return jnp.where(on_lid, jnp.array([1.0, 0.0]), jnp.zeros(2))
+
+    prob.add_bc(lid, 1, 0)
+    prob.bc_builder.add_bc(lambda x, t: 0.0, _pin_flag(dom_p), 1, dom_p,
+                           "Dirichlet", 1)
+    solver = NonLinearSolver("FixedPoint")
+    its = solver.solve(prob)
+    assert solver.final_criterion <= 1e-6

@@ -1,0 +1,168 @@
+"""Time integration tests — the analog of the reference's unsteady drivers
+(problems/tests/unsteadyNavierStokes, unsteadyLinElas; SURVEY.md §4)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from feddlib_tpu.fe.domain import Domain
+from feddlib_tpu.problems import Laplace, LinElas, NavierStokes
+from feddlib_tpu.solvers.timestepping import (
+    DAESolverInTime, TimeProblem, bdf_coefficients)
+from feddlib_tpu.utils.config import ParameterList
+
+
+def _params(**kw):
+    p = ParameterList("Parameters")
+    for k, v in kw.items():
+        p[k] = v
+    return p
+
+
+def _heat_problem(n=8):
+    """du/dt = Δu, u=0 on boundary; first eigenmode decays as
+    exp(−2π²t)."""
+    dom = Domain.structured(2, n)
+    prob = Laplace(dom, parameter_list=_params(
+        **{"Preconditioner Type": "Jacobi", "Maximum Iterations": 2000,
+           "Convergence Tolerance": 1e-10}))
+    prob.assemble()
+    prob.add_bc(lambda x, t: 0.0, 1, 0)
+    prob.init_vectors()
+    pts = dom.mesh.points
+    u0 = np.sin(np.pi * pts[:, 0]) * np.sin(np.pi * pts[:, 1])
+    from feddlib_tpu.la.block import BlockVector
+
+    prob.solution = BlockVector([jnp.asarray(u0)])
+    return dom, prob, u0
+
+
+def test_bdf_coefficients():
+    b0, al = bdf_coefficients(2)
+    assert b0 == 1.5 and al == [2.0, -0.5]
+    # consistency: sum(alphas) == beta0 (constant exactness)
+    for k in (1, 2, 3):
+        b0, al = bdf_coefficients(k)
+        assert np.isclose(sum(al), b0)
+
+
+def _semidiscrete_exact(dom, prob, tp, u0, T):
+    """Exact solution of the SEMIDISCRETE system  M u̇ = −K u  on the free
+    (non-Dirichlet) dofs via dense expm — isolates the time-integration
+    error from the fixed spatial error."""
+    import scipy.linalg as sla
+
+    mask = prob.bc_builder.dirichlet_mask(0, dom.n_nodes)
+    free = ~mask
+    K = prob.system.get_block(0, 0).to_scipy().toarray()[np.ix_(free, free)]
+    M = tp.mass[0].to_scipy().toarray()[np.ix_(free, free)]
+    A = np.linalg.solve(M, K)
+    uT = np.zeros_like(u0)
+    uT[free] = sla.expm(-A * T) @ u0[free]
+    return uT
+
+
+@pytest.mark.parametrize("scheme,order", [("theta", 1), ("bdf2", 2)])
+def test_heat_decay(scheme, order):
+    dom, prob, u0 = _heat_problem(8)
+    tp = TimeProblem(prob)
+    T = 0.02
+    exact = _semidiscrete_exact(dom, prob, tp, u0, T)
+    errs = []
+    for dt in (T / 8, T / 16):
+        from feddlib_tpu.la.block import BlockVector
+
+        prob.solution = BlockVector([jnp.asarray(u0)])
+        drv = DAESolverInTime(tp, dt, T, theta=1.0)
+        if scheme == "theta":
+            drv.advance_linear_theta()
+        else:
+            drv.advance_linear_bdf(order=2)
+        u = np.asarray(prob.solution[0])
+        errs.append(np.abs(u - exact).max())
+    rate = np.log2(errs[0] / errs[1])
+    # BDF1/theta=1 → 1st order; BDF2 → 2nd (startup step costs a bit)
+    assert rate > order - 0.45, (errs, rate)
+
+
+def test_crank_nicolson_second_order():
+    dom, prob, u0 = _heat_problem(8)
+    tp = TimeProblem(prob)
+    T = 0.02
+    exact = _semidiscrete_exact(dom, prob, tp, u0, T)
+    errs = []
+    for dt in (T / 4, T / 8):
+        from feddlib_tpu.la.block import BlockVector
+
+        prob.solution = BlockVector([jnp.asarray(u0)])
+        drv = DAESolverInTime(tp, dt, T, theta=0.5)
+        drv.advance_linear_theta()
+        u = np.asarray(prob.solution[0])
+        errs.append(np.abs(u - exact).max())
+    rate = np.log2(errs[0] / errs[1])
+    assert rate > 1.6, (errs, rate)
+
+
+def test_newmark_energy_conservation():
+    """Undamped elastic vibration: β=1/4, γ=1/2 Newmark conserves energy."""
+    dom = Domain.structured(2, 4)
+    prob = LinElas(dom, parameter_list=_params(
+        E=1.0, **{"Poisson Ratio": 0.3, "Preconditioner Type": "Jacobi",
+                  "Maximum Iterations": 4000,
+                  "Convergence Tolerance": 1e-12}))
+    prob.assemble()
+    prob.add_bc(lambda x, t: jnp.zeros(2), 1, 0)
+    prob.init_vectors()
+    pts = dom.mesh.points
+    d0 = np.zeros((dom.n_nodes, 2))
+    d0[:, 1] = 0.01 * np.sin(np.pi * pts[:, 0]) * np.sin(np.pi * pts[:, 1])
+    from feddlib_tpu.la.block import BlockVector
+
+    prob.solution = BlockVector([jnp.asarray(d0.ravel())])
+    tp = TimeProblem(prob)
+    K = prob.system.get_block(0, 0)
+    M = tp.mass[0]
+
+    energies = []
+
+    def observer(t, d):
+        v = drv_holder[0].velocity if hasattr(drv_holder[0], "velocity") else None
+
+    drv = DAESolverInTime(tp, 0.05, 1.0)
+    drv_holder = [drv]
+    drv.advance_linear_newmark()
+    d = prob.solution[0]
+    v = drv.velocity[0]
+    E_pot = 0.5 * float(jnp.vdot(d, K.matvec(d)))
+    E_kin = 0.5 * float(jnp.vdot(v, M.matvec(v)))
+    d0j = jnp.asarray(d0.ravel())
+    E0 = 0.5 * float(jnp.vdot(d0j, K.matvec(d0j)))
+    assert abs((E_pot + E_kin) - E0) / E0 < 0.02, (E_pot, E_kin, E0)
+
+
+def test_unsteady_navier_stokes_smoke():
+    """Nonlinear BDF2 NS: started lid-driven flow reaches a nonzero state
+    and Newton converges each step."""
+    dom_p = Domain.structured(2, 4)
+    dom_u = dom_p.p2_domain()
+    prob = NavierStokes(dom_u, dom_p, parameter_list=_params(
+        Viscosity=0.1, **{"Preconditioner Type": "Jacobi",
+                          "Maximum Iterations": 4000,
+                          "Convergence Tolerance": 1e-9}))
+    prob.assemble()
+
+    def lid(x, t):
+        on_lid = jnp.isclose(x[1], 1.0)
+        return jnp.where(on_lid, jnp.array([1.0, 0.0]), jnp.zeros(2))
+
+    prob.add_bc(lid, 1, 0)
+    dom_p.mesh.point_flags = dom_p.mesh.point_flags.copy()
+    dom_p.mesh.point_flags[0] = 77
+    prob.bc_builder.add_bc(lambda x, t: 0.0, 77, 1, dom_p, "Dirichlet", 1)
+
+    tp = TimeProblem(prob, time_step_def=[1, 0])  # mass on velocity only
+    drv = DAESolverInTime(tp, 0.05, 0.2)
+    drv.advance_nonlinear_bdf(order=2)
+    u = np.asarray(prob.solution[0]).reshape(-1, 2)
+    assert np.abs(u).max() > 0.1
+    assert np.isfinite(u).all()
