@@ -53,18 +53,19 @@ class DistributedSolver:
     # arrays appended to the shard_map inputs.
     def _solve_fn(self, method: str, tol: float, maxiter: int, restart: int,
                   prec_build, prec_args_specs, n_prec_args: int):
-        key = (method, tol, maxiter, restart, prec_build is not None,
-               n_prec_args)
+        key = (method, tol, maxiter, restart,
+               None if prec_build is None else id(prec_build), n_prec_args)
         if key in self._cache:
             return self._cache[key]
         plan = self.dmat.plan
 
         def prog(b, x0, ell_data, ell_cols, send_idx, ghost_src, mask,
-                 *prec_args):
+                 recv_src, recv_dst, *prec_args):
             b, x0 = b[0], x0[0]
             ed, ec = ell_data[0], ell_cols[0]
             si, gs = send_idx[0], ghost_src[0]
             mk = mask[0]
+            rs, rd = recv_src[0], recv_dst[0]
             local_prec = [a[0] for a in prec_args]
 
             def A(x):
@@ -74,7 +75,7 @@ class DistributedSolver:
             if prec_build is None:
                 M = lambda r: r
             else:
-                M = prec_build(local_prec, (ed, ec, si, gs, mk))
+                M = prec_build(local_prec, (ed, ec, si, gs, mk, rs, rd))
 
             if method == "cg":
                 x, it, rel = cg_loop(A, M, b, x0, tol, maxiter, axis_name=AXIS)
@@ -83,7 +84,7 @@ class DistributedSolver:
                                         axis_name=AXIS)
             return x[None], it, rel
 
-        in_specs = ([P(AXIS)] * 7) + [P(AXIS)] * n_prec_args
+        in_specs = ([P(AXIS)] * 9) + [P(AXIS)] * n_prec_args
         out_specs = (P(AXIS), P(), P())
         f = jax.jit(_shard_map(self.axis, prog, tuple(in_specs), out_specs))
         self._cache[key] = f
@@ -107,7 +108,8 @@ class DistributedSolver:
                            None, len(arrs))
         x, it, rel = f(b_dist, x0, dm.ell_data, dm.ell_cols,
                        dm.plan.send_idx, dm.plan.ghost_src,
-                       dm.plan.owned_mask, *arrs)
+                       dm.plan.owned_mask, dm.plan.recv_src,
+                       dm.plan.recv_dst, *arrs)
         return x, int(it), float(rel)
 
 

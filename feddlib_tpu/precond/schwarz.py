@@ -142,18 +142,113 @@ class SchwarzPreconditioner:
         return self.apply(r)
 
 
-def make_distributed_schwarz(prec: SchwarzPreconditioner,
-                             unique_map: IndexMap, N_o: int):
-    """Package a SchwarzPreconditioner for the distributed solver: returns
-    (build_fn, [stacked arrays]) for DistributedSolver.solve(precond=...).
+def distributed_schwarz(A: CsrMatrix, dmat, combine: str = "Restricted"):
+    """One-level overlap-1 Schwarz for the shard_map solver.
 
-    Per-device data: the local subdomain inverse [S, S], the overlap dofs in
-    *column-map local* numbering of the SpMV halo plan (so the already
-    imported x_col can be gathered — requires the SpMV ghost set to cover
-    the overlap, true for overlap=1 with a mesh-graph matrix), and the keep
-    mask + owned positions for the restricted combine."""
-    P_ = prec.n_parts
-    S = prec.S
-    raise NotImplementedError(
-        "distributed Schwarz lands with the two-level work; "
-        "serial batched apply is the single-chip path")
+    Returns (build_fn, arrays) for DistributedSolver.solve(precond=...).
+
+    Overlap is fixed at 1 layer: the overlap dof set of device p then equals
+    its SpMV column map (owned ∪ ghosts), so the residual restriction reuses
+    the SpMV halo import — no extra communication plan.  Per-device data:
+    subdomain inverse [S, S] (identity-padded), overlap→column-map gather
+    indices, owned-position gather for the Restricted combine, and the
+    multiplicity scale for Averaging.
+    """
+    import jax.numpy as jnp
+
+    from feddlib_tpu.parallel.spmd import DistributedCsr, import_ghosts, export_add
+
+    if combine not in ("Restricted", "Full", "Averaging"):
+        raise ValueError(f"unknown combine mode {combine!r}")
+    unique_map = dmat.unique_map
+    plan = dmat.plan
+    n_dev, N_o, G = dmat.n_dev, plan.N_o, plan.G
+    sp = A.to_scipy()
+    owner = unique_map.owner_of()
+
+    inv = np.zeros((n_dev, 0, 0))
+    ov_col_l, keep_l, own_pos_l, inv_l = [], [], [], []
+    mult = np.zeros(A.shape[0])
+    ov_sets = []
+    for p in range(n_dev):
+        owned = unique_map.partition_indices[p]
+        ov = grow_overlap(sp, owned, 1)
+        ov_sets.append(ov)
+        mult[ov] += 1.0
+    S = max(len(o) for o in ov_sets)
+    for p in range(n_dev):
+        owned = unique_map.partition_indices[p]
+        ov = ov_sets[p]
+        k = len(ov)
+        block = np.eye(S)
+        block[:k, :k] = sp[ov][:, ov].toarray()
+        inv_l.append(_robust_inverse(block))
+        # overlap gids → column-map local ids of device p
+        n_own = len(owned)
+        lookup = np.full(A.shape[0], 0, dtype=np.int64)
+        lookup[owned] = np.arange(n_own)
+        ghosts = None
+        # reconstruct ghost list from the halo plan ordering: ghosts are the
+        # column support minus owned, sorted — same construction as
+        # DistributedCsr
+        cols_support = np.unique(sp[owned].indices)
+        ghosts = np.setdiff1d(cols_support, owned)
+        lookup[ghosts] = N_o + np.arange(len(ghosts))
+        if not np.all(np.isin(ov, np.concatenate([owned, ghosts]))):
+            raise ValueError("overlap exceeds the SpMV column map")
+        oc = np.zeros(S, dtype=np.int32)
+        oc[:k] = lookup[ov]
+        ov_col_l.append(oc)
+        keep = np.zeros(S)
+        keep[:k] = (owner[ov] == p) if combine == "Restricted" else 1.0
+        keep_l.append(keep)
+        # owned position within ov (owned ⊆ ov always)
+        pos = np.searchsorted(ov, owned)
+        op_ = np.zeros(N_o, dtype=np.int32)
+        op_[:n_own] = pos
+        own_pos_l.append(op_)
+
+    arrays = [
+        jnp.asarray(np.stack(inv_l)),              # [ndev, S, S]
+        jnp.asarray(np.stack(ov_col_l)),           # [ndev, S]
+        jnp.asarray(np.stack(keep_l)),             # [ndev, S]
+        jnp.asarray(np.stack(own_pos_l)),          # [ndev, N_o]
+    ]
+    if combine == "Averaging":
+        scale_l = []
+        for p in range(n_dev):
+            owned = unique_map.partition_indices[p]
+            sc = np.zeros(N_o)
+            sc[: len(owned)] = 1.0 / np.maximum(mult[owned], 1.0)
+            scale_l.append(sc)
+        arrays.append(jnp.asarray(np.stack(scale_l)))
+
+    recv_src, recv_dst = plan.recv_src, plan.recv_dst
+
+    def build(prec_arrays, ctx):
+        ed, ec, si, gs, mask, rs, rd = ctx
+        if combine == "Averaging":
+            inv_p, ov_col, keep, own_pos, scale = prec_arrays
+        else:
+            inv_p, ov_col, keep, own_pos = prec_arrays
+            scale = None
+
+        def M(r):
+            r_col = import_ghosts(r, si, gs)  # [N_o + G]
+            r_ov = r_col[ov_col]  # [S]
+            z_ov = (inv_p @ r_ov) * keep
+            if combine == "Restricted":
+                z = z_ov[own_pos] * mask
+            else:
+                import jax
+
+                z_col = jax.ops.segment_sum(z_ov, ov_col,
+                                            num_segments=N_o + G)
+                z = export_add(z_col, N_o, rs, rd) * mask
+                if scale is not None:
+                    z = z * scale
+            return z
+
+        return M
+
+    return build, arrays

@@ -1,0 +1,272 @@
+"""Monolithic fluid–structure interaction (reference:
+problems/specific/FSI_decl.hpp — 5-field system; assemble at
+FSI_def.hpp:167-325; time loop DAESolverInTime::advanceInTimeFSI :726).
+
+Geometry-explicit (GE) formulation with conforming interface meshes:
+
+Unknowns per time step  x = (u, p, d, λ):
+  block 0: fluid velocity  u   (P2 on the fluid mesh, ALE/moving)
+  block 1: fluid pressure  p   (P1 fluid mesh)
+  block 2: solid displacement d (P2 solid mesh)
+  block 3: interface traction  λ (matched interface nodes × dim)
+
+Coupling blocks are nodal identities on the matched interface (reference
+FE::assemblyFSICoupling, FE_def.hpp:3294; identity/velocity coupling scaled
+−1/dt, FSI_def.hpp:218-325):
+  (3,0)  C1 = I_Γ(u)              kinematic constraint rows
+  (3,2)  C2 = −(1/dt) I_Γ(d)     → u = (d − dⁿ)/dt on Γ
+  (0,3)  C1ᵀ                      traction on the fluid
+  (2,3)  C3ᵀ = −I_Γ(d)ᵀ          action–reaction on the solid
+
+Per step (GE, reference :726): solve the geometry problem from the current
+interface displacement → move the fluid mesh (ALE, Mesh::moveMesh) →
+reassemble fluid operators with ALE convection N(u−w) (reference
+reAssembleFSI, NavierStokes_def.hpp:245) → Newton-solve the monolithic
+4-block system with BDF fluid mass + Newmark solid → update histories.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from feddlib_tpu.fe import ops
+from feddlib_tpu.fe.domain import Domain
+from feddlib_tpu.la.block import BlockMatrix, BlockVector
+from feddlib_tpu.la.csr import CsrMatrix, SparsityPattern
+from feddlib_tpu.mesh.interface import MeshInterface, determine_interface
+from feddlib_tpu.problems.base import NonLinearProblem
+from feddlib_tpu.problems.geometry import Geometry
+
+
+def _interface_identity(n_rows: int, n_cols: int, rows: np.ndarray,
+                        cols: np.ndarray, scale: float = 1.0) -> CsrMatrix:
+    pat = SparsityPattern.from_coo(rows, cols, n_rows, n_cols)
+    m = CsrMatrix(pat)
+    m.assemble(jnp.full(len(rows), scale))
+    return m
+
+
+class FSI(NonLinearProblem):
+    def __init__(self, domain_u: Domain, domain_p: Domain,
+                 domain_d: Domain, interface_flags: Sequence[int],
+                 parameter_list=None, geometry_params=None):
+        super().__init__(parameter_list)
+        dim = domain_u.dim
+        self.dim = dim
+        self.add_variable(domain_u, dim, "u")
+        self.add_variable(domain_p, 1, "p")
+        self.add_variable(domain_d, dim, "d")
+
+        # matched interface (fluid P2 mesh ↔ solid P2 mesh)
+        self.interface: MeshInterface = determine_interface(
+            domain_u.mesh, domain_d.mesh, interface_flags)
+        n_lam = self.interface.n_nodes * dim
+        # λ pseudo-domain: reuse fluid domain for bookkeeping only
+        self.n_lam = n_lam
+
+        pl = self.parameter_list
+        self.viscosity = float(pl.get("Viscosity", 1.0))
+        self.density_f = float(pl.get("Density Fluid", 1.0))
+        self.density_s = float(pl.get("Density Solid", 1.0))
+        mu, lam_ = ops.lame_parameters(float(pl.get("E", 1.0)),
+                                       float(pl.get("Poisson Ratio", 0.3)))
+        self.mu_s, self.lam_s = mu, lam_
+        self.newmark_beta = float(pl.get("beta", 0.25))
+        self.newmark_gamma = float(pl.get("gamma", 0.5))
+
+        # geometry (mesh motion) sub-problem on the fluid mesh
+        self.geometry = Geometry(domain_u, parameter_list=geometry_params)
+        domain_u.mesh.save_reference_configuration()
+
+        # interface coupling matrices (built once; nodal identities)
+        iface_f, iface_s = self.interface.nodes_a, self.interface.nodes_b
+        rows = np.repeat(np.arange(self.interface.n_nodes), dim) * dim \
+            + np.tile(np.arange(dim), self.interface.n_nodes)
+        uf_cols = np.repeat(iface_f, dim) * dim + np.tile(np.arange(dim),
+                                                          len(iface_f))
+        ds_cols = np.repeat(iface_s, dim) * dim + np.tile(np.arange(dim),
+                                                          len(iface_s))
+        n_u = domain_u.n_dofs(dim)
+        n_d = domain_d.n_dofs(dim)
+        self.C1 = _interface_identity(n_lam, n_u, rows, uf_cols)
+        self.C1T = self.C1.transpose()
+        self._iface_rows, self._uf_cols, self._ds_cols = rows, uf_cols, ds_cols
+
+        # state
+        self.dt = float(pl.get("dt", 0.01))
+        self.solid_v = None
+        self.solid_a = None
+        self.u_prev = None
+        self.g_prev = None  # previous mesh displacement (for mesh velocity)
+        self.source_f = None
+        self._fluid_ops = None
+
+    # -- block sizes override: include λ ------------------------------------
+    def block_sizes(self):
+        return [self.variables[0][0].n_dofs(self.dim),
+                self.variables[1][0].n_dofs(1),
+                self.variables[2][0].n_dofs(self.dim),
+                self.n_lam]
+
+    def init_vectors(self):
+        sizes = self.block_sizes()
+        if self.rhs is None:
+            self.rhs = BlockVector.zeros(sizes)
+        if self.solution is None:
+            self.solution = BlockVector.zeros(sizes)
+        if self.solid_v is None:
+            self.solid_v = jnp.zeros(sizes[2])
+            self.solid_a = jnp.zeros(sizes[2])
+            self.u_prev = jnp.zeros(sizes[0])
+
+    # -- assembly ------------------------------------------------------------
+    def assemble(self) -> None:
+        dom_u, dom_p = self.variables[0][0], self.variables[1][0]
+        dom_d = self.variables[2][0]
+        self._assemble_fluid_constant()
+        self.Ks = ops.assemble_lin_elasticity(dom_d, self.mu_s, self.lam_s)
+        self.Ms = ops.assemble_mass(dom_d, self.dim).scale(self.density_s)
+        self.geometry.assemble()
+        self.init_vectors()
+
+    def _assemble_fluid_constant(self) -> None:
+        """(Re)assemble mesh-dependent fluid operators — called after every
+        mesh move (reference assembleConstantMatrices + reAssembleFSI)."""
+        dom_u, dom_p = self.variables[0][0], self.variables[1][0]
+        self.Af = ops.assemble_laplace_vec(dom_u, self.viscosity)
+        self.Bf, self.BfT = ops.assemble_divergence(dom_u, dom_p)
+        self.Mf = ops.assemble_mass(dom_u, self.dim).scale(self.density_f)
+
+    def _build_system(self, mode: str, w: jnp.ndarray, beta0_dt: float,
+                      newmark_m: float) -> None:
+        dom_u = self.variables[0][0]
+        u = self.solution[0]
+        adv = (u - w) * self.density_f
+        N = ops.assemble_advection(dom_u, adv)
+        Auu = self.Mf.scale(beta0_dt).add(self.Af).add(N)
+        if mode == "Newton":
+            W = ops.assemble_advection_in_u(dom_u, u * self.density_f)
+            Auu = Auu.add(W)
+        Add = self.Ms.scale(newmark_m).add(self.Ks)
+        sizes = self.block_sizes()
+        S = BlockMatrix(sizes)
+        S.add_block(0, 0, Auu)
+        S.add_block(0, 1, self.BfT)
+        S.add_block(1, 0, self.Bf)
+        S.add_block(0, 3, self.C1T)
+        S.add_block(2, 2, Add)
+        S.add_block(2, 3, _interface_identity(
+            sizes[2], self.n_lam, self._ds_cols, self._iface_rows, -1.0))
+        S.add_block(3, 0, self.C1)
+        S.add_block(3, 2, _interface_identity(
+            self.n_lam, sizes[2], self._iface_rows, self._ds_cols,
+            -1.0 / self.dt))
+        self.system = S
+        self._prec_stale = True
+
+    # -- time loop (GE; reference advanceInTimeFSI) --------------------------
+    def advance(self, t_end: float, source_f: Optional[Callable] = None,
+                observer: Optional[Callable] = None,
+                newton_method: str = "Newton") -> None:
+        from feddlib_tpu.solvers.nonlinear import NonLinearSolver
+
+        dom_u = self.variables[0][0]
+        dom_d = self.variables[2][0]
+        dim = self.dim
+        dt = self.dt
+        be, ga = self.newmark_beta, self.newmark_gamma
+        self.init_vectors()
+        t = 0.0
+        solver = NonLinearSolver(newton_method)
+        if self.g_prev is None:
+            self.g_prev = np.zeros((dom_u.n_nodes, dim))
+
+        while t < t_end - 1e-12:
+            t_new = t + dt
+            # 1) geometry: harmonic extension of interface displacement dⁿ
+            d_np = np.asarray(self.solution[2]).reshape(-1, dim)
+            iface_disp = d_np[self.interface.nodes_b]
+            g = self.geometry.solve_motion(self.interface.nodes_a,
+                                           iface_disp)
+            # 2) ALE move + mesh velocity w
+            dom_u.mesh.move(g)
+            dom_u.invalidate_geometry()
+            self._assemble_fluid_constant()
+            w = jnp.asarray((g - self.g_prev).ravel() / dt)
+            self.g_prev = g
+
+            # 3) histories
+            d_old = self.solution[2]
+            v_old, a_old = self.solid_v, self.solid_a
+            u_old = self.solution[0]
+            newmark_m = 1.0 / (be * dt * dt)
+            solid_hist = self.Ms.matvec(
+                d_old * newmark_m + v_old / (be * dt)
+                + (0.5 / be - 1.0) * a_old)
+            fluid_hist = self.Mf.matvec(u_old) * (1.0 / dt)
+            lam_hist = jnp.zeros(self.n_lam)
+            dG = d_old[jnp.asarray(self._ds_cols)]
+            lam_hist = lam_hist.at[jnp.asarray(self._iface_rows)].set(
+                -dG / dt)
+
+            fsrc = (ops.assemble_rhs(dom_u, lambda x: source_f(x, t_new),
+                                     dim) if source_f else
+                    jnp.zeros(self.block_sizes()[0]))
+
+            prob = self
+
+            def residual(tt=0.0):
+                u, p, d, lam = (prob.solution[i] for i in range(4))
+                adv = (u - w) * prob.density_f
+                Nmat = ops.assemble_advection(dom_u, adv)
+                Fu = (prob.Mf.matvec(u) * (1.0 / dt) + prob.Af.matvec(u)
+                      + Nmat.matvec(u) + prob.BfT.matvec(p)
+                      + prob.C1T.matvec(lam) - fluid_hist - fsrc)
+                Fp = prob.Bf.matvec(u)
+                Fd = (prob.Ms.matvec(d) * newmark_m + prob.Ks.matvec(d)
+                      - solid_hist)
+                Fd = Fd.at[jnp.asarray(prob._ds_cols)].add(
+                    -lam[jnp.asarray(prob._iface_rows)])
+                Fl = (u[jnp.asarray(prob._uf_cols)]
+                      - d[jnp.asarray(prob._ds_cols)] / dt)
+                Flam = jnp.zeros(prob.n_lam).at[
+                    jnp.asarray(prob._iface_rows)].set(Fl)
+                Flam = Flam - lam_hist
+                r = BlockVector([Fu, Fp, Fd, Flam])
+                return prob.bc_builder.set_vector_minus_bc(
+                    r, prob.solution, tt)
+
+            def reassemble(mode="Newton"):
+                prob._build_system(mode, w, 1.0 / dt, newmark_m)
+
+            base_res, base_rea = self.calculate_residual, self.reassemble
+            self.calculate_residual = residual
+            self.reassemble = reassemble
+            try:
+                solver.solve(self, t_new)
+            finally:
+                self.calculate_residual = base_res
+                self.reassemble = base_rea
+
+            # 4) Newmark updates
+            d_new = self.solution[2]
+            a_new = ((d_new - d_old) * newmark_m - v_old / (be * dt)
+                     - (0.5 / be - 1.0) * a_old)
+            self.solid_v = (v_old + dt * (1 - ga) * a_old + dt * ga * a_new)
+            self.solid_a = a_new
+            self.u_prev = self.solution[0]
+            if observer:
+                observer(t_new, self.solution)
+            t = t_new
+
+    def tip_displacement(self, point) -> np.ndarray:
+        """Displacement at the solid node closest to `point` — the Turek
+        FSI2 observable (reference getValuesOfInterest2DBenchmark,
+        FSI_def.hpp:1343)."""
+        dom_d = self.variables[2][0]
+        i = int(np.argmin(np.linalg.norm(
+            dom_d.mesh.points - np.asarray(point), axis=1)))
+        return np.asarray(self.solution[2]).reshape(-1, self.dim)[i]

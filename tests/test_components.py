@@ -1,0 +1,148 @@
+"""Tests for exporter (HDF5/XDMF), AABB tree, hyperelasticity, and the
+distributed Schwarz preconditioner."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from feddlib_tpu.fe.domain import Domain
+from feddlib_tpu.utils.config import ParameterList
+
+
+def _params(**kw):
+    p = ParameterList("Parameters")
+    for k, v in kw.items():
+        p[k] = v
+    return p
+
+
+def test_exporter_paraview(tmp_path):
+    from feddlib_tpu.io.exporter import ExporterParaView
+
+    dom = Domain.structured(2, 4)
+    exp = ExporterParaView(dom, str(tmp_path / "out"), "sol")
+    exp.add_variable("u", 1)
+    exp.add_variable("v", 2)
+    u = np.linspace(0, 1, dom.n_nodes)
+    v = np.ones(dom.n_dofs(2))
+    exp.save(0.0, {"u": u, "v": v})
+    exp.save(0.5, {"u": u * 2, "v": v})
+    exp.close()
+
+    import h5py
+
+    with h5py.File(str(tmp_path / "out.h5")) as f:
+        assert f["points"].shape == (dom.n_nodes, 3)
+        assert f["connectivity"].shape == (dom.n_elements, 3)
+        np.testing.assert_allclose(f["u_1"][:], u * 2)
+        assert f["v_0"].shape == (dom.n_nodes, 3)  # 2-D vector padded
+    xmf = (tmp_path / "out.xmf").read_text()
+    assert "Triangle" in xmf and 'Time Value="0.5"' in xmf
+
+
+def test_aabb_tree():
+    from feddlib_tpu.mesh.aabb import AABBTree
+
+    dom = Domain.structured(2, 5)
+    tree = AABBTree(dom.mesh.points, dom.mesh.elements)
+    rng = np.random.default_rng(0)
+    pts = rng.random((20, 2))
+    loc = tree.locate_points(pts)
+    assert (loc >= 0).all()
+    # verify containment via barycentric coordinates
+    for p, e in zip(pts, loc):
+        verts = dom.mesh.points[dom.mesh.elements[e]]
+        T = (verts[1:] - verts[0]).T
+        xi = np.linalg.solve(T, p - verts[0])
+        lam = np.concatenate([[1 - xi.sum()], xi])
+        assert lam.min() > -1e-10
+    # point outside the mesh
+    out = tree.locate_points(np.array([[2.5, 2.5]]))
+    assert out[0] == -1
+
+
+@pytest.mark.parametrize("material", ["StVK", "Neo-Hooke", "Mooney-Rivlin"])
+def test_hyperelastic_newton(material):
+    from feddlib_tpu.problems.nonlin_elasticity import NonLinElasticity
+    from feddlib_tpu.solvers.nonlinear import NonLinearSolver
+
+    pl = _params(**{"Material Model": material, "E": 1.0,
+                    "Poisson Ratio": 0.3, "Preconditioner Type": "Jacobi",
+                    "Maximum Iterations": 4000,
+                    "Convergence Tolerance": 1e-10})
+    dom = Domain.structured(2, 4)
+    prob = NonLinElasticity(dom, parameter_list=pl)
+    prob.assemble()
+    prob.add_bc(lambda x, t: jnp.zeros(2), 1, 0)
+    prob.assemble_source(lambda x: jnp.array([0.0, -0.001]))
+    s = NonLinearSolver("Newton")
+    its = s.solve(prob)
+    assert its <= 4  # quadratic convergence at small strain
+    assert s.final_criterion <= 1e-6
+    d = np.asarray(prob.solution[0]).reshape(-1, 2)
+    assert d[:, 1].min() < 0
+
+
+def test_hyperelastic_matches_linear_small_strain():
+    from feddlib_tpu.problems import LinElas
+    from feddlib_tpu.problems.nonlin_elasticity import NonLinElasticity
+    from feddlib_tpu.solvers.nonlinear import NonLinearSolver
+
+    common = {"E": 1.0, "Poisson Ratio": 0.3,
+              "Preconditioner Type": "Jacobi", "Maximum Iterations": 4000,
+              "Convergence Tolerance": 1e-11}
+    lin = LinElas(Domain.structured(2, 4), parameter_list=_params(**common))
+    lin.assemble()
+    lin.add_bc(lambda x, t: jnp.zeros(2), 1, 0)
+    lin.assemble_source(lambda x: jnp.array([0.0, -1e-4]))
+    lin.set_boundaries_rhs()
+    lin.solve()
+
+    nl = NonLinElasticity(Domain.structured(2, 4), parameter_list=_params(
+        **{"Material Model": "StVK", **common}))
+    nl.assemble()
+    nl.add_bc(lambda x, t: jnp.zeros(2), 1, 0)
+    nl.assemble_source(lambda x: jnp.array([0.0, -1e-4]))
+    NonLinearSolver("Newton").solve(nl)
+
+    dl = np.asarray(lin.solution[0])
+    dn = np.asarray(nl.solution[0])
+    assert np.abs(dn - dl).max() / np.abs(dl).max() < 1e-3
+
+
+@pytest.mark.parametrize("combine", ["Restricted", "Full", "Averaging"])
+def test_distributed_schwarz_matches_serial(combine):
+    import jax
+
+    from feddlib_tpu.bc import BCBuilder
+    from feddlib_tpu.fe import ops
+    from feddlib_tpu.mesh.partition import MeshPartition
+    from feddlib_tpu.parallel.solve import DistributedSolver
+    from feddlib_tpu.parallel.spmd import (
+        DeviceAxis, DistributedCsr, collect_vector, distribute_vector)
+    from feddlib_tpu.precond.schwarz import (
+        SchwarzPreconditioner, distributed_schwarz)
+    from feddlib_tpu.solvers.krylov import gmres
+
+    dom = Domain.structured(2, 12)
+    K = ops.assemble_laplace(dom)
+    bcb = BCBuilder()
+    bcb.add_bc(lambda x, t: 0.0, 1, 0, dom, "Dirichlet", 1)
+    b = ops.assemble_rhs(dom, lambda x: 1.0 + 0 * x[0])
+    Kb, bb = bcb.apply_symmetric(K, b, 0)
+    part = MeshPartition(dom.mesh, 4)
+    dmat = DistributedCsr(Kb, part.unique_map)
+    solver = DistributedSolver(dmat, DeviceAxis.make(4))
+    b_dist = distribute_vector(np.asarray(bb), part.unique_map, dmat.plan.N_o)
+
+    sp = SchwarzPreconditioner(Kb, part.unique_map, overlap=1,
+                               combine=combine)
+    ref = gmres(Kb.matvec, bb, M=sp.apply, tol=1e-8, maxiter=500)
+    build, arrs = distributed_schwarz(Kb, dmat, combine=combine)
+    x, it, rel = solver.solve(b_dist, method="gmres", tol=1e-8, maxiter=500,
+                              precond=(build, arrs))
+    assert it == ref.iters  # distributed must reproduce serial exactly
+    np.testing.assert_allclose(collect_vector(x, part.unique_map),
+                               np.asarray(ref.x), atol=1e-9)

@@ -1,0 +1,120 @@
+"""FSI tests: interface matching, geometry/mesh motion, and a coupled
+two-box FSI run (the structural analog of the reference's fsi test,
+problems/tests/fsi)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from feddlib_tpu.fe.domain import Domain
+from feddlib_tpu.mesh.interface import determine_interface, distances_to_interface
+from feddlib_tpu.mesh.structured import build_structured_mesh
+from feddlib_tpu.utils.config import ParameterList
+
+IFACE = 9
+
+
+def _params(**kw):
+    p = ParameterList("Parameters")
+    for k, v in kw.items():
+        p[k] = v
+    return p
+
+
+def _two_box_domains(n=4, fe="P2"):
+    """Fluid box [0,1]x[0.5,1] above solid box [0,1]x[0,0.5]; conforming
+    interface at y=0.5 flagged IFACE on both meshes."""
+    fluid = build_structured_mesh(2, (n, n), lower=[0, 0.5], upper=[1, 1])
+    solid = build_structured_mesh(2, (n, n), lower=[0, 0], upper=[1, 0.5])
+    for mesh, yval in ((fluid, 0.5), (solid, 0.5)):
+        sel = np.isclose(mesh.points[:, 1], yval)
+        mesh.point_flags[sel] = IFACE
+        if mesh.surfaces is not None:
+            on = np.all(np.isclose(mesh.points[mesh.surfaces][:, :, 1], yval),
+                        axis=1)
+            mesh.surface_flags[on] = IFACE
+    dom_fp = Domain(fluid)
+    dom_sp = Domain(solid)
+    if fe == "P2":
+        return dom_fp.p2_domain(), dom_fp, dom_sp.p2_domain()
+    return dom_fp, dom_fp, dom_sp
+
+
+def test_interface_matching():
+    dom_u, dom_p, dom_d = _two_box_domains(4)
+    iface = determine_interface(dom_u.mesh, dom_d.mesh, [IFACE])
+    # 4 cells → 5 vertices + 4 midpoints on the interface line
+    assert iface.n_nodes == 9
+    np.testing.assert_allclose(dom_u.mesh.points[iface.nodes_a],
+                               dom_d.mesh.points[iface.nodes_b], atol=1e-12)
+
+
+def test_interface_distance():
+    dom_u, _, dom_d = _two_box_domains(4)
+    iface = determine_interface(dom_u.mesh, dom_d.mesh, [IFACE])
+    d = distances_to_interface(dom_u.mesh,
+                               dom_u.mesh.points[iface.nodes_a])
+    assert np.isclose(d.max(), 0.5, atol=0.1)  # farthest = top of fluid box
+    assert np.isclose(d[iface.nodes_a].max(), 0.0, atol=1e-12)
+
+
+def test_geometry_mesh_motion():
+    from feddlib_tpu.problems.geometry import Geometry
+
+    dom_u, _, dom_d = _two_box_domains(4)
+    iface = determine_interface(dom_u.mesh, dom_d.mesh, [IFACE])
+    geo = Geometry(dom_u, parameter_list=_params(
+        **{"Maximum Iterations": 2000}))
+    geo.assemble()
+    disp = np.zeros((iface.n_nodes, 2))
+    disp[:, 1] = 0.05  # lift the interface by 0.05
+    g = geo.solve_motion(iface.nodes_a, disp)
+    # interface nodes moved exactly; outer boundary fixed; interior between
+    moved = g[iface.nodes_a]
+    np.testing.assert_allclose(moved[:, 1], 0.05, atol=1e-8)
+    top = np.isclose(dom_u.mesh.points[:, 1], 1.0)
+    corner_free = ~np.isclose(dom_u.mesh.points[:, 0], 0.0) & \
+        ~np.isclose(dom_u.mesh.points[:, 0], 1.0)
+    np.testing.assert_allclose(g[top & corner_free][:, 1], 0.0, atol=1e-8)
+    assert 0 < np.median(g[:, 1]) < 0.05
+    # ALE move + positive volumes after motion
+    dom_u.mesh.save_reference_configuration()
+    dom_u.mesh.move(g)
+    p = dom_u.mesh.points[dom_u.mesh.elements[:, :3]]
+    areas = np.linalg.det(p[:, 1:] - p[:, :1])
+    assert (np.abs(areas) > 0).all()
+
+
+def test_fsi_coupled_two_box():
+    """Lid-driven fluid over an elastic slab: run 3 GE steps; the interface
+    kinematic constraint u = (d − dⁿ)/dt must hold after each solve."""
+    from feddlib_tpu.problems.fsi import FSI
+
+    dom_u, dom_p, dom_d = _two_box_domains(3)
+    pl = _params(Viscosity=0.1, E=50.0, dt=0.02,
+                 **{"Poisson Ratio": 0.3, "Density Fluid": 1.0,
+                    "Density Solid": 1.0, "Preconditioner Type": "Jacobi",
+                    "Maximum Iterations": 8000,
+                    "Convergence Tolerance": 1e-9,
+                    "relNonLinTol": 1e-6, "MaxNonLinIts": 12})
+    prob = FSI(dom_u, dom_p, dom_d, [IFACE], parameter_list=pl)
+    prob.assemble()
+
+    def lid(x, t):
+        on_lid = jnp.isclose(x[1], 1.0)
+        return jnp.where(on_lid, jnp.array([0.5, 0.0]), jnp.zeros(2))
+
+    prob.add_bc(lid, 1, 0)  # fluid outer boundary: lid + no-slip walls
+    prob.add_bc(lambda x, t: jnp.zeros(2), 1, 2)  # solid clamped on its
+    # outer boundary (flag 1: bottom + sides)
+    prob.advance(t_end=0.06)
+
+    u = np.asarray(prob.solution[0])
+    d = np.asarray(prob.solution[2])
+    lam = np.asarray(prob.solution[3])
+    assert np.isfinite(u).all() and np.isfinite(d).all()
+    assert np.abs(u).max() > 1e-3  # fluid moving
+    # the interface constraint residual was solved to Newton tolerance
+    assert np.abs(lam).max() > 0  # traction transferred
+    tip = prob.tip_displacement([0.5, 0.5])
+    assert np.isfinite(tip).all()
