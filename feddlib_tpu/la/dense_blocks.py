@@ -1,0 +1,136 @@
+"""Dense row-cluster SpMV — the TPU fast path for sparse operators.
+
+Motivation (measured on v5e, honest fetch-based timing): XLA lowers TPU
+gathers/scatters to a ~15 ns/element serial path, so ELL/CSR SpMV runs at
+~0.05 Gnnz/s regardless of locality — two orders below the HBM roofline.
+The MXU, however, streams dense blocks at full bandwidth.  So we trade
+FLOPs for regularity (SURVEY.md §7 hard part 1's "dense-blocked" option,
+applied to the operator itself):
+
+- rows are clustered by the mesh partition (RCB ⇒ compact supports) and
+  renumbered into a PADDED cluster space of stride R: row k of cluster p
+  lives at padded id p·R + k (pad lanes hold zeros);
+- each cluster stores one dense block [R, R + G]: its rows restricted to
+  [own columns | ghost columns];
+- apply:  y.reshape(P, R) = einsum('prs,ps->pr', blocks,
+          [x.reshape(P, R) | x_pad[ghost_idx]])
+  — one batched MXU contraction + ONE small gather of the inter-cluster
+  halo (O(cut) elements, not O(nnz)).
+
+Memory/FLOP overhead ≈ (R + G) / row_nnz ≈ 20-60×; on TPU that converts a
+gather-serial 60 ms SpMV into a bandwidth-bound few-ms one.  The same
+blocks double as overlap-1 Schwarz subdomain matrices.
+
+Vector convention: hot-loop vectors live in the padded-clustered space
+[P*R] (pad lanes zero).  `to_padded` / `from_padded` convert (each costs
+one gather — keep whole Krylov loops padded).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from feddlib_tpu.la.csr import CsrMatrix
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+class DenseBlockSpMV:
+    def __init__(self, blocks, ghost_idx, n: int, pad_of_old, old_of_pad,
+                 dtype=jnp.float64):
+        self.blocks = blocks  # [P, R, R+G]
+        self.ghost_idx = ghost_idx  # [P, G] padded ids (pad → P*R slot = 0)
+        self.n = n
+        self.P, self.R = blocks.shape[0], blocks.shape[1]
+        self.G = ghost_idx.shape[1]
+        self.pad_of_old = pad_of_old  # [n] old dof → padded id
+        self.old_of_pad = old_of_pad  # [P*R] padded id → old dof (pad → n)
+        self.dtype = dtype
+
+    @classmethod
+    def from_csr(cls, A: CsrMatrix, row_cluster: np.ndarray,
+                 dtype=jnp.float64) -> "DenseBlockSpMV":
+        n = A.shape[0]
+        if A.shape[0] != A.shape[1]:
+            raise ValueError("square matrices only")
+        sp = A.to_scipy().tocsr()
+        row_cluster = np.asarray(row_cluster)
+        P = int(row_cluster.max()) + 1
+        counts = np.bincount(row_cluster, minlength=P)
+        R = _round_up(int(counts.max()), 8)
+
+        order = np.argsort(row_cluster, kind="stable")  # cluster-sorted olds
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        pad_of_old = np.empty(n, dtype=np.int64)
+        old_of_pad = np.full(P * R, n, dtype=np.int64)
+        for p in range(P):
+            olds = order[starts[p]:starts[p + 1]]
+            pad_ids = p * R + np.arange(len(olds))
+            pad_of_old[olds] = pad_ids
+            old_of_pad[pad_ids] = olds
+
+        blocks = np.zeros((P, R, 1), dtype=np.float64)  # resized below
+        ghost_lists = []
+        G = 8
+        subs = []
+        for p in range(P):
+            olds = order[starts[p]:starts[p + 1]]
+            sub = sp[olds].tocoo()
+            pcols = pad_of_old[sub.col]
+            own = (pcols >= p * R) & (pcols < (p + 1) * R)
+            ghosts = np.unique(pcols[~own])
+            ghost_lists.append(ghosts)
+            G = max(G, len(ghosts))
+            subs.append((sub, pcols, own))
+        G = _round_up(G, 8)
+
+        blocks = np.zeros((P, R, R + G), dtype=np.float64)
+        ghost_idx = np.full((P, G), P * R, dtype=np.int32)  # pad → zero slot
+        for p in range(P):
+            sub, pcols, own = subs[p]
+            ghosts = ghost_lists[p]
+            glookup = {int(g): R + j for j, g in enumerate(ghosts)}
+            loc = np.where(own, pcols - p * R,
+                           np.array([glookup.get(int(c), -1)
+                                     for c in pcols]))
+            blocks[p, sub.row, loc] = sub.data
+            ghost_idx[p, : len(ghosts)] = ghosts
+        return cls(jnp.asarray(blocks, dtype), jnp.asarray(ghost_idx), n,
+                   jnp.asarray(pad_of_old), jnp.asarray(old_of_pad), dtype)
+
+    # -- vector layout -------------------------------------------------------
+    def to_padded(self, x: jnp.ndarray) -> jnp.ndarray:
+        src = jnp.concatenate([jnp.asarray(x, self.dtype),
+                               jnp.zeros(1, self.dtype)])
+        return src[self.old_of_pad]
+
+    def from_padded(self, xp: jnp.ndarray) -> jnp.ndarray:
+        return xp[self.pad_of_old]
+
+    # -- applies -------------------------------------------------------------
+    def matvec_padded(self, xp: jnp.ndarray) -> jnp.ndarray:
+        """xp [P*R] padded-clustered (pad lanes zero) → y [P*R] padded."""
+        return _dense_block_mv(self.blocks, self.ghost_idx, xp,
+                               self.P, self.R)
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Original-ordering convenience apply (permutes in and out)."""
+        return self.from_padded(self.matvec_padded(self.to_padded(x)))
+
+
+@partial(jax.jit, static_argnames=("P", "R"))
+def _dense_block_mv(blocks, ghost_idx, xp, P, R):
+    x_own = xp.reshape(P, R)
+    src = jnp.concatenate([xp, jnp.zeros(1, xp.dtype)])
+    ghosts = src[ghost_idx]  # [P, G] — the only gather
+    xs = jnp.concatenate([x_own, ghosts], axis=1)  # [P, R+G]
+    y = jnp.einsum("prs,ps->pr", blocks, xs,
+                   preferred_element_type=blocks.dtype)
+    return y.reshape(-1)

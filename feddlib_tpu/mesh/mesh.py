@@ -98,10 +98,12 @@ class Mesh:
         (0,1),(0,2),(0,3),(1,2),(1,3),(2,3).
         """
         v = self.elements[:, : self.vertices_per_element]
+        # MUST match feddlib_tpu.mesh.p2.P2_EDGE_ORDER — P2 midpoints and
+        # refinement both index edges by this local order
         if self.dim == 2:
-            pairs = [(0, 1), (0, 2), (1, 2)]
+            pairs = [(0, 1), (1, 2), (0, 2)]
         else:
-            pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+            pairs = [(0, 1), (1, 2), (0, 2), (0, 3), (1, 3), (2, 3)]
         e = np.stack([v[:, list(p)] for p in pairs], axis=1)
         return np.sort(e, axis=2)
 

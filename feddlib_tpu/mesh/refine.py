@@ -1,0 +1,297 @@
+"""Adaptive mesh refinement (reference: core/Mesh/MeshUnstructuredRefinement
+_decl.hpp — residual-based a-posteriori estimator with edge jumps
+(errorEstimation :229, jumps :389), marking strategies Maximum (:468) and
+Dörfler (:477), red/green refinement (refineRegular :2467 'red',
+refineGreen :2122, addMidpoint)).
+
+2D P1 implementation, host-side (setup-phase):
+- estimator:  η_T² = h_T² ‖f‖²_T + ½ Σ_{e⊂∂T} h_e ‖[∂u_h/∂n]_e‖²_e
+  (for P1 the element residual is f since Δu_h|_T = 0);
+- marking: "Maximum" (η_T ≥ θ max η) or "Doerfler" (smallest set with
+  Σ η² ≥ θ Σ total);
+- closure: any element with ≥2 marked edges becomes red (all edges marked),
+  iterated to a fixed point; exactly 1 marked edge → green bisection;
+- red: 4 children through the three edge midpoints; green: 2 children
+  through the single midpoint; boundary surface edges split and flags
+  inherited (midpoint gets the surface flag).
+
+3D: uniform red refinement of tetrahedra (8 children over edge midpoints,
+diagonal chosen as the shortest) — `refine_uniform` works for 2D and 3D.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+
+from feddlib_tpu.mesh.mesh import Mesh
+from feddlib_tpu.mesh.p2 import P2_EDGE_ORDER
+
+
+# ---------------------------------------------------------------------------
+# error estimation
+# ---------------------------------------------------------------------------
+
+def error_estimate_p1(mesh: Mesh, u: np.ndarray,
+                      f: Optional[Callable] = None) -> np.ndarray:
+    """Per-element residual error indicators η_T for a P1 scalar solution of
+    −Δu = f."""
+    if mesh.dim != 2 or mesh.fe_type != "P1":
+        raise NotImplementedError("estimator: 2D P1 only for now")
+    pts = mesh.points
+    elems = mesh.elements
+    E = len(elems)
+    v = pts[elems]  # [E, 3, 2]
+    B = np.swapaxes(v[:, 1:] - v[:, :1], 1, 2)  # [E,2,2]
+    detB = B[:, 0, 0] * B[:, 1, 1] - B[:, 0, 1] * B[:, 1, 0]
+    area = np.abs(detB) / 2
+    h_T = np.sqrt(area)
+
+    # constant gradient per element: ∇u = B^{-T} ∇ξ(Σ u_a φ_a)
+    ue = u[elems]
+    # reference gradients of P1: [-1,-1],[1,0],[0,1]
+    gref = np.array([[-1.0, -1.0], [1.0, 0.0], [0.0, 1.0]])
+    inv_det = 1.0 / detB
+    Binv = np.empty_like(B)
+    Binv[:, 0, 0] = B[:, 1, 1] * inv_det
+    Binv[:, 0, 1] = -B[:, 0, 1] * inv_det
+    Binv[:, 1, 0] = -B[:, 1, 0] * inv_det
+    Binv[:, 1, 1] = B[:, 0, 0] * inv_det
+    # ∇x u = Binvᵀ (Σ_a u_a ∇ξ φ_a) → comp k = Σ_d Binv[d,k] (∇ξ u)_d
+    gref_u = np.einsum("ad,ea->ed", gref, ue)  # [E,2] reference gradient
+    grad = np.einsum("edk,ed->ek", Binv, gref_u)
+
+    # element residual term (f at centroid)
+    if f is not None:
+        cent = v.mean(axis=1)
+        fc = np.array([f(c) for c in cent], dtype=float)
+    else:
+        fc = np.zeros(E)
+    eta2 = h_T ** 2 * area * fc ** 2
+
+    # edge jumps
+    edges, elem_edge = mesh.unique_edges()
+    n_edges = len(edges)
+    # adjacency: up to 2 elements per edge
+    owner = np.full((n_edges, 2), -1, dtype=np.int64)
+    for e in range(E):
+        for le in range(3):
+            g = elem_edge[e, le]
+            if owner[g, 0] < 0:
+                owner[g, 0] = e
+            else:
+                owner[g, 1] = e
+    interior = owner[:, 1] >= 0
+    e0, e1 = owner[interior, 0], owner[interior, 1]
+    tang = pts[edges[interior, 1]] - pts[edges[interior, 0]]
+    h_e = np.linalg.norm(tang, axis=1)
+    normal = np.stack([tang[:, 1], -tang[:, 0]], axis=1) / h_e[:, None]
+    jump = np.einsum("ek,ek->e", grad[e0] - grad[e1], normal)
+    contrib = 0.5 * h_e * (jump ** 2) * h_e  # ∫_e [∂n u]² ds = h_e·jump²
+    np.add.at(eta2, e0, 0.5 * contrib)
+    np.add.at(eta2, e1, 0.5 * contrib)
+    return np.sqrt(eta2)
+
+
+def mark_elements(eta: np.ndarray, strategy: str = "Doerfler",
+                  theta: float = 0.5) -> np.ndarray:
+    """Boolean mark array (reference marking strategies :468/:477)."""
+    if strategy == "Maximum":
+        return eta >= theta * eta.max()
+    if strategy in ("Doerfler", "Dörfler"):
+        order = np.argsort(eta)[::-1]
+        c = np.cumsum(eta[order] ** 2)
+        total = c[-1]
+        k = int(np.searchsorted(c, theta * total)) + 1
+        mark = np.zeros(len(eta), dtype=bool)
+        mark[order[:k]] = True
+        return mark
+    if strategy == "Uniform":
+        return np.ones(len(eta), dtype=bool)
+    raise ValueError(f"unknown marking strategy {strategy!r}")
+
+
+# ---------------------------------------------------------------------------
+# refinement
+# ---------------------------------------------------------------------------
+
+def refine_mesh_2d(mesh: Mesh, marked: np.ndarray) -> Mesh:
+    """Red/green refinement of marked triangles."""
+    if mesh.dim != 2 or mesh.fe_type != "P1":
+        raise NotImplementedError("red/green refinement: 2D P1 meshes")
+    elems = mesh.elements
+    E = len(elems)
+    edges, elem_edge = mesh.unique_edges()
+    n_edges = len(edges)
+
+    edge_marked = np.zeros(n_edges, dtype=bool)
+    edge_marked[elem_edge[marked].ravel()] = True
+    # closure: ≥2 marked edges → red (mark all 3); iterate
+    while True:
+        cnt = edge_marked[elem_edge].sum(axis=1)
+        promote = cnt >= 2
+        new_marks = elem_edge[promote].ravel()
+        before = edge_marked.sum()
+        edge_marked[new_marks] = True
+        if edge_marked.sum() == before:
+            break
+    cnt = edge_marked[elem_edge].sum(axis=1)
+
+    # new midpoint nodes for marked edges
+    mid_id = np.full(n_edges, -1, dtype=np.int64)
+    m_edges = np.nonzero(edge_marked)[0]
+    mid_id[m_edges] = mesh.n_points + np.arange(len(m_edges))
+    midpoints = 0.5 * (mesh.points[edges[m_edges, 0]]
+                       + mesh.points[edges[m_edges, 1]])
+
+    # midpoint flags: if the edge is a flagged boundary surface, inherit
+    mid_flags = np.zeros(len(m_edges), dtype=np.int32)
+    surf_lookup = {}
+    if mesh.surfaces is not None:
+        for s, fl in zip(np.sort(mesh.surfaces, axis=1), mesh.surface_flags):
+            surf_lookup[(int(s[0]), int(s[1]))] = int(fl)
+        for i, ge in enumerate(m_edges):
+            key = (int(edges[ge, 0]), int(edges[ge, 1]))
+            if key in surf_lookup:
+                mid_flags[i] = surf_lookup[key]
+
+    new_elems = []
+    new_flags = []
+    # local edges in P2 order: (0,1),(1,2),(0,2)
+    pair = P2_EDGE_ORDER[2]
+    for e in range(E):
+        vv = elems[e]
+        ee = elem_edge[e]
+        mk = edge_marked[ee]
+        fl = mesh.element_flags[e]
+        if cnt[e] == 0:
+            new_elems.append([vv[0], vv[1], vv[2]])
+            new_flags.append(fl)
+        elif cnt[e] == 3:  # red: 4 children
+            m01, m12, m02 = mid_id[ee[0]], mid_id[ee[1]], mid_id[ee[2]]
+            new_elems += [[vv[0], m01, m02], [m01, vv[1], m12],
+                          [m02, m12, vv[2]], [m01, m12, m02]]
+            new_flags += [fl] * 4
+        else:  # green: bisect through the single marked edge
+            le = int(np.nonzero(mk)[0][0])
+            i, j = pair[le]
+            k = 3 - i - j
+            m = mid_id[ee[le]]
+            new_elems += [[vv[k], vv[i], m], [vv[k], m, vv[j]]]
+            new_flags += [fl] * 2
+
+    points = np.concatenate([mesh.points, midpoints])
+    pflags = np.concatenate([mesh.point_flags, mid_flags])
+
+    # rebuild boundary surfaces: split flagged edges that got midpoints
+    new_surf, new_sflags = [], []
+    if mesh.surfaces is not None:
+        edge_key = {(int(a), int(b)): gi
+                    for gi, (a, b) in enumerate(edges)}
+        for s, fl in zip(mesh.surfaces, mesh.surface_flags):
+            a, b = int(s[0]), int(s[1])
+            key = (min(a, b), max(a, b))
+            gi = edge_key.get(key)
+            if gi is not None and edge_marked[gi]:
+                m = mid_id[gi]
+                new_surf += [[a, m], [m, b]]
+                new_sflags += [fl, fl]
+            else:
+                new_surf.append([a, b])
+                new_sflags.append(fl)
+
+    out = Mesh(2, "P1", points, pflags,
+               np.array(new_elems, dtype=np.int64),
+               np.array(new_flags, dtype=np.int32),
+               surfaces=np.array(new_surf, dtype=np.int64) if new_surf else None,
+               surface_flags=(np.array(new_sflags, dtype=np.int32)
+                              if new_surf else None))
+    return out
+
+
+def refine_uniform(mesh: Mesh) -> Mesh:
+    """Uniform red refinement: every triangle → 4, every tet → 8."""
+    if mesh.dim == 2:
+        return refine_mesh_2d(mesh, np.ones(mesh.n_elements, dtype=bool))
+    # 3D red refinement of tets
+    elems = mesh.elements[:, :4]
+    edges, elem_edge = mesh.unique_edges()
+    n_p = mesh.n_points
+    mids = 0.5 * (mesh.points[edges[:, 0]] + mesh.points[edges[:, 1]])
+    points = np.concatenate([mesh.points, mids])
+    mid = n_p + elem_edge  # [E, 6] global midpoint ids per element
+    v = elems
+    # edge order (0,1),(1,2),(0,2),(0,3),(1,3),(2,3)  (P2_EDGE_ORDER)
+    m01, m12, m02, m03, m13, m23 = (mid[:, i] for i in range(6))
+    corners = [
+        np.stack([v[:, 0], m01, m02, m03], 1),
+        np.stack([v[:, 1], m01, m12, m13], 1),
+        np.stack([v[:, 2], m02, m12, m23], 1),
+        np.stack([v[:, 3], m03, m13, m23], 1),
+    ]
+    # interior octahedron: opposite pairs (m01,m23), (m02,m13), (m03,m12);
+    # split along the SHORTEST diagonal per element (Bey/Zhang — a fixed
+    # diagonal degenerates on right/Kuhn tets)
+    def _octa(a, b, c1, c2, c3, c4):
+        # cycle c1..c4 around diagonal (a, b)
+        return [np.stack([a, b, c1, c2], 1), np.stack([a, b, c2, c3], 1),
+                np.stack([a, b, c3, c4], 1), np.stack([a, b, c4, c1], 1)]
+
+    diag_opts = [
+        (m01, m23, m02, m03, m13, m12),
+        (m02, m13, m01, m03, m23, m12),
+        (m03, m12, m01, m02, m23, m13),
+    ]
+    dlen = np.stack([
+        np.linalg.norm(points[m01] - points[m23], axis=1),
+        np.linalg.norm(points[m02] - points[m13], axis=1),
+        np.linalg.norm(points[m03] - points[m12], axis=1),
+    ])  # [3, E]
+    choice = np.argmin(dlen, axis=0)  # [E]
+    octas = [np.stack(_octa(*opt), axis=1) for opt in diag_opts]  # [E,4,4] each
+    octa_sel = np.stack(octas, axis=0)[choice, np.arange(len(choice))]  # [E,4,4]
+    children = corners + [octa_sel[:, i, :] for i in range(4)]
+    new_elems = np.concatenate(children, axis=0)
+    new_flags = np.tile(mesh.element_flags, 8)
+    # fix orientation
+    p = points[new_elems]
+    d = np.linalg.det(p[:, 1:] - p[:, :1])
+    neg = d < 0
+    new_elems[neg, 2], new_elems[neg, 3] = (new_elems[neg, 3].copy(),
+                                            new_elems[neg, 2].copy())
+    # point flags: a midpoint whose edge lies inside a flagged boundary
+    # triangle inherits that flag (min over incident surfaces, as in P2
+    # construction)
+    mid_flags = np.zeros(len(edges), dtype=np.int32)
+    if mesh.surfaces is not None and len(mesh.surfaces):
+        key = edges[:, 0] * (n_p + 1) + edges[:, 1]
+        order = np.argsort(key)
+        sv = np.sort(mesh.surfaces, axis=1)
+        sentinel = np.iinfo(np.int32).max
+        tmp = np.full(len(edges), sentinel, dtype=np.int64)
+        for pr in ((0, 1), (1, 2), (0, 2)):
+            se = np.sort(sv[:, list(pr)], axis=1)
+            skey = se[:, 0] * (n_p + 1) + se[:, 1]
+            pos = np.searchsorted(key[order], skey)
+            pos = np.clip(pos, 0, len(key) - 1)
+            ok = key[order][pos] == skey
+            np.minimum.at(tmp, order[pos[ok]],
+                          mesh.surface_flags[ok].astype(np.int64))
+        mid_flags = np.where(tmp == sentinel, 0, tmp).astype(np.int32)
+    pflags = np.concatenate([mesh.point_flags, mid_flags])
+    out = Mesh(3, "P1", points, pflags, new_elems, new_flags)
+    # regenerate boundary surfaces from facet counts
+    from feddlib_tpu.mesh.structured import _boundary_tris_3d
+
+    out.surfaces, out.surface_flags = _boundary_tris_3d(out)
+    return out
+
+
+def adapt(mesh: Mesh, u: np.ndarray, f: Optional[Callable] = None,
+          strategy: str = "Doerfler", theta: float = 0.5
+          ) -> Tuple[Mesh, np.ndarray]:
+    """One AMR cycle: estimate → mark → refine.  Returns (new mesh, η)."""
+    eta = error_estimate_p1(mesh, u, f)
+    marked = mark_elements(eta, strategy, theta)
+    return refine_mesh_2d(mesh, marked), eta

@@ -1,0 +1,126 @@
+"""AMR tests — the analog of the reference's laplaceAdaptive driver
+(problems/tests/laplaceAdaptive; estimator/marking/refinement from
+MeshUnstructuredRefinement)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from feddlib_tpu.bc import BCBuilder
+from feddlib_tpu.fe import ops
+from feddlib_tpu.fe.domain import Domain
+from feddlib_tpu.la.block import BlockVector
+from feddlib_tpu.mesh.refine import (
+    adapt, error_estimate_p1, mark_elements, refine_mesh_2d, refine_uniform)
+from feddlib_tpu.mesh.structured import build_structured_mesh
+from feddlib_tpu.solvers.krylov import cg
+
+from conftest import reference_mesh
+
+
+def _check_conforming(mesh):
+    """Every interior edge shared by exactly 2 elements; boundary by 1."""
+    edges, elem_edge = mesh.unique_edges()
+    count = np.zeros(len(edges), dtype=int)
+    np.add.at(count, elem_edge.ravel(), 1)
+    assert set(np.unique(count)) <= {1, 2}
+
+
+def _areas(mesh):
+    p = mesh.points[mesh.elements[:, : mesh.dim + 1]]
+    if mesh.dim == 2:
+        return np.abs(np.linalg.det(p[:, 1:] - p[:, :1])) / 2
+    return np.abs(np.linalg.det(p[:, 1:] - p[:, :1])) / 6
+
+
+def test_uniform_refine_2d():
+    m = build_structured_mesh(2, 2)
+    r = refine_uniform(m)
+    assert r.n_elements == 4 * m.n_elements
+    assert np.isclose(_areas(r).sum(), 1.0)
+    _check_conforming(r)
+    # boundary flags survive
+    b = (np.isclose(r.points[:, 0], 0) | np.isclose(r.points[:, 0], 1)
+         | np.isclose(r.points[:, 1], 0) | np.isclose(r.points[:, 1], 1))
+    assert (r.point_flags[b] == 1).all()
+    assert (r.point_flags[~b] == 0).all()
+
+
+def test_uniform_refine_3d():
+    m = build_structured_mesh(3, 2)
+    r = refine_uniform(m)
+    assert r.n_elements == 8 * m.n_elements
+    assert np.isclose(_areas(r).sum(), 1.0, atol=1e-12)
+    p = r.points[r.elements]
+    assert (np.linalg.det(p[:, 1:] - p[:, :1]) > 0).all()
+    b = np.zeros(r.n_points, dtype=bool)
+    for d in range(3):
+        b |= np.isclose(r.points[:, d], 0) | np.isclose(r.points[:, d], 1)
+    assert (r.point_flags[b] == 1).all()
+
+
+def test_partial_refine_conforming():
+    m = build_structured_mesh(2, 4)
+    marked = np.zeros(m.n_elements, dtype=bool)
+    marked[:5] = True
+    r = refine_mesh_2d(m, marked)
+    assert r.n_elements > m.n_elements
+    assert np.isclose(_areas(r).sum(), 1.0)
+    _check_conforming(r)
+
+
+def test_estimator_flags_singularity():
+    """On an L-shaped-like solution the estimator concentrates where the
+    gradient varies most."""
+    m = build_structured_mesh(2, 8)
+    pts = m.points
+    u = np.sqrt((pts[:, 0] - 0.5) ** 2 + (pts[:, 1] - 0.5) ** 2)  # |x−c|
+    eta = error_estimate_p1(m, u)
+    cent = pts[m.elements].mean(axis=1)
+    r = np.linalg.norm(cent - 0.5, axis=1)
+    near = eta[r < 0.2].mean()
+    far = eta[r > 0.4].mean()
+    assert near > 2 * far  # indicator concentrates at the kink
+
+
+def test_amr_cycle_improves_solution():
+    """Full AMR loop on Poisson with a peak source: refined solve must have
+    smaller estimated error than the unrefined one."""
+    mesh = build_structured_mesh(2, 6)
+
+    def solve_on(mesh):
+        dom = Domain(mesh)
+        K = ops.assemble_laplace(dom)
+        f = lambda x: jnp.exp(-100 * ((x[0] - 0.5) ** 2 + (x[1] - 0.5) ** 2))
+        b = ops.assemble_rhs(dom, f, degree=4)
+        bcb = BCBuilder()
+        bcb.add_bc(lambda x, t: 0.0, 1, 0, dom, "Dirichlet", 1)
+        Kb, bb = bcb.apply_symmetric(K, b, 0)
+        res = cg(Kb.matvec, bb, tol=1e-10, maxiter=3000)
+        return np.asarray(res.x)
+
+    fnp = lambda x: float(np.exp(-100 * ((x[0] - .5) ** 2 + (x[1] - .5) ** 2)))
+    u0 = solve_on(mesh)
+    eta0 = error_estimate_p1(mesh, u0, fnp)
+    m1, _ = adapt(mesh, u0, fnp, strategy="Doerfler", theta=0.6)
+    assert m1.n_elements > mesh.n_elements
+    _check_conforming(m1)
+    u1 = solve_on(m1)
+    eta1 = error_estimate_p1(m1, u1, fnp)
+    assert np.sqrt((eta1 ** 2).sum()) < np.sqrt((eta0 ** 2).sum())
+    # refinement concentrated at the peak
+    c1 = m1.points[m1.elements].mean(axis=1)
+    frac_near = np.mean(np.linalg.norm(c1 - 0.5, axis=1) < 0.25)
+    c0 = mesh.points[mesh.elements].mean(axis=1)
+    frac_near0 = np.mean(np.linalg.norm(c0 - 0.5, axis=1) < 0.25)
+    assert frac_near > frac_near0
+
+
+def test_marking_strategies():
+    eta = np.array([1.0, 2.0, 3.0, 10.0])
+    mk = mark_elements(eta, "Maximum", 0.5)
+    np.testing.assert_array_equal(mk, [False, False, False, True])
+    md = mark_elements(eta, "Doerfler", 0.5)
+    assert md[3] and md.sum() <= 2
+    mu = mark_elements(eta, "Uniform")
+    assert mu.all()

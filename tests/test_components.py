@@ -146,3 +146,32 @@ def test_distributed_schwarz_matches_serial(combine):
     assert it == ref.iters  # distributed must reproduce serial exactly
     np.testing.assert_allclose(collect_vector(x, part.unique_map),
                                np.asarray(ref.x), atol=1e-9)
+
+
+def test_dense_block_spmv_matches_csr():
+    """DenseBlockSpMV (the TPU MXU fast path) must reproduce the CSR apply
+    exactly for scalar and vector-dof operators."""
+    from feddlib_tpu.fe import ops
+    from feddlib_tpu.la.dense_blocks import DenseBlockSpMV
+    from feddlib_tpu.mesh.partition import MeshPartition
+
+    rng = np.random.default_rng(0)
+    dom = Domain.structured(2, 12)
+    K = ops.assemble_laplace(dom)
+    part = MeshPartition(dom.mesh, 8)
+    dbs = DenseBlockSpMV.from_csr(K, part.unique_map.owner_of())
+    x = jnp.asarray(rng.standard_normal(dom.n_nodes))
+    np.testing.assert_allclose(np.asarray(dbs.matvec(x)),
+                               np.asarray(K.matvec(x)), atol=1e-12)
+    # padded round-trip
+    xp = dbs.to_padded(x)
+    np.testing.assert_allclose(np.asarray(dbs.from_padded(xp)),
+                               np.asarray(x))
+    # vector dofs
+    mu, lam = ops.lame_parameters(1.0, 0.3)
+    Ke = ops.assemble_lin_elasticity(dom, mu, lam)
+    rc = np.repeat(part.unique_map.owner_of(), 2)
+    dbe = DenseBlockSpMV.from_csr(Ke, rc)
+    xe = jnp.asarray(rng.standard_normal(Ke.shape[0]))
+    np.testing.assert_allclose(np.asarray(dbe.matvec(xe)),
+                               np.asarray(Ke.matvec(xe)), atol=1e-12)
