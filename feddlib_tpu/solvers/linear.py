@@ -48,6 +48,15 @@ class Preconditioner:
             dinv = jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 1.0)
             self._apply = lambda r: dinv * r
             return
+        if prec_type == "FaCSI":
+            from feddlib_tpu.precond.facsi import FaCSIPreconditioner
+
+            prec = FaCSIPreconditioner(
+                self.problem, self.problem.bc_system(),
+                n_subdomains=int(params.get("Subdomains", 4)),
+                overlap=int(params.get("Overlap", 1)))
+            self._apply = prec.apply
+            return
         # Schwarz variants need the mesh partition of the (first) domain
         n_sub = int(params.get("Subdomains", 4))
         overlap = int(params.get("Overlap", 1))

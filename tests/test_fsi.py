@@ -118,3 +118,43 @@ def test_fsi_coupled_two_box():
     assert np.abs(lam).max() > 0  # traction transferred
     tip = prob.tip_displacement([0.5, 0.5])
     assert np.isfinite(tip).all()
+
+
+def test_facsi_preconditioner():
+    """FaCSI must cut FSI GMRES iterations dramatically vs Jacobi
+    (reference PrecOpFaCSI)."""
+    from feddlib_tpu.problems.fsi import FSI
+    from feddlib_tpu.solvers import linear as linmod
+
+    iters_log = []
+    orig = linmod.LinearSolver.solve_system
+
+    def patched(self, problem, b):
+        x, it = orig(self, problem, b)
+        iters_log.append(it)
+        return x, it
+
+    linmod.LinearSolver.solve_system = patched
+    try:
+        results = {}
+        for prec in ("Jacobi", "FaCSI"):
+            iters_log.clear()
+            dom_u, dom_p, dom_d = _two_box_domains(4)
+            pl = _params(Viscosity=0.1, E=50.0, dt=0.02,
+                         **{"Poisson Ratio": 0.3,
+                            "Preconditioner Type": prec, "Subdomains": 4,
+                            "Maximum Iterations": 8000,
+                            "Convergence Tolerance": 1e-9,
+                            "MaxNonLinIts": 12})
+            prob = FSI(dom_u, dom_p, dom_d, [IFACE], parameter_list=pl)
+            prob.assemble()
+            prob.add_bc(lambda x, t: jnp.where(
+                jnp.isclose(x[1], 1.0), jnp.array([0.5, 0.0]),
+                jnp.zeros(2)), 1, 0)
+            prob.add_bc(lambda x, t: jnp.zeros(2), 1, 2)
+            prob.advance(t_end=0.02)
+            results[prec] = max(iters_log)
+    finally:
+        linmod.LinearSolver.solve_system = orig
+    assert results["FaCSI"] * 5 < results["Jacobi"], results
+    assert results["FaCSI"] < 60
