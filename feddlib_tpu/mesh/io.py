@@ -35,6 +35,15 @@ def _tokenize(path: str):
 
 
 def read_mesh(path: str, fe_type: str = "P1") -> Mesh:
+    # native C++ parser when available (verified byte-identical output)
+    try:
+        from feddlib_tpu import native
+
+        r = native.read_medit(path)
+    except Exception:
+        r = None
+    if r is not None and r["dim"] in (2, 3):
+        return _mesh_from_native(r, fe_type)
     toks = _tokenize(path)
     dim = None
     blocks: dict[str, np.ndarray] = {}
@@ -111,6 +120,37 @@ def read_mesh(path: str, fe_type: str = "P1") -> Mesh:
     else:
         raise ValueError(f"{path}: unsupported dimension {dim}")
 
+    if fe_type == "P2":
+        from feddlib_tpu.mesh.p2 import build_p2_mesh
+
+        mesh = build_p2_mesh(mesh)
+    elif fe_type != "P1":
+        raise ValueError(f"unsupported fe_type {fe_type!r} for mesh reading")
+    return mesh
+
+
+def _mesh_from_native(r: dict, fe_type: str) -> Mesh:
+    dim = r["dim"]
+    points = r["vertices"][:, :dim].copy()
+    pflags = r["vertex_flags"].copy()
+    if dim == 2:
+        if not len(r["triangles"]):
+            raise ValueError("2D mesh without Triangles")
+        mesh = Mesh(2, "P1", points, pflags, r["triangles"],
+                    r["triangle_flags"],
+                    surfaces=r["edges"] if len(r["edges"]) else None,
+                    surface_flags=(r["edge_flags"] if len(r["edges"])
+                                   else None))
+    else:
+        if not len(r["tetrahedra"]):
+            raise ValueError("3D mesh without Tetrahedra")
+        mesh = Mesh(3, "P1", points, pflags, r["tetrahedra"],
+                    r["tetrahedra_flags"],
+                    surfaces=r["triangles"] if len(r["triangles"]) else None,
+                    surface_flags=(r["triangle_flags"]
+                                   if len(r["triangles"]) else None),
+                    lines=r["edges"] if len(r["edges"]) else None,
+                    line_flags=r["edge_flags"] if len(r["edges"]) else None)
     if fe_type == "P2":
         from feddlib_tpu.mesh.p2 import build_p2_mesh
 
