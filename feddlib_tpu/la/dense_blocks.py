@@ -76,32 +76,32 @@ class DenseBlockSpMV:
             pad_of_old[olds] = pad_ids
             old_of_pad[pad_ids] = olds
 
-        blocks = np.zeros((P, R, 1), dtype=np.float64)  # resized below
-        ghost_lists = []
-        G = 8
-        subs = []
-        for p in range(P):
-            olds = order[starts[p]:starts[p + 1]]
-            sub = sp[olds].tocoo()
-            pcols = pad_of_old[sub.col]
-            own = (pcols >= p * R) & (pcols < (p + 1) * R)
-            ghosts = np.unique(pcols[~own])
-            ghost_lists.append(ghosts)
-            G = max(G, len(ghosts))
-            subs.append((sub, pcols, own))
-        G = _round_up(G, 8)
+        # fully vectorised block fill (a per-cluster Python loop is minutes
+        # at P≈512; this is <1s)
+        coo = sp.tocoo()
+        pr = pad_of_old[coo.row]
+        pc = pad_of_old[coo.col]
+        pcl = pr // R  # cluster of each entry
+        lrow = pr - pcl * R
+        own = (pc // R) == pcl
 
+        M = P * R
+        gkey = pcl[~own].astype(np.int64) * M + pc[~own]
+        guniq, ginv = np.unique(gkey, return_inverse=True)
+        gp = (guniq // M).astype(np.int64)
+        gc = (guniq % M).astype(np.int64)
+        gcounts = np.bincount(gp, minlength=P)
+        G = _round_up(max(int(gcounts.max()) if len(gcounts) else 1, 1), 8)
+        gstart = np.concatenate([[0], np.cumsum(gcounts)])
+        gpos = np.arange(len(guniq)) - gstart[gp]
+
+        ghost_idx = np.full((P, G), M, dtype=np.int32)  # pad → zero slot
+        ghost_idx[gp, gpos] = gc.astype(np.int32)
+
+        loc = np.where(own, pc - pcl * R, 0)
+        loc[~own] = R + gpos[ginv]
         blocks = np.zeros((P, R, R + G), dtype=np.float64)
-        ghost_idx = np.full((P, G), P * R, dtype=np.int32)  # pad → zero slot
-        for p in range(P):
-            sub, pcols, own = subs[p]
-            ghosts = ghost_lists[p]
-            glookup = {int(g): R + j for j, g in enumerate(ghosts)}
-            loc = np.where(own, pcols - p * R,
-                           np.array([glookup.get(int(c), -1)
-                                     for c in pcols]))
-            blocks[p, sub.row, loc] = sub.data
-            ghost_idx[p, : len(ghosts)] = ghosts
+        blocks[pcl, lrow, loc] = coo.data
         return cls(jnp.asarray(blocks, dtype), jnp.asarray(ghost_idx), n,
                    jnp.asarray(pad_of_old), jnp.asarray(old_of_pad), dtype)
 

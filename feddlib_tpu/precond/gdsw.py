@@ -201,12 +201,24 @@ class TwoLevelSchwarz:
                  dirichlet_mask: Optional[np.ndarray] = None):
         self.level1 = SchwarzPreconditioner(A, unique_map, overlap=overlap,
                                             combine=combine)
-        self.coarse = GDSWCoarseOperator(
-            A, unique_map, node_part_sets, points, dofs_per_node,
-            null_space, dirichlet_mask)
+        try:
+            self.coarse = GDSWCoarseOperator(
+                A, unique_map, node_part_sets, points, dofs_per_node,
+                null_space, dirichlet_mask)
+        except ValueError as e:
+            # tiny problems can have a fully-Dirichlet interface → no coarse
+            # functions; degrade gracefully to one level
+            import warnings
+
+            warnings.warn(f"GDSW coarse space unavailable ({e}); "
+                          "falling back to one-level Schwarz")
+            self.coarse = None
 
     def apply(self, r: jnp.ndarray) -> jnp.ndarray:
-        return self.level1.apply(r) + self.coarse.apply(r)
+        z = self.level1.apply(r)
+        if self.coarse is not None:
+            z = z + self.coarse.apply(r)
+        return z
 
     def __call__(self, r):
         return self.apply(r)

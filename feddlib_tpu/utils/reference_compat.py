@@ -1,0 +1,86 @@
+"""Translation of reference (Teuchos/Stratimikos/FROSch) XML parameter
+trees into feddlib_tpu's flat solver keys — so the reference's committed
+config files run verbatim (SURVEY.md §5: "keep the same logical keys").
+
+Mapping:
+  parametersSolver.xml:
+    ThyraSolver → Linear Solver Types → Belos → Solver Types →
+      Block GMRES → {Convergence Tolerance, Maximum Iterations, Num Blocks}
+  parametersPrec.xml:
+    ThyraPreconditioner → Preconditioner Types → FROSch →
+      {Overlap, TwoLevel, CoarseOperator Type,
+       AlgebraicOverlappingOperator → Combine Values in Overlap, ...}
+  parametersProblem.xml: problem-specific scalars (Viscosity, Density,
+    Poisson Ratio, E/Mu, dt/final time ...) under 'Parameter'.
+"""
+
+from __future__ import annotations
+
+from feddlib_tpu.utils.config import ParameterList, load_xml_parameters
+
+
+def _find(plist: ParameterList, *path, default=None):
+    cur = plist
+    for p in path:
+        if not isinstance(cur, ParameterList) or p not in cur:
+            return default
+        cur = cur[p]
+    return cur
+
+
+def translate_solver(p: ParameterList, out: ParameterList) -> None:
+    for solver_name in ("Block GMRES", "Pseudo Block GMRES", "GMRES",
+                        "Block CG", "Pseudo Block CG"):
+        st = _find(p, "ThyraSolver", "Linear Solver Types", "Belos",
+                   "Solver Types", solver_name)
+        if st is not None:
+            out["Convergence Tolerance"] = float(
+                st.get("Convergence Tolerance", 1e-8))
+            out["Maximum Iterations"] = int(st.get("Maximum Iterations", 1000))
+            out["Num Blocks"] = int(st.get("Num Blocks", 100))
+            out["Solver Type"] = "cg" if "CG" in solver_name else "gmres"
+            return
+    # already-flat fallbacks
+    for k in ("Convergence Tolerance", "Maximum Iterations", "Num Blocks"):
+        if k in p:
+            out[k] = p[k]
+
+
+def translate_prec(p: ParameterList, out: ParameterList) -> None:
+    fr = _find(p, "ThyraPreconditioner", "Preconditioner Types", "FROSch")
+    if fr is None:
+        fr = p if "Overlap" in p else None
+    if fr is None:
+        return
+    out["Overlap"] = int(fr.get("Overlap", 1))
+    two_level = bool(fr.get("TwoLevel", False))
+    out["Preconditioner Type"] = ("SchwarzTwoLevel" if two_level
+                                  else "SchwarzOneLevel")
+    aoo = fr.get("AlgebraicOverlappingOperator")
+    if isinstance(aoo, ParameterList):
+        out["Combine Values in Overlap"] = aoo.get(
+            "Combine Values in Overlap", "Restricted")
+    null_space = fr.get("Null Space Type", "Laplace")
+    out["Null Space Type"] = null_space
+
+
+def translate_problem(p: ParameterList, out: ParameterList) -> None:
+    par = p.get("Parameter")
+    src = par if isinstance(par, ParameterList) else p
+    for k, v in src.items():
+        if not isinstance(v, ParameterList):
+            out[k] = v
+
+
+def load_reference_configs(problem_xml=None, prec_xml=None,
+                           solver_xml=None) -> ParameterList:
+    """Merge the three reference config files into one flat feddlib_tpu
+    parameter list (mirrors problems/tests/*/main.cpp:91-97)."""
+    out = ParameterList("Parameters")
+    if problem_xml:
+        translate_problem(load_xml_parameters(problem_xml), out)
+    if prec_xml:
+        translate_prec(load_xml_parameters(prec_xml), out)
+    if solver_xml:
+        translate_solver(load_xml_parameters(solver_xml), out)
+    return out
