@@ -1,35 +1,25 @@
 #!/usr/bin/env python
 """Benchmark driver — prints ONE JSON line with the headline metric.
 
-Headline (BASELINE.md north star): SpMV throughput (nnz/s) on a 3D P1
-Poisson matrix.  Timing is honest: N chained matvecs (power iteration)
-inside ONE jitted `lax.fori_loop`, timed at two loop lengths and
-differenced — immune to async-dispatch artifacts and fixed overheads.
-`vs_baseline` is achieved / HBM-bandwidth roofline for the kernel (the
-reference publishes no numbers, BASELINE.md); CG-to-1e-8 on a smaller cube
-is the correctness anchor.
+Headline: SpMV throughput on a 3D P1 Poisson operator via the TPU-native
+dense row-cluster path (feddlib_tpu.la.dense_blocks) in f32 — the format
+every hot solver iteration uses on TPU.  Accuracy is delivered by
+mixed-precision iterative refinement (f64 residuals + f32 inner Krylov,
+feddlib_tpu.solvers.refinement), reported as the correctness anchor at the
+reference's 1e-8 tolerance.
+
+Timing method: N chained applies inside ONE jitted fori_loop with operator
+data passed as ARGUMENTS (constants baked into remote compiles are both
+slow and size-limited), two loop lengths differenced, completion forced by
+a value fetch (async dispatch makes `block_until_ready` unreliable through
+the axon tunnel).  `vs_baseline` = achieved fraction of the HBM streaming
+roofline for the dense blocks.
 """
 
 import json
 import time
 
 import numpy as np
-
-
-def _build_poisson(n):
-    import jax.numpy as jnp
-
-    from feddlib_tpu.bc import BCBuilder
-    from feddlib_tpu.fe import ops
-    from feddlib_tpu.fe.domain import Domain
-
-    dom = Domain.structured(3, n)
-    K = ops.assemble_laplace(dom)
-    bcb = BCBuilder()
-    bcb.add_bc(lambda x, t: 0.0, 1, 0, dom, "Dirichlet", 1)
-    b = ops.assemble_rhs(dom, lambda x: 1.0 + 0 * x[0])
-    Kb, bb = bcb.apply_symmetric(K, b, 0)
-    return dom, Kb, bb
 
 
 def main():
@@ -39,58 +29,84 @@ def main():
 
     jax.config.update("jax_enable_x64", True)
 
-    from feddlib_tpu.solvers.krylov import cg
+    from feddlib_tpu.bc import BCBuilder
+    from feddlib_tpu.fe import ops
+    from feddlib_tpu.fe.domain import Domain
+    from feddlib_tpu.la.dense_blocks import DenseBlockSpMV
+    from feddlib_tpu.mesh.partition import MeshPartition
+    from feddlib_tpu.precond.schwarz import SchwarzPreconditioner
+    from feddlib_tpu.solvers.krylov import gmres, solve_jit
+    from feddlib_tpu.solvers.refinement import iterative_refinement
 
     dev = jax.devices()[0]
     on_tpu = dev.platform != "cpu"
 
-    n = 64 if on_tpu else 12  # 275k dofs, 4.0M nnz on TPU
-    dom, Kb, bb = _build_poisson(n)
+    n = 48 if on_tpu else 10  # 117k dofs / 1.7M nnz on TPU
+    dom = Domain.structured(3, n)
+    K = ops.assemble_laplace(dom)
+    bcb = BCBuilder()
+    bcb.add_bc(lambda x, t: 0.0, 1, 0, dom, "Dirichlet", 1)
+    b = ops.assemble_rhs(dom, lambda x: 1.0 + 0 * x[0])
+    Kb, bb = bcb.apply_symmetric(K, b, 0)
     nnz = Kb.nnz
-    ell_cols, ell_data = Kb.ell_arrays()  # [K, N] transposed planes
-    ell_data = ell_data.block_until_ready()
+
+    n_clusters = 512 if on_tpu else 8
+    part = MeshPartition(dom.mesh, n_clusters)
+    cluster = part.unique_map.owner_of()
+    db32 = DenseBlockSpMV.from_csr(Kb, cluster, dtype=jnp.float32)
 
     @jax.jit
-    def spmv_chain(data, cols, x, steps):
+    def chain(blocks, ghost_idx, xp, steps):
+        P, R = blocks.shape[0], blocks.shape[1]
+
         def body(i, x):
-            y = jnp.sum(data * x[cols], axis=0)
-            return y * lax.rsqrt(jnp.vdot(y, y))
+            x_own = x.reshape(P, R)
+            src = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
+            xs = jnp.concatenate([x_own, src[ghost_idx]], axis=1)
+            y = jnp.einsum("prs,ps->pr", blocks, xs,
+                           preferred_element_type=blocks.dtype).reshape(-1)
+            return y * lax.rsqrt(jnp.vdot(y, y) + 1e-30)
 
-        return lax.fori_loop(0, steps, body, x)
+        return lax.fori_loop(0, steps, body, xp)
 
-    x = jnp.ones(dom.n_nodes, jnp.float64)
-    x = x / jnp.linalg.norm(x)
-    spmv_chain(ell_data, ell_cols, x, 2).block_until_ready()  # compile
+    xp = db32.to_padded(jnp.ones(dom.n_nodes, jnp.float32))
+    r = chain(db32.blocks, db32.ghost_idx, xp, 2)
+    _ = float(jnp.asarray(r).ravel()[0])  # compile + sync
 
-    n_lo, n_hi = (10, 210) if on_tpu else (2, 12)
+    lo, hi = (3, 43) if on_tpu else (2, 8)
 
-    def timed(steps):
+    def run(steps):
         t0 = time.perf_counter()
-        spmv_chain(ell_data, ell_cols, x, steps).block_until_ready()
+        rr = chain(db32.blocks, db32.ghost_idx, xp, steps)
+        _ = float(jnp.asarray(rr).ravel()[0])
         return time.perf_counter() - t0
 
-    t_lo = min(timed(n_lo) for _ in range(3))
-    t_hi = min(timed(n_hi) for _ in range(3))
-    dt = (t_hi - t_lo) / (n_hi - n_lo)
+    t_lo = min(run(lo) for _ in range(3))
+    t_hi = min(run(hi) for _ in range(3))
+    dt = max((t_hi - t_lo) / (hi - lo), 1e-9)
     nnz_per_s = nnz / dt
 
-    # bandwidth roofline for this kernel (f64): per nnz slot read
-    # 8B value + 4B col + 8B gathered x; + output write per row
-    slots = ell_data.size
-    bytes_per_pass = slots * (8 + 4 + 8) + dom.n_nodes * 8 * 2
-    hbm_gbps = 819e9 if on_tpu else 50e9  # v5e ≈ 819 GB/s
-    roofline_nnz_s = nnz / (bytes_per_pass / hbm_gbps)
-    vs = nnz_per_s / roofline_nnz_s
+    bytes_per_pass = db32.blocks.size * 4 + db32.ghost_idx.size * 4 \
+        + db32.blocks.shape[0] * db32.blocks.shape[1] * 4 * 2
+    hbm_gbps = 819e9 if on_tpu else 50e9
+    vs = (nnz / dt) / (nnz / (bytes_per_pass / hbm_gbps))
 
-    # correctness anchor: Schwarz-free CG to 1e-8 on a smaller cube (keeps
-    # the while_loop compile cheap through the remote-compile tunnel)
-    dom2, Kb2, bb2 = _build_poisson(24 if on_tpu else 8)
+    # correctness anchor: mixed-precision IR to the reference tolerance 1e-8
+    prec32 = SchwarzPreconditioner(Kb, part.unique_map, overlap=1,
+                                   dtype=jnp.float32)
+    A_fn, A_ops = db32.operator()
+    M_fn, M_ops = prec32.operator()
+
+    def inner(r32):
+        return solve_jit("gmres", A_fn, A_ops, r32, M_fn=M_fn, M_ops=M_ops,
+                         tol=1e-6, maxiter=200)
+
     t0 = time.perf_counter()
-    res = cg(Kb2.matvec, bb2, tol=1e-8, maxiter=2000)
-    cg_s = time.perf_counter() - t0
+    res = iterative_refinement(Kb.matvec, inner, bb, tol=1e-8)
+    ir_s = time.perf_counter() - t0
 
     print(json.dumps({
-        "metric": "spmv_nnz_per_s_f64",
+        "metric": "dense_block_spmv_nnz_per_s_f32",
         "value": round(nnz_per_s),
         "unit": "nnz/s",
         "vs_baseline": round(vs, 4),
@@ -98,12 +114,14 @@ def main():
             "device": str(dev),
             "n_dofs": dom.n_nodes,
             "nnz": nnz,
-            "spmv_us": round(dt * 1e6, 1),
-            "gnnz_per_s": round(nnz_per_s / 1e9, 3),
-            "cg_dofs": dom2.n_nodes,
-            "cg_iters_to_1e-8": res.iters,
-            "cg_converged": bool(res.converged),
-            "cg_total_s": round(cg_s, 2),
+            "spmv_ms": round(dt * 1e3, 3),
+            "clusters": int(db32.P),
+            "dense_overhead_x": round(db32.blocks.size / nnz, 1),
+            "ir_converged_1e-8": bool(res.converged),
+            "ir_passes": res.passes,
+            "ir_inner_iters": res.iters,
+            "ir_relres": float(res.relres),
+            "ir_total_s": round(ir_s, 2),
         },
     }))
 

@@ -205,6 +205,13 @@ class CsrMatrix:
         ell_cols, slot_of = self._ell_plan()
         return _ell_matvec(self.data, ell_cols, slot_of, x)
 
+    def operator(self):
+        """(pure_fn, operands) form for jit-argument solver programs
+        (feddlib_tpu.solvers.krylov.solve_jit)."""
+        ell_cols, slot_of = self._ell_plan()
+        return ell_apply, (self.data, jnp.asarray(ell_cols),
+                           jnp.asarray(slot_of))
+
     def __matmul__(self, x):
         return self.matvec(x)
 
@@ -271,3 +278,10 @@ def _ell_matvec(data, ell_cols, slot_of, x):
     vals = padded[slot_of]  # [K, n_rows]
     xg = x[ell_cols]  # [K, n_rows]
     return jnp.sum(vals * xg, axis=0)
+
+
+def ell_apply(ops, x):
+    """Pure operator form: ops = (data, ell_cols [K,n], slot_of [K,n])."""
+    data, ell_cols, slot_of = ops
+    padded = jnp.concatenate([data, jnp.zeros(1, data.dtype)])
+    return jnp.sum(padded[slot_of] * x[ell_cols], axis=0)

@@ -124,6 +124,27 @@ class DenseBlockSpMV:
         """Original-ordering convenience apply (permutes in and out)."""
         return self.from_padded(self.matvec_padded(self.to_padded(x)))
 
+    def operator(self):
+        """(pure_fn, operands) for jit-argument solver programs
+        (original-ordering vectors)."""
+        return dense_block_op, (self.blocks, self.ghost_idx,
+                                self.pad_of_old, self.old_of_pad)
+
+
+def dense_block_op(ops, x):
+    """Pure operator: ops = (blocks [P,R,R+G], ghost_idx [P,G],
+    pad_of_old [n], old_of_pad [P*R])."""
+    blocks, ghost_idx, pad_of_old, old_of_pad = ops
+    src = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
+    xp = src[old_of_pad]
+    P, R = blocks.shape[0], blocks.shape[1]
+    x_own = xp.reshape(P, R)
+    srcp = jnp.concatenate([xp, jnp.zeros(1, xp.dtype)])
+    xs = jnp.concatenate([x_own, srcp[ghost_idx]], axis=1)
+    y = jnp.einsum("prs,ps->pr", blocks, xs,
+                   preferred_element_type=blocks.dtype).reshape(-1)
+    return y[pad_of_old]
+
 
 @partial(jax.jit, static_argnames=("P", "R"))
 def _dense_block_mv(blocks, ghost_idx, xp, P, R):

@@ -189,6 +189,19 @@ class GDSWCoarseOperator:
         return self.phi.matvec(zc)
 
 
+def _two_level_apply(ops, r):
+    from feddlib_tpu.la.csr import ell_apply
+    from feddlib_tpu.precond.schwarz import schwarz_op_apply
+
+    l1_ops, coarse_ops = ops
+    z = schwarz_op_apply(l1_ops, r)
+    if coarse_ops is not None:
+        phi_ops, phiT_ops, A0_inv = coarse_ops
+        rc = ell_apply(phiT_ops, r)
+        z = z + ell_apply(phi_ops, A0_inv @ rc)
+    return z
+
+
 class TwoLevelSchwarz:
     """Additive two-level Schwarz: one-level overlapping Schwarz + GDSW
     coarse level (parametersPrec.xml: TwoLevel=true, Level Combination
@@ -219,6 +232,17 @@ class TwoLevelSchwarz:
         if self.coarse is not None:
             z = z + self.coarse.apply(r)
         return z
+
+    def operator(self):
+        """(pure_fn, operands) for jit-argument solver programs."""
+        from feddlib_tpu.precond.schwarz import schwarz_op_apply  # noqa: F401
+
+        l1_ops = self.level1.operator()[1]
+        if self.coarse is None:
+            return _two_level_apply, (l1_ops, None)
+        co = self.coarse
+        coarse_ops = (co.phi.operator()[1], co.phiT.operator()[1], co.A0_inv)
+        return _two_level_apply, (l1_ops, coarse_ops)
 
     def __call__(self, r):
         return self.apply(r)

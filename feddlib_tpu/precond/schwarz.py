@@ -141,6 +141,23 @@ class SchwarzPreconditioner:
     def __call__(self, r):
         return self.apply(r)
 
+    def operator(self):
+        """(pure_fn, operands) form for jit-argument solver programs."""
+        scale = (self.avg_scale if self.avg_scale is not None
+                 else jnp.ones(self.n, self.inv.dtype))
+        return schwarz_op_apply, (self.ov_idx, self.keep, self.inv, scale)
+
+
+def schwarz_op_apply(ops, r):
+    ov_idx, keep, inv, scale = ops
+    n = r.shape[0]
+    r_pad = jnp.concatenate([r, jnp.zeros(1, r.dtype)])
+    r_ov = r_pad[ov_idx]
+    z_ov = jnp.einsum("pij,pj->pi", inv, r_ov) * keep
+    z = jnp.zeros(n + 1, r.dtype).at[ov_idx.reshape(-1)].add(
+        z_ov.reshape(-1))[:n]
+    return z * scale
+
 
 def distributed_schwarz(A: CsrMatrix, dmat, combine: str = "Restricted"):
     """One-level overlap-1 Schwarz for the shard_map solver.

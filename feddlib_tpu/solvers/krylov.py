@@ -43,6 +43,46 @@ def _identity(x):
     return x
 
 
+# ---------------------------------------------------------------------------
+# jitted solver programs with operator data as ARGUMENTS
+# ---------------------------------------------------------------------------
+# Closing a jitted Krylov loop over device matrices embeds them as trace
+# constants — on remote-compile backends (the axon TPU tunnel) the constants
+# are serialized into every compile request (multi-minute compiles, HTTP 413
+# at ~GB sizes).  `solve_jit` instead takes (A_fn, A_ops): A_fn is a
+# module-level PURE function A_fn(ops, x) (hashable → one cached program per
+# structure), and the operand pytree flows through as jit arguments.
+
+_program_cache: dict = {}
+
+
+def solve_jit(kind: str, A_fn, A_ops, b, x0=None, M_fn=None, M_ops=(),
+              tol: float = 1e-8, maxiter: int = 1000, restart: int = 100,
+              left: bool = False):
+    """Run a jit-cached CG/GMRES program.  Returns KrylovResult."""
+    import jax
+
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    key = (kind, A_fn, M_fn, float(tol), int(maxiter), int(restart),
+           bool(left))
+    run = _program_cache.get(key)
+    if run is None:
+        if kind == "cg":
+            def run(b, x0, A_ops, M_ops):
+                A = lambda x: A_fn(A_ops, x)
+                M = (lambda x: M_fn(M_ops, x)) if M_fn is not None else _identity
+                return cg_loop(A, M, b, x0, tol, maxiter)
+        else:
+            def run(b, x0, A_ops, M_ops):
+                A = lambda x: A_fn(A_ops, x)
+                M = (lambda x: M_fn(M_ops, x)) if M_fn is not None else _identity
+                return gmres_loop(A, M, b, x0, tol, restart, maxiter, left)
+        run = jax.jit(run)
+        _program_cache[key] = run
+    x, it, rel = run(b, x0, A_ops, M_ops)
+    return KrylovResult(x, int(it), float(rel), bool(rel <= tol))
+
+
 def _make_reducers(axis_name: Optional[str]):
     if axis_name is None:
         def dot(a, b):

@@ -28,6 +28,10 @@ from feddlib_tpu.solvers.krylov import cg, gmres
 from feddlib_tpu.utils.config import ParameterList
 
 
+def _jacobi_op(ops, r):
+    return ops[0] * r
+
+
 class Preconditioner:
     """Preconditioner factory bound to a problem (reference:
     Preconditioner_decl.hpp:41).  Builds once, reusable across solves
@@ -36,10 +40,12 @@ class Preconditioner:
     def __init__(self, problem):
         self.problem = problem
         self._apply: Optional[Callable] = None
+        self._op = None  # (pure_fn, operands) when available
 
     def build(self, matrix: CsrMatrix) -> None:
         params = self.problem.parameter_list
         prec_type = params.get("Preconditioner Type", "SchwarzTwoLevel")
+        self._op = None
         if prec_type in ("None", "Id"):
             self._apply = None
             return
@@ -47,6 +53,7 @@ class Preconditioner:
             d = matrix.diagonal()
             dinv = jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 1.0)
             self._apply = lambda r: dinv * r
+            self._op = (_jacobi_op, (dinv,))
             return
         if prec_type == "FaCSI":
             from feddlib_tpu.precond.facsi import FaCSIPreconditioner
@@ -85,6 +92,8 @@ class Preconditioner:
             prec = SchwarzPreconditioner(matrix, dof_map, overlap=overlap,
                                          combine=combine)
         self._apply = prec.apply
+        if hasattr(prec, "operator"):
+            self._op = prec.operator()
 
     def _merged_dof_map(self, part: MeshPartition):
         """Dof-level unique map for the merged monolithic system.
@@ -118,6 +127,9 @@ class Preconditioner:
 
     def apply(self):
         return self._apply
+
+    def operator(self):
+        return self._op
 
 
 def _p2_unique_map(part: MeshPartition, dom):
@@ -160,8 +172,21 @@ class LinearSolver:
             problem._prec_stale = False
 
         M = problem.preconditioner.apply()
+        M_op = problem.preconditioner.operator()
         bf = b.concat()
-        if method == "cg":
+        if M is None or M_op is not None:
+            # jit-argument path: operator data flows as arguments, so the
+            # compiled Krylov program is reused across assemblies and no
+            # matrix constants are baked into compiles (critical on the
+            # remote-compile TPU backend)
+            from feddlib_tpu.solvers.krylov import solve_jit
+
+            A_fn, A_ops = A.operator()
+            M_fn, M_ops = (None, ()) if M_op is None else M_op
+            res = solve_jit("cg" if method == "cg" else "gmres",
+                            A_fn, A_ops, bf, M_fn=M_fn, M_ops=M_ops,
+                            tol=tol, maxiter=maxiter, restart=restart)
+        elif method == "cg":
             res = cg(A.matvec, bf, M=M, tol=tol, maxiter=maxiter)
         else:
             res = gmres(A.matvec, bf, M=M, tol=tol, restart=restart,
