@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Callable, Optional
 
 import jax.numpy as jnp
+import numpy as np
 
 from feddlib_tpu.fe import ops
 from feddlib_tpu.fe.domain import Domain
@@ -74,6 +75,34 @@ class NavierStokes(NonLinearProblem):
         self.source = ops.assemble_rhs(dom_u, f, dom_u.dim)
         self.init_vectors()
         self.rhs[0] = self.source
+
+    def surface_forces(self, flags) -> jnp.ndarray:
+        """Variational force evaluation on flagged boundaries: F_i = Σ over
+        constrained dofs of the momentum residual WITHOUT BC row masking —
+        the standard consistent drag/lift formula (reference computes
+        drag/lift via getValuesOfInterest / viscous+pressure integrals,
+        FSI_def.hpp:1343; the residual form is equivalent and exact for the
+        discrete system).  Returns [dim] total force."""
+        dom_u = self.variables[0][0]
+        dim = dom_u.dim
+        u, p = self.solution[0], self.solution[1]
+        N = ops.assemble_advection(dom_u, u * self.density)
+        Fu = self.A.matvec(u) + N.matvec(u) + self.BT.matvec(p)
+        if self.source is not None:
+            Fu = Fu - self.source
+        mask = np.isin(dom_u.mesh.point_flags, np.asarray(flags))
+        nodes = np.nonzero(mask)[0]
+        Fn = np.asarray(Fu).reshape(-1, dim)
+        # residual at constrained dofs = reaction ON the fluid; the force on
+        # the body is its negative
+        return -Fn[nodes].sum(axis=0)
+
+    def drag_lift_coefficients(self, flags, u_mean: float,
+                               length: float) -> tuple:
+        """(c_d, c_l) with the DFG normalisation 2F/(ρ U² L)."""
+        F = self.surface_forces(flags)
+        scale = 2.0 / (self.density * u_mean ** 2 * length)
+        return float(F[0] * scale), float(F[1] * scale)
 
     def calculate_residual(self, t: float = 0.0) -> BlockVector:
         """F(u, p) with the fixed-point operator [A + N(u)] (the Newton W
