@@ -76,12 +76,17 @@ class Domain:
     # -- assembly inputs ----------------------------------------------------
     def vert_coords(self) -> jnp.ndarray:
         """[E, dim+1, dim] vertex coordinates of each element (geometry is
-        always affine-P1, even for P2 spaces)."""
+        always affine-P1, even for P2 spaces).
+
+        Built ON DEVICE by gathering uploaded points through the element
+        table: host→device bandwidth is the scarce resource on tunneled TPU
+        backends (~7 MB/s measured), so we ship points (n·dim) + int32
+        connectivity instead of the E·(dim+1)·dim coordinate tensor."""
         if self._vert_coords is None:
             nv = self.mesh.vertices_per_element
-            self._vert_coords = jnp.asarray(
-                self.mesh.points[self.mesh.elements[:, :nv]], jnp.float64
-            )
+            pts = jnp.asarray(self.mesh.points, jnp.float64)
+            conn = jnp.asarray(self.mesh.elements[:, :nv].astype(np.int32))
+            self._vert_coords = pts[conn]
         return self._vert_coords
 
     def invalidate_geometry(self) -> None:

@@ -149,6 +149,9 @@ class CsrMatrix:
         slots = self.pattern.coo_slots
         if slots is None:
             raise ValueError("pattern has no COO assembly plan")
+        # int32 slot ids halve the upload over slow host→device links
+        if self.pattern.nnz < 2 ** 31:
+            slots = slots.astype(np.int32)
         self.data = assemble_csr_data(
             coo_vals.astype(self.dtype), jnp.asarray(slots), self.pattern.nnz
         )

@@ -100,9 +100,16 @@ class DenseBlockSpMV:
 
         loc = np.where(own, pc - pcl * R, 0)
         loc[~own] = R + gpos[ginv]
-        blocks = np.zeros((P, R, R + G), dtype=np.float64)
-        blocks[pcl, lrow, loc] = coo.data
-        return cls(jnp.asarray(blocks, dtype), jnp.asarray(ghost_idx), n,
+        # build the dense blocks ON DEVICE: ship one int64 scatter plan and
+        # reuse the (device-resident) matrix values — host→device bandwidth
+        # is ~7 MB/s on tunneled backends, so uploading the P·R·(R+G)
+        # tensor itself takes minutes.  scipy CSR→COO preserves the CSR slot
+        # order, so coo entries align with A.data elementwise.
+        flat = (pcl.astype(np.int64) * (R * (R + G))
+                + lrow.astype(np.int64) * (R + G) + loc)
+        data_dev = A.data.astype(dtype)
+        blocks = _scatter_blocks(data_dev, jnp.asarray(flat), P, R, G)
+        return cls(blocks, jnp.asarray(ghost_idx), n,
                    jnp.asarray(pad_of_old), jnp.asarray(old_of_pad), dtype)
 
     # -- vector layout -------------------------------------------------------
@@ -144,6 +151,12 @@ def dense_block_op(ops, x):
     y = jnp.einsum("prs,ps->pr", blocks, xs,
                    preferred_element_type=blocks.dtype).reshape(-1)
     return y[pad_of_old]
+
+
+@partial(jax.jit, static_argnames=("P", "R", "G"))
+def _scatter_blocks(data, flat_idx, P, R, G):
+    return jnp.zeros(P * R * (R + G), data.dtype).at[flat_idx].set(
+        data).reshape(P, R, R + G)
 
 
 @partial(jax.jit, static_argnames=("P", "R"))

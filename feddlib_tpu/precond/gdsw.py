@@ -188,6 +188,21 @@ class GDSWCoarseOperator:
         zc = self.A0_inv @ rc
         return self.phi.matvec(zc)
 
+    def export_basis(self, domain, path: str, dofs_per_node: int = 1,
+                     max_functions: int = 50) -> None:
+        """Dump the GDSW coarse functions Φ for visualization (reference:
+        Preconditioner::exportCoarseBasis, Preconditioner_decl.hpp:133-135)."""
+        from feddlib_tpu.io.exporter import ExporterParaView
+
+        phi = self.phi.to_scipy()
+        exp = ExporterParaView(domain, path, "coarse_basis")
+        nc = min(self.n_coarse, max_functions)
+        for j in range(nc):
+            exp.add_variable(f"phi_{j}", dofs_per_node)
+        exp.save(0.0, {f"phi_{j}": phi[:, j].toarray().ravel()
+                       for j in range(nc)})
+        exp.close()
+
 
 def _two_level_apply(ops, r):
     from feddlib_tpu.la.csr import ell_apply
@@ -243,6 +258,61 @@ class TwoLevelSchwarz:
         co = self.coarse
         coarse_ops = (co.phi.operator()[1], co.phiT.operator()[1], co.A0_inv)
         return _two_level_apply, (l1_ops, coarse_ops)
+
+
+def distributed_two_level(A: CsrMatrix, dmat, part, points: np.ndarray,
+                          dofs_per_node: int = 1,
+                          combine: str = "Restricted",
+                          null_space: str = "laplace",
+                          dirichlet_mask: Optional[np.ndarray] = None):
+    """Two-level GDSW for the shard_map solver (DistributedSolver).
+
+    Level 1 reuses `distributed_schwarz` (overlap-1, on-device subdomain
+    solves).  The coarse level is fully SPMD: each device holds the dense
+    restriction of Φ to its owned rows [N_o, nc]; a coarse residual is the
+    psum over devices of Φ_ownᵀ r (one ICI all-reduce of nc numbers — the
+    two-level analog of the reference's gathered coarse solve,
+    SURVEY.md §3.5 step 3), solved against the replicated A₀⁻¹ and
+    prolonged locally.  Returns (build_fn, arrays)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    from feddlib_tpu.parallel.spmd import AXIS
+    from feddlib_tpu.precond.schwarz import distributed_schwarz
+
+    build1, arrays1 = distributed_schwarz(A, dmat, combine=combine)
+    n1 = len(arrays1)
+    umap = dmat.unique_map
+    coarse = GDSWCoarseOperator(
+        A, umap, part.repeated_map.partition_indices, points,
+        dofs_per_node, null_space, dirichlet_mask)
+    phi = coarse.phi.to_scipy()
+    nc = coarse.n_coarse
+    N_o = dmat.plan.N_o
+    n_dev = dmat.n_dev
+    phi_own = np.zeros((n_dev, N_o, nc))
+    for p in range(n_dev):
+        owned = umap.partition_indices[p]
+        phi_own[p, : len(owned)] = phi[owned].toarray()
+    A0_inv = np.asarray(coarse.A0_inv)
+    arrays = list(arrays1) + [
+        jnp.asarray(phi_own),
+        jnp.asarray(np.broadcast_to(A0_inv, (n_dev, nc, nc))),
+    ]
+
+    def build(prec_arrays, ctx):
+        M1 = build1(prec_arrays[:n1], ctx)
+        phi_p, A0i = prec_arrays[n1], prec_arrays[n1 + 1]
+
+        def M(r):
+            z1 = M1(r)
+            rc = lax.psum(phi_p.T @ r, AXIS)  # [nc] coarse residual
+            zc = A0i @ rc
+            return z1 + phi_p @ zc
+
+        return M
+
+    return build, arrays
 
     def __call__(self, r):
         return self.apply(r)

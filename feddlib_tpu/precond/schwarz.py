@@ -78,13 +78,22 @@ class SchwarzPreconditioner:
     a unique (owned) dof map."""
 
     def __init__(self, A: CsrMatrix, unique_map: IndexMap, overlap: int = 1,
-                 combine: str = "Restricted", dtype=jnp.float64):
+                 combine: str = "Restricted", dtype=jnp.float64,
+                 device_factor: Optional[bool] = None):
         if combine not in ("Restricted", "Full", "Averaging"):
             raise ValueError(f"unknown combine mode {combine!r}")
         self.combine = combine
         self.n = A.shape[0]
         self.n_parts = unique_map.n_parts
         sp = A.to_scipy()
+        # On-device factorization avoids uploading [P,S,S] inverses over the
+        # ~7 MB/s tunnel: ship small index plans, scatter the (device-
+        # resident) matrix values into padded subdomain blocks, and run a
+        # batched LU inverse on the accelerator.  TPU has no f64 LU — the
+        # host path remains the f64/default-robust fallback.
+        if device_factor is None:
+            device_factor = (jnp.dtype(dtype) == jnp.float32
+                             and jax.devices()[0].platform != "cpu")
 
         ov_sets: List[np.ndarray] = []
         for p in range(self.n_parts):
@@ -100,25 +109,56 @@ class SchwarzPreconditioner:
         ov_idx = np.full((P_, S), self.n, dtype=np.int64)  # pad → extra slot
         keep = np.zeros((P_, S), dtype=np.float64)
         mult = np.zeros(self.n, dtype=np.float64)
-        inv = np.zeros((P_, S, S), dtype=np.float64)
         for p in range(P_):
             ov = ov_sets[p]
             k = len(ov)
             ov_idx[p, :k] = ov
-            sub = sp[ov][:, ov].toarray()
-            # identity padding keeps the dense factor well-posed
-            block = np.eye(S)
-            block[:k, :k] = sub
-            inv[p] = _robust_inverse(block)
             if combine == "Restricted":
                 keep[p, :k] = (owner[ov] == p).astype(np.float64)
             else:
                 keep[p, :k] = 1.0
                 mult[ov] += 1.0
 
+        if device_factor:
+            # slot-carrying trick: a CSR copy whose values are the slot ids
+            # survives scipy's submatrix extraction
+            spi = sp.copy()
+            spi.data = np.arange(sp.nnz, dtype=np.float64)
+            flat_l, slot_l, eye_l = [], [], []
+            for p in range(P_):
+                ov = ov_sets[p]
+                k = len(ov)
+                sub = spi[ov][:, ov].tocoo()
+                flat_l.append(p * S * S + sub.row.astype(np.int64) * S
+                              + sub.col)
+                slot_l.append(sub.data.astype(np.int64))
+                eye_l.append(p * S * S + np.arange(k, S) * (S + 1))
+            flat = np.concatenate(flat_l)
+            slots = np.concatenate(slot_l)
+            eye_idx = np.concatenate(eye_l) if eye_l else np.zeros(0, np.int64)
+            vals = A.data.astype(dtype)[jnp.asarray(slots)]
+            blocks = (jnp.zeros(P_ * S * S, dtype)
+                      .at[jnp.asarray(flat)].set(vals)
+                      .at[jnp.asarray(eye_idx)].set(1.0)
+                      .reshape(P_, S, S))
+            # tiny diagonal shift guards exactly-singular saddle blocks
+            shift = 1e-6 if jnp.dtype(dtype) == jnp.float32 else 1e-12
+            diag = jnp.arange(S)
+            blocks = blocks.at[:, diag, diag].add(
+                shift * jnp.abs(blocks).max())
+            self.inv = jnp.linalg.inv(blocks)
+        else:
+            inv = np.zeros((P_, S, S), dtype=np.float64)
+            for p in range(P_):
+                ov = ov_sets[p]
+                k = len(ov)
+                block = np.eye(S)
+                block[:k, :k] = sp[ov][:, ov].toarray()
+                inv[p] = _robust_inverse(block)
+            self.inv = jnp.asarray(inv, dtype)
+
         self.ov_idx = jnp.asarray(ov_idx)
         self.keep = jnp.asarray(keep, dtype)
-        self.inv = jnp.asarray(inv, dtype)
         if combine == "Averaging":
             scale = np.where(mult > 0, 1.0 / np.where(mult == 0, 1, mult), 0.0)
             self.avg_scale = jnp.asarray(scale, dtype)

@@ -24,9 +24,16 @@ class NonLinearSolver:
     def solve(self, problem, t: float = 0.0) -> int:
         pl = problem.parameter_list
         tol = float(pl.get("relNonLinTol", 1e-6))
+        abs_tol = float(pl.get("absNonLinTol", 0.0))
         max_its = int(pl.get("MaxNonLinIts", 10))
         criterion = pl.get("Criterion", "Residual")
         cancel = bool(pl.get("Cancel MaxNonLinIts", False))
+        # NOX-style extras (reference NonLinearSolver_def.hpp:71-165:
+        # NormUpdate / RelativeNormF / NormWRMS combined with AND/OR)
+        use_wrms = bool(pl.get("Use WRMS", False))
+        wrms_rtol = float(pl.get("WRMS rtol", 1e-6))
+        wrms_atol = float(pl.get("WRMS atol", 1e-8))
+        combo = pl.get("Combo", "OR")
 
         problem.init_vectors()
         # BC-consistent initial guess so ‖F₀‖ is meaningful
@@ -38,8 +45,9 @@ class NonLinearSolver:
             return 0
         its = 0
         crit = 1.0
+        converged = False
         self.linear_iters = []
-        while crit > tol and its < max_its:
+        while not converged and its < max_its:
             problem.reassemble(self.method)
             delta, lin_its = problem.linear_solver.solve_system(
                 problem, r.scale(-1.0))
@@ -47,12 +55,28 @@ class NonLinearSolver:
             problem.solution = problem.solution.axpy(1.0, delta)
             r = problem.calculate_residual(t)
             its += 1
+            rnorm = problem.residual_norm(r)
             if criterion == "Update":
                 crit = float(delta.norm2())
+                converged = crit <= tol
             else:
-                crit = problem.residual_norm(r) / norm0
+                crit = rnorm / norm0
+                converged = crit <= tol or (abs_tol > 0 and rnorm <= abs_tol)
+            if use_wrms:
+                import jax.numpy as jnp
+
+                # ‖δ_i / (atol + rtol·|u_i|)‖_rms ≤ 1  (NOX NormWRMS)
+                num = 0.0
+                ndof = 0
+                for d, u in zip(delta.blocks, problem.solution.blocks):
+                    w = d / (wrms_atol + wrms_rtol * jnp.abs(u))
+                    num += float(jnp.vdot(w, w))
+                    ndof += u.shape[0]
+                wrms_ok = (num / max(ndof, 1)) ** 0.5 <= 1.0
+                converged = (converged or wrms_ok) if combo == "OR" \
+                    else (converged and wrms_ok)
         self.final_criterion = crit
-        if cancel and its >= max_its and crit > tol:
+        if cancel and its >= max_its and not converged:
             raise RuntimeError(
                 f"Newton hit MaxNonLinIts={max_its} (criterion {crit:.2e})")
         return its

@@ -175,3 +175,41 @@ def test_dense_block_spmv_matches_csr():
     xe = jnp.asarray(rng.standard_normal(Ke.shape[0]))
     np.testing.assert_allclose(np.asarray(dbe.matvec(xe)),
                                np.asarray(Ke.matvec(xe)), atol=1e-12)
+
+
+def test_distributed_two_level_matches_serial():
+    """Distributed GDSW two-level Schwarz reproduces the serial operator
+    iteration-for-iteration (coarse residual via psum)."""
+    from feddlib_tpu.bc import BCBuilder
+    from feddlib_tpu.fe import ops
+    from feddlib_tpu.mesh.partition import MeshPartition
+    from feddlib_tpu.parallel.solve import DistributedSolver
+    from feddlib_tpu.parallel.spmd import (
+        DeviceAxis, DistributedCsr, collect_vector, distribute_vector)
+    from feddlib_tpu.precond.gdsw import TwoLevelSchwarz, distributed_two_level
+    from feddlib_tpu.solvers.krylov import gmres
+
+    dom = Domain.structured(2, 16)
+    K = ops.assemble_laplace(dom)
+    bcb = BCBuilder()
+    bcb.add_bc(lambda x, t: 0.0, 1, 0, dom, "Dirichlet", 1)
+    b = ops.assemble_rhs(dom, lambda x: 1.0 + 0 * x[0])
+    Kb, bb = bcb.apply_symmetric(K, b, 0)
+    dmask = bcb.dirichlet_mask(0, dom.n_nodes)
+    part = MeshPartition(dom.mesh, 8)
+    tls = TwoLevelSchwarz(Kb, part.unique_map,
+                          part.repeated_map.partition_indices,
+                          dom.mesh.points, 1, overlap=1,
+                          dirichlet_mask=dmask)
+    ref = gmres(Kb.matvec, bb, M=tls.apply, tol=1e-8, maxiter=500)
+    dmat = DistributedCsr(Kb, part.unique_map)
+    solver = DistributedSolver(dmat, DeviceAxis.make(8))
+    b_dist = distribute_vector(np.asarray(bb), part.unique_map,
+                               dmat.plan.N_o)
+    build, arrs = distributed_two_level(Kb, dmat, part, dom.mesh.points, 1,
+                                        dirichlet_mask=dmask)
+    x, it, rel = solver.solve(b_dist, method="gmres", tol=1e-8, maxiter=500,
+                              precond=(build, arrs))
+    assert it == ref.iters
+    np.testing.assert_allclose(collect_vector(x, part.unique_map),
+                               np.asarray(ref.x), atol=1e-9)
