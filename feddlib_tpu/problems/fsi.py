@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from typing import Callable, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -104,13 +105,7 @@ class FSI(NonLinearProblem):
         self.source_f = None
         self._fluid_ops = None
 
-    # -- block sizes override: include λ ------------------------------------
-    def block_sizes(self):
-        return [self.variables[0][0].n_dofs(self.dim),
-                self.variables[1][0].n_dofs(1),
-                self.variables[2][0].n_dofs(self.dim),
-                self.n_lam]
-
+    # -- block sizes: (u, p, d, λ[, g]) — see block_sizes below advance_gi --
     def init_vectors(self):
         sizes = self.block_sizes()
         if self.rhs is None:
@@ -261,6 +256,163 @@ class FSI(NonLinearProblem):
             if observer:
                 observer(t_new, self.solution)
             t = t_new
+
+    # -- geometry-implicit (GI) time loop ------------------------------------
+    # 5-field monolithic system (u, p, d, λ, g): geometry is an unknown with
+    #   rows  L_g g = 0 interior, g = 0 outer boundary, g = d on Γ  (the C4
+    #   coupling, FSI_def.hpp:248), and the fluid rows carry the exact
+    #   ∂F/∂g shape-derivative blocks from fe/shape_derivatives (the
+    #   reference's DK/DN/DW/DP/DM, FSI_def.hpp:567-577).  The fluid
+    #   residual is evaluated through the SAME element function that is
+    #   differentiated, so Jacobian and residual are consistent to machine
+    #   precision.
+    def advance_gi(self, t_end: float, observer: Optional[Callable] = None
+                   ) -> None:
+        from feddlib_tpu.fe import assembly as asm
+        from feddlib_tpu.fe.shape_derivatives import (
+            _fluid_elem_residual, assemble_shape_derivative_blocks)
+        from feddlib_tpu.solvers.nonlinear import NonLinearSolver
+
+        dom_u = self.variables[0][0]
+        dom_p = self.variables[1][0]
+        dim, dt = self.dim, self.dt
+        be, ga = self.newmark_beta, self.newmark_gamma
+        self._gi = True
+        self.init_vectors()
+        n_u = self.block_sizes()[0]
+        if len(self.solution) == 4:
+            self.solution.blocks.append(jnp.zeros(n_u))
+            self.rhs.blocks.append(jnp.zeros(n_u))
+
+        # geometry operator on the REFERENCE mesh with built-in BC rows
+        if dom_u.mesh.ref_points is None:
+            dom_u.mesh.save_reference_configuration()
+        cur_pts = dom_u.mesh.points.copy()
+        dom_u.mesh.points = dom_u.mesh.ref_points.copy()
+        dom_u.invalidate_geometry()
+        Lg = ops.assemble_laplace_vec(dom_u)
+        dom_u.mesh.points = cur_pts
+        dom_u.invalidate_geometry()
+        g_dirichlet = np.zeros(n_u, dtype=bool)
+        outer = (dom_u.mesh.point_flags > 0) & ~np.isin(
+            np.arange(dom_u.n_nodes), self.interface.nodes_a)
+        for c in range(dim):
+            g_dirichlet[np.nonzero(outer)[0] * dim + c] = True
+        g_dirichlet[self._uf_cols] = True  # interface g-rows: g = d
+        pat = Lg.pattern
+        rows = pat.rows_of_slots()
+        in_d = g_dirichlet[rows]
+        is_diag = pat.indices == rows
+        data = Lg.data.at[jnp.asarray(np.nonzero(in_d & ~is_diag)[0])].set(0.)
+        data = data.at[jnp.asarray(np.nonzero(in_d & is_diag)[0])].set(1.0)
+        Lg_bc = CsrMatrix(pat, data, Lg.dtype)
+        iface_g_mask = jnp.zeros(n_u).at[jnp.asarray(self._uf_cols)].set(1.0)
+
+        res_fn = _fluid_elem_residual(dim, dom_u.fe_type, dom_p.fe_type,
+                                      self.viscosity, self.density_f, dt,
+                                      1.0 / dt)
+        conn_u = dom_u.elem_nodes()
+        conn_p = dom_p.elem_nodes()
+        nv = dim + 1
+        ref_verts = jnp.asarray(
+            dom_u.mesh.ref_points[dom_u.mesh.elements[:, :nv]])
+
+        solver = NonLinearSolver("Newton")
+        if self.g_prev is None:
+            self.g_prev = np.zeros((dom_u.n_nodes, dim))
+        t = 0.0
+        prob = self
+
+        def fluid_residual(u, p, g, gp_vec, u_old):
+            ue = u.reshape(-1, dim)[conn_u]
+            ge = g.reshape(-1, dim)[conn_u]
+            gpe = jnp.asarray(gp_vec).reshape(-1, dim)[conn_u]
+            uoe = u_old.reshape(-1, dim)[conn_u]
+            pe = p[conn_p]
+            Ru, Rp = jax.vmap(res_fn)(ue, pe, ge, gpe, ref_verts, uoe)
+            Fu = asm.assemble_vector(dom_u.elem_dofs(dim),
+                                     Ru.reshape(Ru.shape[0], -1), n_u)
+            Fp = asm.assemble_vector(conn_p, Rp, dom_p.n_nodes)
+            return Fu, Fp
+
+        while t < t_end - 1e-12:
+            t_new = t + dt
+            d_old = self.solution[2]
+            v_old, a_old = self.solid_v, self.solid_a
+            u_old = self.solution[0]
+            newmark_m = 1.0 / (be * dt * dt)
+            solid_hist = self.Ms.matvec(
+                d_old * newmark_m + v_old / (be * dt)
+                + (0.5 / be - 1.0) * a_old)
+            gp_vec = jnp.asarray(self.g_prev.ravel())
+            dG_hist = d_old[jnp.asarray(self._ds_cols)] / dt
+
+            def residual(tt=0.0):
+                u, p, d, lam, g = (prob.solution[i] for i in range(5))
+                Fu, Fp = fluid_residual(u, p, g, gp_vec, u_old)
+                Fu = Fu + prob.C1T.matvec(lam)
+                Fd = (prob.Ms.matvec(d) * newmark_m + prob.Ks.matvec(d)
+                      - solid_hist)
+                Fd = Fd.at[jnp.asarray(prob._ds_cols)].add(
+                    -lam[jnp.asarray(prob._iface_rows)])
+                Fl = (u[jnp.asarray(prob._uf_cols)]
+                      - d[jnp.asarray(prob._ds_cols)] / dt + dG_hist)
+                Flam = jnp.zeros(prob.n_lam).at[
+                    jnp.asarray(prob._iface_rows)].set(Fl)
+                Fg = Lg_bc.matvec(g)
+                Fg = Fg.at[jnp.asarray(prob._uf_cols)].add(
+                    -d[jnp.asarray(prob._ds_cols)])
+                r = BlockVector([Fu, Fp, Fd, Flam, Fg])
+                return prob.bc_builder.set_vector_minus_bc(
+                    r, prob.solution, tt)
+
+            def reassemble(mode="Newton"):
+                u, p, d, lam, g = (prob.solution[i] for i in range(5))
+                # move the fluid mesh to the CURRENT geometry iterate
+                dom_u.mesh.move(np.asarray(g).reshape(-1, dim))
+                dom_u.invalidate_geometry()
+                prob._assemble_fluid_constant()
+                w = (g - gp_vec) / dt
+                prob._build_system("Newton", w, 1.0 / dt, newmark_m)
+                sizes = prob.block_sizes()
+                Dug, Dpg = assemble_shape_derivative_blocks(
+                    dom_u, dom_p, u, p, g, gp_vec, u_old,
+                    prob.viscosity, prob.density_f, dt, 1.0 / dt)
+                S = prob.system
+                S.add_block(0, 4, Dug)
+                S.add_block(1, 4, Dpg)
+                S.add_block(4, 4, Lg_bc)
+                S.add_block(4, 2, _interface_identity(
+                    sizes[4], sizes[2], prob._uf_cols, prob._ds_cols, -1.0))
+                prob._prec_stale = True
+
+            base_res, base_rea = self.calculate_residual, self.reassemble
+            self.calculate_residual = residual
+            self.reassemble = reassemble
+            try:
+                solver.solve(self, t_new)
+            finally:
+                self.calculate_residual = base_res
+                self.reassemble = base_rea
+
+            d_new = self.solution[2]
+            a_new = ((d_new - d_old) * newmark_m - v_old / (be * dt)
+                     - (0.5 / be - 1.0) * a_old)
+            self.solid_v = v_old + dt * (1 - ga) * a_old + dt * ga * a_new
+            self.solid_a = a_new
+            self.g_prev = np.asarray(self.solution[4]).reshape(-1, dim)
+            if observer:
+                observer(t_new, self.solution)
+            t = t_new
+
+    def block_sizes(self):
+        base = [self.variables[0][0].n_dofs(self.dim),
+                self.variables[1][0].n_dofs(1),
+                self.variables[2][0].n_dofs(self.dim),
+                self.n_lam]
+        if getattr(self, "_gi", False):
+            base.append(self.variables[0][0].n_dofs(self.dim))
+        return base
 
     def tip_displacement(self, point) -> np.ndarray:
         """Displacement at the solid node closest to `point` — the Turek

@@ -158,3 +158,36 @@ def test_facsi_preconditioner():
         linmod.LinearSolver.solve_system = orig
     assert results["FaCSI"] * 5 < results["Jacobi"], results
     assert results["FaCSI"] < 60
+
+
+def test_fsi_geometry_implicit():
+    """GI (5-field monolithic with autodiff shape-derivative blocks) agrees
+    with GE to the expected O(geometry-coupling) difference and Newton
+    converges each step."""
+    from feddlib_tpu.problems.fsi import FSI
+
+    results = {}
+    for mode in ("GE", "GI"):
+        dom_u, dom_p, dom_d = _two_box_domains(3)
+        pl = _params(Viscosity=0.1, E=50.0, dt=0.02,
+                     **{"Poisson Ratio": 0.3,
+                        "Preconditioner Type": "Jacobi",
+                        "Maximum Iterations": 12000,
+                        "Convergence Tolerance": 1e-9,
+                        "MaxNonLinIts": 12, "relNonLinTol": 1e-6})
+        prob = FSI(dom_u, dom_p, dom_d, [IFACE], parameter_list=pl)
+        prob.assemble()
+        prob.add_bc(lambda x, t: jnp.where(
+            jnp.isclose(x[1], 1.0), jnp.array([0.5, 0.0]), jnp.zeros(2)),
+            1, 0)
+        prob.add_bc(lambda x, t: jnp.zeros(2), 1, 2)
+        if mode == "GE":
+            prob.advance(t_end=0.04)
+        else:
+            prob.advance_gi(t_end=0.04)
+        d = np.asarray(prob.solution[2])
+        assert np.isfinite(d).all()
+        results[mode] = d
+    rel = (np.abs(results["GE"] - results["GI"]).max()
+           / np.abs(results["GE"]).max())
+    assert rel < 0.05, rel  # same physics, small geometry-coupling delta
