@@ -152,6 +152,96 @@ def _boundary_tris_3d(mesh: Mesh):
     return boundary.astype(np.int64), np.ones(len(boundary), dtype=np.int32)
 
 
+def build_backward_facing_step(dim: int, h: float = 0.05,
+                               fe_type: str = "P1") -> Mesh:
+    """Backward-facing-step channel (reference: MeshStructured
+    buildMesh2DBFS/3DBFS, MeshStructured_def.hpp:1874/:2332).  Geometry:
+    inflow duct [0,1]×[0.5,1] followed by the expanded channel [1,4]×[0,1]
+    (×[0,1] in 3D).  Flags: 2 inflow (x=0), 3 outflow (x=4), 1 walls."""
+    n = max(int(round(0.5 / h)), 1)
+
+    def cells(length):
+        return max(int(round(length / (0.5 / n))), 1)
+
+    if dim == 2:
+        duct = build_structured_mesh(2, (cells(1.0), n), lower=[0, 0.5],
+                                     upper=[1, 1])
+        chan = build_structured_mesh(2, (cells(3.0), 2 * n), lower=[1, 0],
+                                     upper=[4, 1])
+    else:
+        duct = build_structured_mesh(3, (cells(1.0), n, 2 * n),
+                                     lower=[0, 0.5, 0], upper=[1, 1, 1])
+        chan = build_structured_mesh(3, (cells(3.0), 2 * n, 2 * n),
+                                     lower=[1, 0, 0], upper=[4, 1, 1])
+    mesh = merge_meshes(duct, chan)
+    # re-flag: everything boundary = 1, then inflow/outflow faces
+    mesh.point_flags[mesh.point_flags > 0] = 1
+    mesh.point_flags[np.isclose(mesh.points[:, 0], 0.0)] = 2
+    mesh.point_flags[np.isclose(mesh.points[:, 0], 4.0)] = 3
+    if mesh.surfaces is not None:
+        sf = mesh.points[mesh.surfaces][:, :, 0]
+        mesh.surface_flags[:] = 1
+        mesh.surface_flags[np.all(np.isclose(sf, 0.0), axis=1)] = 2
+        mesh.surface_flags[np.all(np.isclose(sf, 4.0), axis=1)] = 3
+    if fe_type == "P2":
+        from feddlib_tpu.mesh.p2 import build_p2_mesh
+
+        mesh = build_p2_mesh(mesh)
+    return mesh
+
+
+def merge_meshes(a: Mesh, b: Mesh, tol: float = 1e-9) -> Mesh:
+    """Glue two conforming meshes: coincident points (within tol) are
+    identified; boundary facets that become interior are dropped."""
+    if a.dim != b.dim:
+        raise ValueError("dimension mismatch")
+    qa = np.round(a.points / tol).astype(np.int64)
+    qb = np.round(b.points / tol).astype(np.int64)
+    key_a = _hash_rows(qa)
+    key_b = _hash_rows(qb)
+    order = np.argsort(key_a, kind="stable")
+    pos = np.searchsorted(key_a[order], key_b)
+    pos = np.clip(pos, 0, len(order) - 1)
+    match = key_a[order][pos] == key_b
+    b_to_merged = np.empty(b.n_points, dtype=np.int64)
+    b_to_merged[match] = order[pos[match]]
+    new_ids = a.n_points + np.arange((~match).sum())
+    b_to_merged[~match] = new_ids
+    points = np.concatenate([a.points, b.points[~match]])
+    flags = np.concatenate([a.point_flags, b.point_flags[~match]])
+    # matched points: keep the max flag (interface points become interior 0
+    # only if both sides say 0 — caller re-flags anyway)
+    elements = np.concatenate([a.elements, b_to_merged[b.elements]])
+    eflags = np.concatenate([a.element_flags, b.element_flags])
+    mesh = Mesh(a.dim, "P1", points, flags, elements, eflags)
+    # regenerate the boundary from facet counts
+    if a.dim == 2:
+        edges, elem_edge = mesh.unique_edges()
+        cnt = np.zeros(len(edges), dtype=int)
+        np.add.at(cnt, elem_edge.ravel(), 1)
+        mesh.surfaces = edges[cnt == 1]
+        mesh.surface_flags = np.ones(len(mesh.surfaces), dtype=np.int32)
+    else:
+        from feddlib_tpu.mesh.structured import _boundary_tris_3d
+
+        mesh.surfaces, mesh.surface_flags = _boundary_tris_3d(mesh)
+    # interior points that were boundary in the halves: reset flags by
+    # membership in boundary facets
+    on_b = np.zeros(mesh.n_points, dtype=bool)
+    if mesh.surfaces is not None and len(mesh.surfaces):
+        on_b[np.unique(mesh.surfaces)] = True
+    mesh.point_flags = np.where(on_b, np.maximum(mesh.point_flags, 1),
+                                0).astype(np.int32)
+    return mesh
+
+
+def _hash_rows(q: np.ndarray) -> np.ndarray:
+    key = np.zeros(len(q), dtype=np.int64)
+    for d in range(q.shape[1]):
+        key = key * 1000003 + q[:, d]
+    return key
+
+
 def flag_boxed_boundary(mesh: Mesh, lower, upper, face_flags: dict) -> None:
     """Re-assign per-face boundary flags for a box mesh.
 

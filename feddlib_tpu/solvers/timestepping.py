@@ -30,6 +30,30 @@ from feddlib_tpu.fe import ops
 from feddlib_tpu.la.block import BlockMatrix, BlockVector
 
 
+def butcher_table(name: str):
+    """Butcher tables (reference TimeSteppingTools.cpp:315-350).
+    Returns (A, b, c) as numpy arrays."""
+    if name in ("Euler", "ExplicitEuler"):
+        return np.zeros((1, 1)), np.array([1.0]), np.array([0.0])
+    if name in ("ImplicitEuler", "BackwardEuler"):
+        return np.array([[1.0]]), np.array([1.0]), np.array([1.0])
+    if name in ("CrankNicolson", "Crank-Nicolson"):
+        return (np.array([[0.0, 0.0], [0.5, 0.5]]),
+                np.array([0.5, 0.5]), np.array([0.0, 1.0]))
+    raise ValueError(f"unknown Butcher table {name!r}")
+
+
+# fractional-step-θ sub-step parameters (reference fractional-θ table):
+# θ = 1 − √2/2, θ' = 1 − 2θ, α = (1−2θ)/(1−θ), β = 1 − α;
+# three sub-steps [θΔt (α-implicit), θ'Δt (β-implicit), θΔt (α-implicit)]
+def fractional_theta_parameters():
+    theta = 1.0 - np.sqrt(2.0) / 2.0
+    thetap = 1.0 - 2.0 * theta
+    alpha = thetap / (1.0 - theta)
+    beta = 1.0 - alpha
+    return theta, thetap, alpha, beta
+
+
 def bdf_coefficients(order: int):
     """(beta0, [alpha_1..alpha_k]) with  (β₀ uⁿ⁺¹ − Σ αᵢ uⁿ⁺¹⁻ⁱ)/dt ≈ u̇
     (reference: TimeSteppingTools::setInformationBDF)."""
@@ -193,6 +217,77 @@ class DAESolverInTime:
                 self.observer(t_new, d)
             t = t_new
         self.velocity, self.acceleration = v, a
+
+    # -- fractional-step-θ (reference: fractional-θ table,
+    # TimeSteppingTools.cpp:315-350) — three unequal θ-substeps per step,
+    # 2nd order and strongly A-stable; linear problems
+    def advance_linear_fractional_theta(self) -> None:
+        tp, prob = self.tp, self.tp.problem
+        dt = self.dt
+        th, thp, al, be_ = fractional_theta_parameters()
+        prob.init_vectors()
+        u = prob.solution
+        t = 0.0
+        subs = [(th * dt, al), (thp * dt, be_), (th * dt, al)]
+        lhs_cache = {}
+        while t < self.t_end - 1e-12:
+            for sub_dt, w_impl in subs:
+                key = (sub_dt, w_impl)
+                if key not in lhs_cache:
+                    lhs_cache[key] = tp.combined_system(1.0 / sub_dt, w_impl)
+                f = (self.rhs_func(t + sub_dt) if self.rhs_func
+                     else BlockVector.zeros(prob.block_sizes()))
+                Mu = tp.mass_apply(u).scale(1.0 / sub_dt)
+                Au = prob.system.apply(u)
+                rhs = Mu.axpy(-(1 - w_impl), Au).axpy(1.0, f)
+                u = self._solve_linear_step(lhs_cache[key], rhs, t + sub_dt)
+                t += sub_dt
+            prob.solution = u
+            if self.observer:
+                self.observer(t, u)
+
+    # -- semi-implicit NS: "Extrapolation" variant (reference
+    # NavierStokes::reAssemble("Extrapolation"), NavierStokes_def.hpp:324) —
+    # convection frozen at the extrapolated velocity 2uⁿ − uⁿ⁻¹, ONE linear
+    # solve per step (no Newton)
+    def advance_navier_stokes_extrapolation(self, order: int = 2) -> None:
+        from feddlib_tpu.fe import ops as fe_ops
+
+        tp, prob = self.tp, self.tp.problem
+        dt = self.dt
+        dom_u = prob.variables[0][0]
+        prob.init_vectors()
+        history = [prob.solution.copy()]
+        t = 0.0
+        beta0, alphas = bdf_coefficients(min(order, 2))
+        while t < self.t_end - 1e-12:
+            t_new = t + dt
+            k = min(order, len(history))
+            b0, al = bdf_coefficients(k)
+            # extrapolated advecting velocity
+            if len(history) >= 2:
+                u_ext = history[-1][0] * 2.0 - history[-2][0]
+            else:
+                u_ext = history[-1][0]
+            N = fe_ops.assemble_advection(dom_u, u_ext * prob.density)
+            Auu = prob.A.add(N)
+            prob._build_system(Auu)
+            acc = BlockVector.zeros(prob.block_sizes())
+            for i, a_ in enumerate(al):
+                acc = acc.axpy(a_ / dt, history[-(i + 1)])
+            f = (self.rhs_func(t_new) if self.rhs_func
+                 else BlockVector.zeros(prob.block_sizes()))
+            rhs = tp.mass_apply(acc).axpy(1.0, f)
+            lhs = tp.combined_system(b0 / dt, 1.0)
+            u = self._solve_linear_step(lhs, rhs, t_new)
+            self._lhs_cache_key = None  # lhs changes every step
+            prob.solution = u
+            history.append(u.copy())
+            if len(history) > order:
+                history.pop(0)
+            if self.observer:
+                self.observer(t_new, u)
+            t = t_new
 
     # -- nonlinear BDF (advanceInTimeNonLinearMultistep) ---------------------
     def advance_nonlinear_bdf(self, order: int = 2,

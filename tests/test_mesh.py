@@ -106,3 +106,18 @@ def test_write_roundtrip(tmp_path):
     np.testing.assert_allclose(m.points, m2.points)
     np.testing.assert_array_equal(m.elements, m2.elements)
     np.testing.assert_array_equal(m.point_flags, m2.point_flags)
+
+
+def test_backward_facing_step():
+    from feddlib_tpu.mesh.structured import build_backward_facing_step
+
+    m = build_backward_facing_step(2, h=0.1)
+    p = m.points[m.elements]
+    areas = np.abs(np.linalg.det(p[:, 1:] - p[:, :1])) / 2
+    assert np.isclose(areas.sum(), 3.5)  # duct 0.5 + channel 3.0
+    edges, ee = m.unique_edges()
+    cnt = np.zeros(len(edges), dtype=int)
+    np.add.at(cnt, ee.ravel(), 1)
+    assert set(np.unique(cnt)) == {1, 2}  # conforming glue
+    assert (m.point_flags[np.isclose(m.points[:, 0], 0.0)] == 2).all()
+    assert (m.point_flags[np.isclose(m.points[:, 0], 4.0)] == 3).all()

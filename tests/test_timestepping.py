@@ -166,3 +166,43 @@ def test_unsteady_navier_stokes_smoke():
     u = np.asarray(prob.solution[0]).reshape(-1, 2)
     assert np.abs(u).max() > 0.1
     assert np.isfinite(u).all()
+
+
+def test_fractional_theta_second_order():
+    """Fractional-step-θ is 2nd order on the heat equation
+    (reference TimeSteppingTools fractional-θ table)."""
+    dom, prob, u0 = _heat_problem(8)
+    tp = TimeProblem(prob)
+    T = 0.02
+    exact = _semidiscrete_exact(dom, prob, tp, u0, T)
+    errs = []
+    for dt in (T / 4, T / 8):
+        from feddlib_tpu.la.block import BlockVector
+
+        prob.solution = BlockVector([jnp.asarray(u0)])
+        drv = DAESolverInTime(tp, dt, T)
+        drv.advance_linear_fractional_theta()
+        errs.append(np.abs(np.asarray(prob.solution[0]) - exact).max())
+    assert np.log2(errs[0] / errs[1]) > 1.7, errs
+
+
+def test_navier_stokes_extrapolation():
+    """Semi-implicit NS (one linear solve per step, convection at the
+    extrapolated velocity — reference reAssemble('Extrapolation'))."""
+    dom_p = Domain.structured(2, 4)
+    dom_u = dom_p.p2_domain()
+    prob = NavierStokes(dom_u, dom_p, parameter_list=_params(
+        Viscosity=0.1, **{"Preconditioner Type": "Jacobi",
+                          "Maximum Iterations": 4000,
+                          "Convergence Tolerance": 1e-9}))
+    prob.assemble()
+    prob.add_bc(lambda x, t: jnp.where(
+        jnp.isclose(x[1], 1.0), jnp.array([1.0, 0.0]), jnp.zeros(2)), 1, 0)
+    dom_p.mesh.point_flags = dom_p.mesh.point_flags.copy()
+    dom_p.mesh.point_flags[0] = 77
+    prob.bc_builder.add_bc(lambda x, t: 0.0, 77, 1, dom_p, "Dirichlet", 1)
+    tp = TimeProblem(prob, time_step_def=[1, 0])
+    drv = DAESolverInTime(tp, 0.05, 0.2)
+    drv.advance_navier_stokes_extrapolation()
+    u = np.asarray(prob.solution[0]).reshape(-1, 2)
+    assert np.isfinite(u).all() and np.abs(u).max() > 0.1
