@@ -47,9 +47,10 @@ class TPM(Problem):
         dt = self.dt
         Ku = ops.assemble_lin_elasticity(dom_u, self.mu, self.lam)
         B, BT = ops.assemble_divergence(dom_u, dom_p)
-        Lp = ops.assemble_laplace(dom_p).scale(self.kappa)
+        Lp = ops.assemble_laplace(dom_p)
         Mp = ops.assemble_mass(dom_p)
-        self.B, self.BT, self.Mp = B, BT, Mp
+        self.B, self.BT, self.Mp, self.Lp = B, BT, Mp, Lp
+        Lp = Lp.scale(self.kappa)
         sizes = self.block_sizes()
         S = BlockMatrix(sizes)
         S.add_block(0, 0, Ku)
@@ -88,6 +89,111 @@ class TPM(Problem):
             rhs = self.bc_builder.apply_to_rhs(rhs, t_new)
             self.rhs = rhs
             self.solve()
+            if observer:
+                observer(t_new, self.solution)
+            t = t_new
+
+
+class NonLinTPM(TPM):
+    """Nonlinear (finite-strain) Biot poroelasticity — the NonLinTPM
+    analog (reference problems/specific/NonLinTPM_decl.hpp; AceGen element
+    with per-step history, NonLinTPM_def.hpp:221).  The solid is
+    hyperelastic (feddlib_tpu.fe.hyperelastic autodiff tangents); the Biot
+    coupling and flow equation stay as in TPM with the small-strain
+    divergence operator (consistent at moderate strains, as the reference's
+    TPM element).  Each step runs Newton on
+
+        R_u = F_int(d) + α Bᵀ p − f
+        R_p = −α/dt B (d − dⁿ) + κ L p + S/dt M (p − pⁿ) − g
+    """
+
+    def __init__(self, domain_u: Domain, domain_p: Domain,
+                 parameter_list=None):
+        super().__init__(domain_u, domain_p, parameter_list)
+        pl = self.parameter_list
+        self.material = pl.get("Material Model", "Neo-Hooke")
+        self.params = (self.mu, self.lam)
+
+    # NonLinearSolver protocol (overridden per step inside advance)
+    def calculate_residual(self, t: float = 0.0):
+        raise RuntimeError("use NonLinTPM.advance()")
+
+    def reassemble(self, mode: str = "Newton"):
+        raise RuntimeError("use NonLinTPM.advance()")
+
+    def residual_norm(self, r) -> float:
+        return float(r.norm2())
+
+    def _solid_residual_tangent(self):
+        from feddlib_tpu.fe import assembly as asm
+        from feddlib_tpu.fe.hyperelastic import elem_hyper_residual_tangent
+
+        dom = self.variables[0][0]
+        dim = dom.dim
+        d = self.solution[0].reshape(dom.n_nodes, dim)[dom.elem_nodes()]
+        R, K = elem_hyper_residual_tangent(
+            dom.vert_coords(), d, dim, dom.fe_type, self.material,
+            self.params)
+        n = dom.n_dofs(dim)
+        F = asm.assemble_vector(dom.elem_dofs(dim), R.reshape(R.shape[0], -1),
+                                n)
+        pat = dom.pattern(("square", dim), lambda: asm.scatter_pattern(
+            dom.elem_dofs(dim), dom.elem_dofs(dim), n, n))
+        from feddlib_tpu.la.csr import CsrMatrix
+
+        Kt = CsrMatrix(pat)
+        Kt.assemble(K.reshape(-1))
+        return F, Kt
+
+    def advance(self, t_end: float, observer: Optional[Callable] = None,
+                f_ext: Optional[BlockVector] = None) -> None:
+        from feddlib_tpu.solvers.nonlinear import NonLinearSolver
+
+        self.init_vectors()
+        dt = self.dt
+        solver = NonLinearSolver("Newton")
+        t = 0.0
+        prob = self
+        while t < t_end - 1e-12:
+            t_new = t + dt
+            u_old, p_old = self.solution[0], self.solution[1]
+            hist = self.step_rhs(u_old, p_old, None)
+
+            def residual(tt=0.0):
+                F_int, _ = prob._solid_residual_tangent()
+                u, p = prob.solution[0], prob.solution[1]
+                Ru = F_int + prob.alpha * prob.BT.matvec(p)
+                Rp = ((-prob.alpha / dt) * prob.B.matvec(u)
+                      + prob.kappa * prob.Lp.matvec(p)
+                      + (prob.storativity / dt) * prob.Mp.matvec(p)
+                      - hist[1])
+                if f_ext is not None:
+                    Ru = Ru - f_ext[0]
+                    Rp = Rp - f_ext[1]
+                r = BlockVector([Ru, Rp])
+                return prob.bc_builder.set_vector_minus_bc(
+                    r, prob.solution, tt)
+
+            def reassemble(mode="Newton"):
+                _, Kt = prob._solid_residual_tangent()
+                sizes = prob.block_sizes()
+                S = BlockMatrix(sizes)
+                S.add_block(0, 0, Kt)
+                S.add_block(0, 1, prob.BT.scale(prob.alpha))
+                S.add_block(1, 0, prob.B.scale(-prob.alpha / dt))
+                S.add_block(1, 1, prob.Lp.scale(prob.kappa).add(
+                    prob.Mp, alpha=1.0, beta=prob.storativity / dt))
+                prob.system = S
+                prob._prec_stale = True
+
+            base_res, base_rea = self.calculate_residual, self.reassemble
+            self.calculate_residual = residual
+            self.reassemble = reassemble
+            try:
+                solver.solve(self, t_new)
+            finally:
+                self.calculate_residual = base_res
+                self.reassemble = base_rea
             if observer:
                 observer(t_new, self.solution)
             t = t_new
