@@ -91,7 +91,9 @@ class DenseBlockSpMV:
         gp = (guniq // M).astype(np.int64)
         gc = (guniq % M).astype(np.int64)
         gcounts = np.bincount(gp, minlength=P)
-        G = _round_up(max(int(gcounts.max()) if len(gcounts) else 1, 1), 8)
+        G = max(int(gcounts.max()) if len(gcounts) else 1, 1)
+        # align the block width R+G to 128 lanes (Pallas/Mosaic tiling)
+        G = _round_up(R + G, 128) - R
         gstart = np.concatenate([[0], np.cumsum(gcounts)])
         gpos = np.arange(len(guniq)) - gstart[gp]
 

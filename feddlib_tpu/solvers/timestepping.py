@@ -343,6 +343,55 @@ class DAESolverInTime:
             prob.bc_system = base_bc_system
             prob.reassemble = base_reassemble
 
+    # -- adaptive θ-scheme (step-doubling error control) ---------------------
+    # The reference only scaffolds adaptivity (TimeSteppingTools.hpp:50
+    # timeSteppingType {NON_ADAPTIVE, ADAPTIVE} with no implementation) —
+    # this is a working addition: each step is computed once with dt and
+    # once with two dt/2 substeps; the Richardson error estimate drives a
+    # standard PI step-size controller within [dt_min, dt_max].
+    def advance_linear_theta_adaptive(self, rel_tol: float = 1e-4,
+                                      dt_min: float = 1e-6,
+                                      dt_max: float = 1.0,
+                                      safety: float = 0.9) -> None:
+        tp, prob = self.tp, self.tp.problem
+        th = self.theta
+        prob.init_vectors()
+        u = prob.solution
+        t = 0.0
+        dt = self.dt
+        p_order = 2 if abs(th - 0.5) < 1e-12 else 1
+        self.dt_history = []
+
+        def one_step(u, dt, t):
+            lhs = tp.combined_system(1.0 / dt, th)
+            f = (self.rhs_func(t + dt) if self.rhs_func
+                 else BlockVector.zeros(prob.block_sizes()))
+            f0 = (self.rhs_func(t) if self.rhs_func else f)
+            Mu = tp.mass_apply(u).scale(1.0 / dt)
+            Au = prob.system.apply(u)
+            rhs = Mu.axpy(-(1 - th), Au).axpy(th, f).axpy(1 - th, f0)
+            return self._solve_linear_step(lhs, rhs, t + dt)
+
+        while t < self.t_end - 1e-12:
+            dt = min(dt, self.t_end - t)
+            u_big = one_step(u, dt, t)
+            u_half = one_step(u, dt / 2, t)
+            u_small = one_step(u_half, dt / 2, t + dt / 2)
+            err = float(u_big.axpy(-1.0, u_small).norm2())
+            scale = max(float(u_small.norm2()), 1e-14)
+            rel = err / scale
+            if rel <= rel_tol or dt <= dt_min * 1.001:
+                u = u_small
+                prob.solution = u
+                t += dt
+                self.dt_history.append(dt)
+                if self.observer:
+                    self.observer(t, u)
+            factor = safety * (rel_tol / max(rel, 1e-16)) ** (
+                1.0 / (p_order + 1))
+            dt = float(np.clip(dt * np.clip(factor, 0.2, 5.0),
+                               dt_min, dt_max))
+
     # -- helpers -------------------------------------------------------------
     # The BC-applied lhs and its preconditioner are cached per lhs object:
     # for linear problems the combined system is constant in time, so the

@@ -108,3 +108,18 @@ def test_distributed_cg_jacobi(poisson):
     assert rel <= 1e-10
     np.testing.assert_allclose(collect_vector(x, part.unique_map),
                                np.asarray(ref.x), atol=1e-9)
+
+
+def test_distributed_assembly_matches_serial():
+    """Per-device element assembly + ghost-row export reproduces the serial
+    CSR data exactly (the Tpetra export/fillComplete analog)."""
+    from feddlib_tpu.parallel.assembly import DistributedAssembly
+
+    dom = Domain.structured(2, 10)
+    part = MeshPartition(dom.mesh, 4)
+    da = DistributedAssembly(part, dofs_per_node=1)
+    axis = DeviceAxis.make(4)
+    data = np.asarray(da.assemble_laplace(axis))
+    K = ops.assemble_laplace(dom)
+    ref = da.reference_local_data(np.asarray(K.data))
+    np.testing.assert_allclose(data, ref, atol=1e-12)

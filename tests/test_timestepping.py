@@ -206,3 +206,19 @@ def test_navier_stokes_extrapolation():
     drv.advance_navier_stokes_extrapolation()
     u = np.asarray(prob.solution[0]).reshape(-1, 2)
     assert np.isfinite(u).all() and np.abs(u).max() > 0.1
+
+
+def test_adaptive_theta():
+    """Step-doubling adaptive θ-scheme: dt grows as the transient decays
+    and the result stays within tolerance of the semidiscrete solution."""
+    dom, prob, u0 = _heat_problem(8)
+    tp = TimeProblem(prob)
+    from feddlib_tpu.la.block import BlockVector
+
+    prob.solution = BlockVector([jnp.asarray(u0)])
+    drv = DAESolverInTime(tp, 0.001, 0.05, theta=0.5)
+    drv.advance_linear_theta_adaptive(rel_tol=1e-5)
+    exact = _semidiscrete_exact(dom, prob, tp, u0, 0.05)
+    err = np.abs(np.asarray(prob.solution[0]) - exact).max()
+    assert err < 5e-4
+    assert max(drv.dt_history) > 2 * 0.001  # controller increased dt
