@@ -70,6 +70,8 @@ def main():
     cluster = part.unique_map.owner_of()
     db32 = DenseBlockSpMV.from_csr(Kb, cluster, dtype=jnp.float32)
 
+    from feddlib_tpu.la.dense_blocks import _batched_gemv
+
     @jax.jit
     def chain(blocks, ghost_idx, xp, steps):
         P, R = blocks.shape[0], blocks.shape[1]
@@ -78,8 +80,7 @@ def main():
             x_own = x.reshape(P, R)
             src = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
             xs = jnp.concatenate([x_own, src[ghost_idx]], axis=1)
-            y = jnp.einsum("prs,ps->pr", blocks, xs,
-                           preferred_element_type=blocks.dtype).reshape(-1)
+            y = _batched_gemv(blocks, xs).reshape(-1)
             return y * lax.rsqrt(jnp.vdot(y, y) + 1e-30)
 
         return lax.fori_loop(0, steps, body, xp)

@@ -150,8 +150,7 @@ def dense_block_op(ops, x):
     x_own = xp.reshape(P, R)
     srcp = jnp.concatenate([xp, jnp.zeros(1, xp.dtype)])
     xs = jnp.concatenate([x_own, srcp[ghost_idx]], axis=1)
-    y = jnp.einsum("prs,ps->pr", blocks, xs,
-                   preferred_element_type=blocks.dtype).reshape(-1)
+    y = _batched_gemv(blocks, xs).reshape(-1)
     return y[pad_of_old]
 
 
@@ -161,12 +160,21 @@ def _scatter_blocks(data, flat_idx, P, R, G):
         data).reshape(P, R, R + G)
 
 
+def _batched_gemv(blocks, xs):
+    from feddlib_tpu.la.pallas_kernels import (
+        dense_block_mv_pallas, use_pallas_dense)
+
+    P, R, W = blocks.shape
+    if use_pallas_dense(blocks.dtype) and R % 8 == 0 and W % 128 == 0:
+        return dense_block_mv_pallas(blocks, xs)
+    return jnp.einsum("prs,ps->pr", blocks, xs,
+                      preferred_element_type=blocks.dtype)
+
+
 @partial(jax.jit, static_argnames=("P", "R"))
 def _dense_block_mv(blocks, ghost_idx, xp, P, R):
     x_own = xp.reshape(P, R)
     src = jnp.concatenate([xp, jnp.zeros(1, xp.dtype)])
     ghosts = src[ghost_idx]  # [P, G] — the only gather
     xs = jnp.concatenate([x_own, ghosts], axis=1)  # [P, R+G]
-    y = jnp.einsum("prs,ps->pr", blocks, xs,
-                   preferred_element_type=blocks.dtype)
-    return y.reshape(-1)
+    return _batched_gemv(blocks, xs).reshape(-1)

@@ -117,16 +117,27 @@ class GDSWCoarseOperator:
         if dirichlet_mask is not None:
             iface_dof = iface_dof & ~dirichlet_mask
 
-        # Φ_Γ: one column per (component, nullspace vector); drop zero cols
+        # Φ_Γ: per component, the null-space restrictions ORTHONORMALIZED by
+        # QR with rank filtering — on small components rotations become
+        # linearly dependent on translations, which would make A₀ nearly
+        # singular and the coarse correction an amplifier (FROSch's
+        # partition-of-unity basis serves the same role)
         cols = []
         for c in comps:
             cdofs = (c[:, None] * dofs_per_node
                      + np.arange(dofs_per_node)[None, :]).ravel()
             keep = iface_dof[cdofs]
-            for j in range(k):
-                vals = ns[c][:, :, j].ravel()[keep]
-                if len(vals) and np.abs(vals).max() > 0:
-                    cols.append((cdofs[keep], vals))
+            kept = cdofs[keep]
+            if len(kept) == 0:
+                continue
+            V = ns[c].reshape(-1, k)[keep]  # [n_kept_dofs, k]
+            if not np.abs(V).max() > 0:
+                continue
+            Q, Rm = np.linalg.qr(V)
+            diag = np.abs(np.diag(Rm))
+            good = diag > 1e-10 * max(diag.max(), 1e-300)
+            for j in np.nonzero(good)[0]:
+                cols.append((kept, Q[:, j]))
         nc = len(cols)
         if nc == 0:
             raise ValueError("empty coarse space (no interface components)")

@@ -43,19 +43,38 @@ class NonLinearSolver:
         norm0 = problem.residual_norm(r)
         if norm0 == 0.0:
             return 0
+        import math
+
+        line_search = bool(pl.get("Use Line Search", True))
         its = 0
         crit = 1.0
         converged = False
         self.linear_iters = []
+        rnorm_prev = norm0
         while not converged and its < max_its:
             problem.reassemble(self.method)
             delta, lin_its = problem.linear_solver.solve_system(
                 problem, r.scale(-1.0))
             self.linear_iters.append(lin_its)
-            problem.solution = problem.solution.axpy(1.0, delta)
+            base = problem.solution
+            step = 1.0
+            problem.solution = base.axpy(step, delta)
             r = problem.calculate_residual(t)
-            its += 1
             rnorm = problem.residual_norm(r)
+            if line_search:
+                # backtracking: halve the step while the residual is NaN or
+                # grew (guards hyperelastic element inversion; a
+                # globalization the reference delegates to NOX)
+                tries = 0
+                while (not math.isfinite(rnorm)
+                       or rnorm > 2.0 * rnorm_prev) and tries < 12:
+                    step *= 0.5
+                    problem.solution = base.axpy(step, delta)
+                    r = problem.calculate_residual(t)
+                    rnorm = problem.residual_norm(r)
+                    tries += 1
+            rnorm_prev = rnorm if math.isfinite(rnorm) else rnorm_prev
+            its += 1
             if criterion == "Update":
                 crit = float(delta.norm2())
                 converged = crit <= tol

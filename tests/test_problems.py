@@ -150,3 +150,24 @@ def test_navier_stokes_fixed_point():
     solver = NonLinearSolver("FixedPoint")
     its = solver.solve(prob)
     assert solver.final_criterion <= 1e-6
+
+
+def test_problem_distributed_backend():
+    """'Use Distributed Solve' routes the problem's solve through the
+    device-mesh path with identical iterates to the serial Schwarz solve."""
+    results = {}
+    for dist in (False, True):
+        pl = _params(**{"Preconditioner Type": "SchwarzOneLevel",
+                        "Use Distributed Solve": dist,
+                        "Devices": 8, "Subdomains": 8})
+        dom = Domain.structured(2, 16)
+        prob = Laplace(dom, parameter_list=pl)
+        prob.assemble()
+        prob.assemble_source(lambda x: 1.0 + 0 * x[0])
+        prob.add_bc(lambda x, t: 0.0, 1, 0)
+        prob.set_boundaries_rhs()
+        iters = prob.solve()
+        results[dist] = (iters, np.asarray(prob.solution[0]))
+    assert results[True][0] == results[False][0]
+    np.testing.assert_allclose(results[True][1], results[False][1],
+                               atol=1e-9)
