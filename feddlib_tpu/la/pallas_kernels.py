@@ -55,9 +55,18 @@ def pallas_available() -> bool:
 
 
 def use_pallas_dense(dtype) -> bool:
-    """Trace-time policy: run the dense-block GEMV through the Pallas kernel
-    on TPU backends for f32 operands (measured ~0.36 ms vs ~0.8-1.0 ms for
-    the honest XLA einsum path at [256,400,768] on v5e — ~peak HBM rate)."""
+    """Trace-time policy for routing the dense-block GEMV through Pallas.
+
+    OPT-IN via FEDD_USE_PALLAS=1: standalone the kernel measures ~0.36 ms
+    (~866 GB/s ≈ stream speed-of-light) vs ~0.8-1.0 ms for the XLA einsum at
+    [256,400,768] on v5e, but composed inside Krylov while_loops it
+    currently runs slower and perturbs iterative-refinement convergence —
+    keep the proven einsum path as default until the in-loop composition is
+    debugged."""
+    import os
+
+    if os.environ.get("FEDD_USE_PALLAS") != "1":
+        return False
     try:
         return (jnp.dtype(dtype) == jnp.float32
                 and jax.default_backend() not in ("cpu",)
