@@ -26,12 +26,20 @@ _TOPOLOGY = {
 
 
 class ExporterParaView:
-    def __init__(self, domain, path: str, name: str = "solution"):
+    def __init__(self, domain, path: str, name: str = "solution",
+                 subsample_p1: bool = False):
+        """subsample_p1: write a P2 field on the P1 vertex subgrid (the
+        reference's P1-map output option for P2 solutions, addVariable
+        ExporterParaView_def.hpp:391)."""
         import h5py
 
         self.domain = domain
         self.name = name
         self.path = path
+        self.subsample_p1 = subsample_p1 and domain.fe_type == "P2"
+        if self.subsample_p1:
+            domain = domain.parent_p1 or domain
+            self.domain = domain
         os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
         self.h5_path = path + ".h5"
         self.xmf_path = path + ".xmf"
@@ -56,6 +64,9 @@ class ExporterParaView:
         for name, dofs in self.variables:
             v = np.asarray(values[name], dtype=np.float64)
             n = self.domain.n_nodes
+            if self.subsample_p1 and v.size > n * dofs:
+                # P2 field → keep the leading vertex-node entries
+                v = v.reshape(-1, dofs)[:n].ravel()
             if dofs > 1:
                 v = v.reshape(n, dofs)
                 if dofs == 2:  # pad 2-D vectors to 3 components
