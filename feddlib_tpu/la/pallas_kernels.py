@@ -57,12 +57,14 @@ def pallas_available() -> bool:
 def use_pallas_dense(dtype) -> bool:
     """Trace-time policy for routing the dense-block GEMV through Pallas.
 
-    OPT-IN via FEDD_USE_PALLAS=1: standalone the kernel measures ~0.36 ms
+    OPT-IN via FEDD_USE_PALLAS=1.  Standalone the kernel measures ~0.36 ms
     (~866 GB/s ≈ stream speed-of-light) vs ~0.8-1.0 ms for the XLA einsum at
-    [256,400,768] on v5e, but composed inside Krylov while_loops it
-    currently runs slower and perturbs iterative-refinement convergence —
-    keep the proven einsum path as default until the in-loop composition is
-    debugged."""
+    [256,400,768] on v5e AND matches the einsum bit-for-bit.  Composed
+    inside a lax.while_loop, however, it applies a *consistent but wrong*
+    operator on this toolchain (A/B at [64,344,640]: GMRES internal
+    residual 8e-7 while the true residual stays 0.24 — a Mosaic
+    layout/aliasing defect under loop buffer reuse, axon v5e stack).
+    Default stays on the proven einsum path."""
     import os
 
     if os.environ.get("FEDD_USE_PALLAS") != "1":
