@@ -288,10 +288,128 @@ def refine_uniform(mesh: Mesh) -> Mesh:
     return out
 
 
+def refine_bisection(mesh: Mesh, marked: np.ndarray,
+                     max_rounds: int = 50) -> Mesh:
+    """Conforming longest-edge bisection (Rivara) — works in 2D AND 3D,
+    giving 3D *adaptive* refinement (the reference's 3D AMR path is its
+    red/green machinery; bisection is the standard simplicial alternative
+    with guaranteed conformity and bounded shape degradation).
+
+    Iterate: bisect every marked simplex across its longest edge; any
+    simplex containing a hanging midpoint becomes marked; repeat to a fixed
+    point."""
+    if mesh.fe_type != "P1":
+        raise NotImplementedError("bisection refinement: P1 meshes")
+    dim = mesh.dim
+    nv = dim + 1
+    points = mesh.points.copy()
+    elems = [list(e) for e in mesh.elements[:, :nv]]
+    eflags = list(mesh.element_flags)
+    need = set(np.nonzero(marked)[0].tolist())
+    # midpoint registry: sorted vertex pair → new node id
+    midpoint: dict = {}
+
+    def get_mid(a, b):
+        nonlocal points
+        key = (min(a, b), max(a, b))
+        m = midpoint.get(key)
+        if m is None:
+            m = len(points)
+            points = np.concatenate(
+                [points, 0.5 * (points[a:a + 1] + points[b:b + 1])])
+            midpoint[key] = m
+        return m
+
+    for _ in range(max_rounds):
+        if not need:
+            break
+        next_need = set()
+        new_elems, new_flags = [], []
+        remap = {}
+        for ei, verts in enumerate(elems):
+            if ei not in need:
+                new_elems.append(verts)
+                new_flags.append(eflags[ei])
+                continue
+            # longest edge of this simplex
+            best, pair = -1.0, None
+            for i in range(nv):
+                for j in range(i + 1, nv):
+                    d = np.sum((points[verts[i]] - points[verts[j]]) ** 2)
+                    if d > best:
+                        best, pair = d, (i, j)
+            i, j = pair
+            m = get_mid(verts[i], verts[j])
+            rest = [verts[k] for k in range(nv) if k not in (i, j)]
+            new_elems.append([verts[i], m] + rest)
+            new_flags.append(eflags[ei])
+            new_elems.append([m, verts[j]] + rest)
+            new_flags.append(eflags[ei])
+        elems, eflags = new_elems, new_flags
+        # conformity: any element whose edge has a registered midpoint but
+        # does not contain it must be bisected again
+        need = set()
+        for ei, verts in enumerate(elems):
+            vset = set(verts)
+            for i in range(nv):
+                for j in range(i + 1, nv):
+                    key = (min(verts[i], verts[j]), max(verts[i], verts[j]))
+                    if key in midpoint and midpoint[key] not in vset:
+                        need.add(ei)
+                        break
+                else:
+                    continue
+                break
+
+    elements = np.array(elems, dtype=np.int64)
+    # orientation fix
+    p = points[elements]
+    d = np.linalg.det(p[:, 1:] - p[:, :1])
+    neg = d < 0
+    elements[neg, -2], elements[neg, -1] = (elements[neg, -1].copy(),
+                                            elements[neg, -2].copy())
+    # point flags: new midpoints inherit boundary flags when both endpoints
+    # share one and the midpoint lies on the boundary facet set
+    n_old = mesh.n_points
+    pflags = np.concatenate([mesh.point_flags,
+                             np.zeros(len(points) - n_old, np.int32)])
+    out = Mesh(dim, "P1", points, pflags, elements,
+               np.array(eflags, dtype=np.int32))
+    # regenerate boundary + flags from facet counts
+    if dim == 2:
+        edges, elem_edge = out.unique_edges()
+        cnt = np.zeros(len(edges), dtype=int)
+        np.add.at(cnt, elem_edge.ravel(), 1)
+        out.surfaces = edges[cnt == 1]
+    else:
+        from feddlib_tpu.mesh.structured import _boundary_tris_3d
+
+        out.surfaces, _ = _boundary_tris_3d(out)
+    out.surface_flags = np.ones(len(out.surfaces), dtype=np.int32)
+    # midpoints on boundary facets: flag = min flag of parents (if both >0)
+    bnodes = np.unique(out.surfaces)
+    for key, m in midpoint.items():
+        a, b = key
+        if m in set(bnodes.tolist()):
+            fa = pflags[a] if a < n_old else out.point_flags[a]
+            fb = pflags[b] if b < n_old else out.point_flags[b]
+            if fa > 0 and fb > 0:
+                out.point_flags[m] = min(fa, fb)
+            else:
+                out.point_flags[m] = max(out.point_flags[m], 1)
+    # all boundary nodes get at least flag 1
+    mask0 = out.point_flags[bnodes] == 0
+    out.point_flags[bnodes[mask0]] = 1
+    return out
+
+
 def adapt(mesh: Mesh, u: np.ndarray, f: Optional[Callable] = None,
-          strategy: str = "Doerfler", theta: float = 0.5
-          ) -> Tuple[Mesh, np.ndarray]:
-    """One AMR cycle: estimate → mark → refine.  Returns (new mesh, η)."""
+          strategy: str = "Doerfler", theta: float = 0.5,
+          method: str = "redgreen") -> Tuple[Mesh, np.ndarray]:
+    """One AMR cycle: estimate → mark → refine.  Returns (new mesh, η).
+    method: 'redgreen' (2D) or 'bisection' (2D/3D)."""
     eta = error_estimate_p1(mesh, u, f)
     marked = mark_elements(eta, strategy, theta)
+    if method == "bisection":
+        return refine_bisection(mesh, marked), eta
     return refine_mesh_2d(mesh, marked), eta

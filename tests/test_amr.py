@@ -124,3 +124,33 @@ def test_marking_strategies():
     assert md[3] and md.sum() <= 2
     mu = mark_elements(eta, "Uniform")
     assert mu.all()
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_bisection_refinement(dim):
+    """Conforming longest-edge bisection — the 3D-capable adaptive path."""
+    from feddlib_tpu.mesh.refine import refine_bisection
+
+    m = build_structured_mesh(dim, 3 if dim == 2 else 2)
+    cur = m
+    for _ in range(2):
+        cent = cur.points[cur.elements[:, :dim + 1]].mean(axis=1)
+        order = np.argsort(np.linalg.norm(cent - 0.5, axis=1))
+        marked = np.zeros(cur.n_elements, dtype=bool)
+        marked[order[: max(4, cur.n_elements // 8)]] = True
+        cur = refine_bisection(cur, marked)
+        nv = dim + 1
+        p = cur.points[cur.elements[:, :nv]]
+        vols = np.abs(np.linalg.det(p[:, 1:] - p[:, :1]))
+        assert np.isclose(vols.sum() / (2 if dim == 2 else 6), 1.0)
+        assert vols.min() > 0
+        # facet conformity
+        v = cur.elements[:, :nv]
+        if dim == 2:
+            fl = [(0, 1), (1, 2), (0, 2)]
+        else:
+            fl = [(0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)]
+        fac = np.concatenate([np.sort(v[:, list(f)], axis=1) for f in fl])
+        _, c = np.unique(fac, axis=0, return_counts=True)
+        assert set(np.unique(c)) <= {1, 2}
+    assert cur.n_elements > m.n_elements
