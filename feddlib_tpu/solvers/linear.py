@@ -172,6 +172,9 @@ class LinearSolver:
             x, iters = self._solve_distributed(problem, A, b, params,
                                                tol, maxiter, restart, method)
             return x, iters
+        if bool(params.get("Use Mixed Precision", False)):
+            return self._solve_mixed(problem, A, b, params, tol, maxiter,
+                                     restart)
 
         if problem.preconditioner.apply() is None or problem._prec_stale:
             problem.preconditioner.build(A)
@@ -203,6 +206,57 @@ class LinearSolver:
 
             warnings.warn(f"linear solve not converged: relres={res.relres}")
         return BlockVector.split(res.x, problem.block_sizes()), res.iters
+
+    def _solve_mixed(self, problem, A, b: BlockVector, params, tol,
+                     maxiter, restart):
+        """Mixed-precision path ('Use Mixed Precision'): f64 residual
+        refinement around an f32 MXU inner Krylov on the dense row-cluster
+        operator with f32 Schwarz — the TPU production solver (f64 accuracy
+        at f32 speed; see solvers/refinement.py)."""
+        import jax
+
+        from feddlib_tpu.la.dense_blocks import DenseBlockSpMV
+        from feddlib_tpu.precond.schwarz import SchwarzPreconditioner
+        from feddlib_tpu.solvers.krylov import solve_jit
+        from feddlib_tpu.solvers.refinement import iterative_refinement
+
+        inner_tol = float(params.get("Inner Tolerance", 1e-6))
+        n_clusters = int(params.get("Clusters",
+                                    params.get("Subdomains", 64)))
+        cache = getattr(problem, "_mixed_cache", None)
+        if (cache is None or cache["pattern"] is not A.pattern
+                or problem._prec_stale):
+            dom0 = problem.domains[0]
+            base_mesh = (dom0.parent_p1.mesh if dom0.parent_p1 is not None
+                         else dom0.mesh)
+            part = MeshPartition(base_mesh, n_clusters)
+            dof_map = problem.preconditioner._merged_dof_map(part)
+            cluster = np.zeros(A.shape[0], dtype=np.int32)
+            for p, ix in enumerate(dof_map.partition_indices):
+                cluster[ix] = p
+            db32 = DenseBlockSpMV.from_csr(A, cluster, dtype=jnp.float32)
+            prec32 = SchwarzPreconditioner(
+                A, dof_map, overlap=int(params.get("Overlap", 1)),
+                dtype=jnp.float32)
+            cache = {"pattern": A.pattern, "db32": db32,
+                     "A_op": db32.operator(), "M_op": prec32.operator()}
+            problem._mixed_cache = cache
+            problem._prec_stale = False
+        A_fn, A_ops = cache["A_op"]
+        M_fn, M_ops = cache["M_op"]
+
+        def inner(r32):
+            return solve_jit("gmres", A_fn, A_ops, r32, M_fn=M_fn,
+                             M_ops=M_ops, tol=inner_tol, maxiter=maxiter,
+                             restart=restart)
+
+        res = iterative_refinement(A.matvec, inner, b.concat(), tol=tol)
+        problem.last_relres = res.relres
+        if not res.converged:
+            import warnings
+
+            warnings.warn(f"mixed-precision solve: relres={res.relres}")
+        return (BlockVector.split(res.x, problem.block_sizes()), res.iters)
 
     def _solve_distributed(self, problem, A, b: BlockVector, params,
                            tol, maxiter, restart, method):

@@ -171,3 +171,25 @@ def test_problem_distributed_backend():
     assert results[True][0] == results[False][0]
     np.testing.assert_allclose(results[True][1], results[False][1],
                                atol=1e-9)
+
+
+def test_problem_mixed_precision_backend():
+    """'Use Mixed Precision' (f32 MXU inner Krylov + f64 refinement)
+    reaches the f64 tolerance and matches the f64 solution."""
+    def run(mixed):
+        pl = _params(**{"Preconditioner Type": "SchwarzOneLevel",
+                        "Subdomains": 8, "Clusters": 8,
+                        "Use Mixed Precision": mixed})
+        dom = Domain.structured(2, 16)
+        prob = Laplace(dom, parameter_list=pl)
+        prob.assemble()
+        prob.assemble_source(lambda x: 1.0 + 0 * x[0])
+        prob.add_bc(lambda x, t: 0.0, 1, 0)
+        prob.set_boundaries_rhs()
+        prob.solve()
+        return prob.last_relres, np.asarray(prob.solution[0])
+
+    r64, x64 = run(False)
+    rmx, xmx = run(True)
+    assert rmx <= 1e-8
+    np.testing.assert_allclose(xmx, x64, atol=1e-8)
