@@ -414,6 +414,30 @@ class FSI(NonLinearProblem):
             base.append(self.variables[0][0].n_dofs(self.dim))
         return base
 
+    def extra_block_owner(self, block: int, n_parts: int,
+                          mesh_parts: dict) -> np.ndarray:
+        """Partition assignment for domain-less blocks (λ, geometry) — the
+        monolithic-Schwarz analog of the reference's FSI FROSch setup
+        (Preconditioner::buildPreconditionerMonolithicFSI,
+        Preconditioner_def.hpp:466): λ dofs follow the owner of their
+        matched fluid interface node; geometry follows the velocity space."""
+        from feddlib_tpu.mesh.partition import MeshPartition
+        from feddlib_tpu.solvers.linear import _p2_unique_map
+
+        dom_u = self.variables[0][0]
+        base = (dom_u.parent_p1 or dom_u).mesh
+        bp = mesh_parts.get(id(base))
+        if bp is None:
+            bp = MeshPartition(base, n_parts)
+            mesh_parts[id(base)] = bp
+        node_map = (bp.unique_map if dom_u.mesh is bp.mesh
+                    else _p2_unique_map(bp, dom_u))
+        if block == 3:  # λ
+            owner = node_map.owner_of()[self.interface.nodes_a]
+            return np.repeat(owner, self.dim)
+        # geometry block: same layout as the velocity space
+        return node_map.build_vec_field_map(self.dim).owner_of()
+
     def tip_displacement(self, point) -> np.ndarray:
         """Displacement at the solid node closest to `point` — the Turek
         FSI2 observable (reference getValuesOfInterest2DBenchmark,

@@ -98,30 +98,42 @@ class Preconditioner:
     def _merged_dof_map(self, part: MeshPartition):
         """Dof-level unique map for the merged monolithic system.
 
-        Single-variable problems: node map × dofs.  Multi-variable (block)
-        problems: concatenated per-block dof maps with block offsets —
-        mirrors the reference feeding FROSch per-block repeated maps
-        (Preconditioner_def.hpp:295-383).
-        """
+        Blocks on the partitioned mesh (or its P2 child) use its maps;
+        blocks on OTHER meshes get their own partition of the same part
+        count — the multi-mesh analog of the reference's rank ranges
+        (MeshPartitioner_def.hpp:61-120): device p owns piece p of EVERY
+        mesh.  Extra (domain-less) blocks such as FSI's λ are assigned via
+        the problem's `extra_block_owner(block, n_parts)` hook, else
+        round-robin.  Mirrors the reference feeding FROSch per-block
+        repeated maps (Preconditioner_def.hpp:295-383)."""
         from feddlib_tpu.la.map import IndexMap
 
         prob = self.problem
-        offsets = np.concatenate([[0], np.cumsum(prob.block_sizes())])
-        parts = [[] for _ in range(part.n_parts)]
-        for b, (dom, dofs, _) in enumerate(prob.variables):
-            if dom.mesh is part.mesh:
-                node_map = part.unique_map
-            elif (dom.parent_p1 is not None
-                  and dom.parent_p1.mesh is part.mesh):
-                # P2 domain sharing the P1 parent mesh: extend the node
-                # partition to P2 nodes via owning of the parent edge ends
-                node_map = _p2_unique_map(part, dom)
+        sizes = prob.block_sizes()
+        offsets = np.concatenate([[0], np.cumsum(sizes)])
+        n_parts = part.n_parts
+        parts = [[] for _ in range(n_parts)]
+        mesh_parts = {id(part.mesh): part}
+        for b in range(len(sizes)):
+            if b < len(prob.variables):
+                dom, dofs, _ = prob.variables[b]
+                base = dom.parent_p1 or dom
+                bp = mesh_parts.get(id(base.mesh))
+                if bp is None:
+                    bp = MeshPartition(base.mesh, n_parts)
+                    mesh_parts[id(base.mesh)] = bp
+                node_map = (bp.unique_map if dom.mesh is bp.mesh
+                            else _p2_unique_map(bp, dom))
+                dmap = node_map.build_vec_field_map(dofs)
+                for p in range(n_parts):
+                    parts[p].append(dmap.partition_indices[p] + offsets[b])
             else:
-                raise ValueError(
-                    f"block {b} domain does not share the partitioned mesh")
-            dmap = node_map.build_vec_field_map(dofs)
-            for p in range(part.n_parts):
-                parts[p].append(dmap.partition_indices[p] + offsets[b])
+                hook = getattr(prob, "extra_block_owner", None)
+                owner = (hook(b, n_parts, mesh_parts) if hook is not None
+                         else np.arange(sizes[b]) % n_parts)
+                owner = np.asarray(owner)
+                for p in range(n_parts):
+                    parts[p].append(np.nonzero(owner == p)[0] + offsets[b])
         merged = [np.sort(np.concatenate(lst)) for lst in parts]
         return IndexMap(int(offsets[-1]), merged)
 

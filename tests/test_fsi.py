@@ -191,3 +191,39 @@ def test_fsi_geometry_implicit():
     rel = (np.abs(results["GE"] - results["GI"]).max()
            / np.abs(results["GE"]).max())
     assert rel < 0.05, rel  # same physics, small geometry-coupling delta
+
+
+def test_fsi_monolithic_schwarz():
+    """Monolithic one-level Schwarz over the multi-mesh merged dof map
+    (fluid + solid + λ; the reference's buildPreconditionerMonolithicFSI
+    analog) converges in few GMRES iterations."""
+    from feddlib_tpu.problems.fsi import FSI
+    from feddlib_tpu.solvers import linear as linmod
+
+    iters_log = []
+    orig = linmod.LinearSolver.solve_system
+
+    def patched(self, problem, b):
+        x, it = orig(self, problem, b)
+        iters_log.append(it)
+        return x, it
+
+    linmod.LinearSolver.solve_system = patched
+    try:
+        dom_u, dom_p, dom_d = _two_box_domains(4)
+        pl = _params(Viscosity=0.1, E=50.0, dt=0.02,
+                     **{"Poisson Ratio": 0.3,
+                        "Preconditioner Type": "SchwarzOneLevel",
+                        "Subdomains": 4, "Maximum Iterations": 8000,
+                        "Convergence Tolerance": 1e-9, "MaxNonLinIts": 12})
+        prob = FSI(dom_u, dom_p, dom_d, [IFACE], parameter_list=pl)
+        prob.assemble()
+        prob.add_bc(lambda x, t: jnp.where(
+            jnp.isclose(x[1], 1.0), jnp.array([0.5, 0.0]), jnp.zeros(2)),
+            1, 0)
+        prob.add_bc(lambda x, t: jnp.zeros(2), 1, 2)
+        prob.advance(t_end=0.02)
+    finally:
+        linmod.LinearSolver.solve_system = orig
+    assert max(iters_log) < 60
+    assert np.isfinite(np.asarray(prob.solution[2])).all()
