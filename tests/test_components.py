@@ -213,3 +213,39 @@ def test_distributed_two_level_matches_serial():
     assert it == ref.iters
     np.testing.assert_allclose(collect_vector(x, part.unique_map),
                                np.asarray(ref.x), atol=1e-9)
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_q1_hex_elements(dim):
+    """Isoparametric Q1 quad/hex elements: partition of unity, nodal basis,
+    exact mass total, and linear-exactness of the Poisson solve."""
+    from feddlib_tpu.fe.assembly import scatter_pattern
+    from feddlib_tpu.fe.hex import (build_hex_mesh, hex_elem_laplace,
+                                    hex_elem_mass, q1_phi)
+    from feddlib_tpu.la.csr import CsrMatrix
+    from feddlib_tpu.solvers.krylov import cg
+
+    mesh = build_hex_mesh(dim, 3)
+    coords = jnp.asarray(mesh.points[mesh.elements])
+    K = hex_elem_laplace(coords, dim)
+    M = hex_elem_mass(coords, dim)
+    np.testing.assert_allclose(np.asarray(K).sum(axis=2), 0.0, atol=1e-12)
+    assert np.isclose(float(jnp.sum(M)), 1.0, atol=1e-12)
+
+    n = mesh.n_points
+    pat = scatter_pattern(mesh.elements, mesh.elements, n, n)
+    Kg = CsrMatrix(pat)
+    Kg.assemble(K.reshape(-1))
+    g = mesh.points[:, 0] + 2 * mesh.points[:, 1]
+    mask = mesh.point_flags == 1
+    rows = pat.rows_of_slots()
+    in_r, in_c = mask[rows], mask[pat.indices]
+    is_d = pat.indices == rows
+    rhs = -Kg.matvec(jnp.where(jnp.asarray(mask), jnp.asarray(g), 0.0))
+    rhs = jnp.where(jnp.asarray(mask), jnp.asarray(g), rhs)
+    data = Kg.data.at[jnp.asarray(
+        np.nonzero((in_r | in_c) & ~(is_d & in_r))[0])].set(0.0)
+    data = data.at[jnp.asarray(np.nonzero(in_r & is_d)[0])].set(1.0)
+    Kb = CsrMatrix(pat, data)
+    res = cg(Kb.matvec, rhs, tol=1e-12, maxiter=1000)
+    assert np.abs(np.asarray(res.x) - g).max() < 1e-9
