@@ -61,6 +61,7 @@ def main():
     with timers.timer("mesh"):
         dom_p = Domain.from_file(args.mesh, fe_type="P1")
         dom_u = dom_p.p2_domain()
+    dim = dom_u.dim
     print(f"velocity: {dom_u}   pressure: {dom_p}")
 
     prob = NavierStokes(dom_u, dom_p, parameter_list=pl)
@@ -70,15 +71,22 @@ def main():
     H = 0.41
     umax = float(pl.get("MaxVelocity", args.umax))
 
-    def inflow(x, t):
-        uy = 4.0 * umax * x[1] * (H - x[1]) / (H * H)
-        return jnp.array([uy, 0.0])
+    if dim == 2:
+        def inflow(x, t):
+            uy = 4.0 * umax * x[1] * (H - x[1]) / (H * H)
+            return jnp.array([uy, 0.0])
+    else:
+        def inflow(x, t):  # DFG 3D parabolic profile (main.cpp inflow3D)
+            ux = (16.0 * umax * x[1] * x[2] * (H - x[1]) * (H - x[2])
+                  / H ** 4)
+            return jnp.array([ux, 0.0, 0.0])
 
-    zero2 = lambda x, t: jnp.zeros(2)
-    prob.add_bc(zero2, 1, 0)      # walls
+    zero = lambda x, t: jnp.zeros(dim)
+    prob.add_bc(zero, 1, 0)       # walls
     prob.add_bc(inflow, 2, 0)     # inflow
-    prob.add_bc(zero2, 4, 0)      # cylinder
-    prob.add_bc(zero2, 5, 0)      # beam
+    prob.add_bc(zero, 4, 0)       # cylinder
+    if dim == 2:
+        prob.add_bc(zero, 5, 0)   # beam (Turek-Hron meshes)
     # flag 3 (outflow): natural — do-nothing
 
     solver = NonLinearSolver("Newton")
@@ -87,12 +95,19 @@ def main():
     print(f"Newton its: {its}  criterion: {solver.final_criterion:.2e}  "
           f"GMRES per step: {solver.linear_iters}")
 
-    u_mean = 2.0 / 3.0 * umax
-    F = prob.surface_forces([4, 5])
-    cd, cl = prob.drag_lift_coefficients([4, 5], u_mean, 0.1)
-    print(f"forces on cylinder+beam: Fx={F[0]:.6f} Fy={F[1]:.6f}")
-    print(f"drag={F[0]:.4f} lift={F[1]:.4f}  "
-          f"(Turek-Hron CFD1 reference: drag 14.29, lift 1.119)")
+    if dim == 2:
+        F = prob.surface_forces([4, 5])
+        print(f"forces on cylinder+beam: Fx={F[0]:.6f} Fy={F[1]:.6f}")
+        print(f"drag={F[0]:.4f} lift={F[1]:.4f}  "
+              f"(Turek-Hron CFD1 reference: drag 14.29, lift 1.119)")
+    else:
+        u_mean = 4.0 / 9.0 * umax
+        F = prob.surface_forces([4])
+        cd = 2 * F[0] / (prob.density * u_mean ** 2 * 0.1 * H)
+        cl = 2 * F[1] / (prob.density * u_mean ** 2 * 0.1 * H)
+        print(f"forces on cylinder: F={np.asarray(F)}")
+        print(f"cd={cd:.4f} cl={cl:.5f}  "
+              f"(DFG 3D-1Z published: cd 6.18533, cl 0.00940)")
 
     if args.out:
         from feddlib_tpu.io.exporter import ExporterParaView
