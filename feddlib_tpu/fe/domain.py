@@ -41,6 +41,17 @@ class Domain:
         return p1 if fe_type == "P1" else p1.p2_domain()
 
     @classmethod
+    def structured_hex(cls, dim: int, n_cells, fe_type: str = "Q1",
+                       **kw) -> "Domain":
+        """Structured quad/hex domain (Q1 | Q2 | Q2-20); reference:
+        MeshStructured Q-variants, MeshStructured_decl.hpp:71-101."""
+        from feddlib_tpu.fe.hex import build_hex_mesh
+
+        if fe_type not in ("Q1", "Q2", "Q2-20"):
+            raise ValueError(f"unsupported hex fe_type {fe_type!r}")
+        return cls(build_hex_mesh(dim, n_cells, fe_type=fe_type, **kw))
+
+    @classmethod
     def from_file(cls, path: str, fe_type: str = "P1") -> "Domain":
         _check_fe_type(fe_type)
         p1 = cls(read_mesh(path, fe_type="P1"))
@@ -103,7 +114,15 @@ class Domain:
             return self.mesh.elements
         return vector_dof_ids(self.mesh.elements, dofs_per_node)
 
+    @property
+    def is_hex(self) -> bool:
+        return self.fe_type.startswith("Q")
+
     def n_basis(self) -> int:
+        if self.is_hex:
+            from feddlib_tpu.fe.hex import hex_n_basis
+
+            return hex_n_basis(self.fe_type, self.dim)
         return ref.n_basis(self.dim, self.fe_type)
 
     # -- pattern cache ------------------------------------------------------

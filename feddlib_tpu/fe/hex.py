@@ -1,15 +1,27 @@
-"""Q1 hexahedral (and Q1 quadrilateral) elements — isoparametric assembly.
+"""Quadrilateral/hexahedral elements: Q1, Q2 (tensor), Q2-20 (serendipity).
 
 The reference's structured path supports Q1/Q2/Q2-20 hex discretisations
-(MeshStructured_decl.hpp:71-101; Q-bases in FE::getPhi/getDPhi).  Unlike
-simplices, hex mappings are NON-affine: the Jacobian varies per quadrature
-point, so the batched kernels here compute J(ξ_q) per element per point —
-still one einsum pipeline over [elements, points, basis, dims].
+(MeshStructured_decl.hpp:71-101; Q-bases in FE::getPhi :6730 / FE::getDPhi
+:6846).  Unlike simplices, hex mappings are non-affine in general: the
+Jacobian varies per quadrature point, so the batched kernels here compute
+J(xi_q) per element per point — still one einsum pipeline over
+[elements, points, basis, dims].
 
-Element node ordering (tensor product, matches mesh_hex generation):
-  2D quad: (0,0),(1,0),(1,1),(0,1)
-  3D hex:  (0,0,0),(1,0,0),(1,1,0),(0,1,0),(0,0,1),(1,0,1),(1,1,1),(0,1,1)
-Reference coordinates in [0,1]^dim; Gauss-Legendre tensor quadrature.
+Geometry is subparametric Q1 (corner vertices only), mirroring the simplex
+path where geometry is always affine-P1 even for P2 fields; higher-order
+field bases (Q2/Q2-20) ride on the Q1 map.  Reference coordinates live in
+[0,1]^dim; quadrature is tensor Gauss-Legendre.
+
+Node ordering (corners first — mesh generation and kernels share it):
+  2D quad corners: (0,0),(1,0),(1,1),(0,1)
+  3D hex corners:  (0,0,0),(1,0,0),(1,1,0),(0,1,0),
+                   (0,0,1),(1,0,1),(1,1,1),(0,1,1)
+  Q2/Q2-20 append edge midpoints (bottom ring, top ring, verticals),
+  Q2 additionally face centers (z-,z+,y-,x+,y+,x-) and the cell center.
+
+Basis gradients are obtained by jax.jacfwd of the closed-form basis —
+evaluated once per (fe_type, dim, rule) into static numpy tables, so the
+per-element kernels see constants (nothing is differentiated at runtime).
 """
 
 from __future__ import annotations
@@ -21,46 +33,130 @@ import jax.numpy as jnp
 import numpy as np
 
 from feddlib_tpu.fe.assembly import small_det, small_inv
-from feddlib_tpu.mesh.mesh import Mesh
 
 f64 = jnp.float64
 
-_QUAD_NODES = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], dtype=float)
-_HEX_NODES = np.array([
+_QUAD_CORNERS = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], dtype=float)
+_HEX_CORNERS = np.array([
     [0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
     [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1],
 ], dtype=float)
 
+# edges as corner-index pairs (midpoints become Q2 nodes)
+_QUAD_EDGES = [(0, 1), (1, 2), (2, 3), (3, 0)]
+_HEX_EDGES = [(0, 1), (1, 2), (2, 3), (3, 0),      # bottom ring
+              (4, 5), (5, 6), (6, 7), (7, 4),      # top ring
+              (0, 4), (1, 5), (2, 6), (3, 7)]      # verticals
+# hex face centers: z=0, z=1, y=0, x=1, y=1, x=0 (corner quadruples)
+_HEX_FACES = [(0, 1, 2, 3), (4, 5, 6, 7), (0, 1, 5, 4),
+              (1, 2, 6, 5), (2, 3, 7, 6), (3, 0, 4, 7)]
 
+
+def _corners(dim: int) -> np.ndarray:
+    return _QUAD_CORNERS if dim == 2 else _HEX_CORNERS
+
+
+@lru_cache(maxsize=None)
+def ref_nodes(fe_type: str, dim: int) -> np.ndarray:
+    """Reference-node coordinates [nb, dim] in [0,1]^dim, corners first."""
+    c = _corners(dim)
+    if fe_type == "Q1":
+        return c
+    edges = _QUAD_EDGES if dim == 2 else _HEX_EDGES
+    mids = np.array([(c[a] + c[b]) / 2 for a, b in edges])
+    if fe_type == "Q2-20":
+        if dim != 3:
+            raise ValueError("Q2-20 is a 3D (20-node hex) element")
+        return np.vstack([c, mids])
+    if fe_type == "Q2":
+        if dim == 2:
+            return np.vstack([c, mids, [[0.5, 0.5]]])
+        faces = np.array([c[list(f)].mean(axis=0) for f in _HEX_FACES])
+        return np.vstack([c, mids, faces, [[0.5, 0.5, 0.5]]])
+    raise ValueError(f"unknown hex fe_type {fe_type!r}")
+
+
+def hex_n_basis(fe_type: str, dim: int) -> int:
+    return len(ref_nodes(fe_type, dim))
+
+
+def _lagrange_1d(fe_type: str, x, c: float):
+    """1D Lagrange factor for node coordinate c ∈ {0, 0.5, 1} on [0,1]."""
+    if fe_type == "Q1":
+        return x if c > 0.5 else 1.0 - x
+    if c == 0.0:
+        return (1.0 - x) * (1.0 - 2.0 * x)
+    if c == 1.0:
+        return x * (2.0 * x - 1.0)
+    return 4.0 * x * (1.0 - x)
+
+
+def _basis_fn(fe_type: str, dim: int):
+    """Closed-form basis: x[dim] → [nb] (jnp-traceable, jacfwd-able)."""
+    nodes = ref_nodes(fe_type, dim)
+
+    if fe_type in ("Q1", "Q2"):
+        def phi(x):
+            vals = []
+            for nd in nodes:
+                v = 1.0
+                for d in range(dim):
+                    v = v * _lagrange_1d(fe_type, x[d], nd[d])
+                vals.append(v)
+            return jnp.stack(vals)
+        return phi
+
+    # Q2-20 serendipity (20-node hex); standard basis on t ∈ [-1,1]^3:
+    #   corner:   1/8 Π(1+t_d t_i,d) (Σ t_d t_i,d − 2)
+    #   mid-edge: 1/4 (1−t_a²) Π_{d≠a}(1+t_d t_i,d)   (t_i,a = 0)
+    def phi(x):
+        t = 2.0 * jnp.asarray(x) - 1.0
+        vals = []
+        for nd in nodes:
+            ti = 2.0 * nd - 1.0  # entries in {-1, 0, +1}
+            zero_axes = [d for d in range(3) if abs(ti[d]) < 0.5]
+            if not zero_axes:  # corner
+                prod = 1.0
+                s = 0.0
+                for d in range(3):
+                    prod = prod * (1.0 + t[d] * ti[d])
+                    s = s + t[d] * ti[d]
+                vals.append(0.125 * prod * (s - 2.0))
+            else:  # edge midpoint
+                a = zero_axes[0]
+                v = 0.25 * (1.0 - t[a] * t[a])
+                for d in range(3):
+                    if d != a:
+                        v = v * (1.0 + t[d] * ti[d])
+                vals.append(v)
+        return jnp.stack(vals)
+    return phi
+
+
+def hex_phi(fe_type: str, dim: int, pts: np.ndarray) -> np.ndarray:
+    """Basis values at reference points [nq, dim] → [nq, nb] (numpy).
+    Evaluated eagerly even under an enclosing jit trace (tables are static)."""
+    pts = np.atleast_2d(np.asarray(pts, dtype=np.float64))
+    fn = _basis_fn(fe_type, dim)
+    with jax.ensure_compile_time_eval():
+        return np.asarray(jax.vmap(fn)(jnp.asarray(pts)))
+
+
+def hex_grad_phi(fe_type: str, dim: int, pts: np.ndarray) -> np.ndarray:
+    """Reference gradients [nq, nb, dim] via jacfwd of the basis (numpy)."""
+    pts = np.atleast_2d(np.asarray(pts, dtype=np.float64))
+    fn = _basis_fn(fe_type, dim)
+    with jax.ensure_compile_time_eval():
+        return np.asarray(jax.vmap(jax.jacfwd(fn))(jnp.asarray(pts)))
+
+
+# back-compat aliases (Q1-only signatures used by earlier code/tests)
 def q1_phi(dim: int, pts: np.ndarray) -> np.ndarray:
-    """Q1 tensor-product basis at reference points [nq, dim] → [nq, 2^dim]."""
-    pts = np.atleast_2d(pts)
-    nodes = _QUAD_NODES if dim == 2 else _HEX_NODES
-    out = np.ones((len(pts), len(nodes)))
-    for d in range(dim):
-        x = pts[:, d][:, None]
-        nd = nodes[:, d][None, :]
-        out *= np.where(nd > 0.5, x, 1.0 - x)
-    return out
+    return hex_phi("Q1", dim, pts)
 
 
 def q1_grad_phi(dim: int, pts: np.ndarray) -> np.ndarray:
-    """[nq, 2^dim, dim] reference gradients."""
-    pts = np.atleast_2d(pts)
-    nodes = _QUAD_NODES if dim == 2 else _HEX_NODES
-    nq, nb = len(pts), len(nodes)
-    out = np.zeros((nq, nb, dim))
-    for k in range(dim):
-        g = np.ones((nq, nb))
-        for d in range(dim):
-            x = pts[:, d][:, None]
-            nd = nodes[:, d][None, :]
-            if d == k:
-                g *= np.where(nd > 0.5, 1.0, -1.0)
-            else:
-                g *= np.where(nd > 0.5, x, 1.0 - x)
-        out[:, :, k] = g
-    return out
+    return hex_grad_phi("Q1", dim, pts)
 
 
 @lru_cache(maxsize=None)
@@ -76,74 +172,118 @@ def hex_quadrature(dim: int, n: int = 2):
     return pts, wts
 
 
-@partial(jax.jit, static_argnames=("dim", "nq_axis"))
-def hex_elem_laplace(node_coords, dim, nq_axis=2):
-    """Isoparametric Q1 stiffness: node_coords [E, 2^dim, dim] →
-    [E, 2^dim, 2^dim]."""
+def _default_nq(fe_type: str) -> int:
+    return 2 if fe_type == "Q1" else 3
+
+
+@lru_cache(maxsize=None)
+def _tables(fe_type: str, dim: int, nq_axis: int):
+    """(qp, qw, phi, dphi, dphi_geo) static tables; dphi_geo is the Q1
+    geometry basis gradient on the same rule."""
     qp, qw = hex_quadrature(dim, nq_axis)
-    dphi = jnp.asarray(q1_grad_phi(dim, qp), f64)  # [nq, nb, dim]
-    qw = jnp.asarray(qw, f64)
-    # per-point Jacobian J[e,q,i,k] = Σ_b coords[e,b,i] dphi[q,b,k]
-    J = jnp.einsum("ebi,qbk->eqik", node_coords, dphi)
+    phi = hex_phi(fe_type, dim, qp)
+    dphi = hex_grad_phi(fe_type, dim, qp)
+    dphi_geo = hex_grad_phi("Q1", dim, qp)
+    return qp, qw, phi, dphi, dphi_geo
+
+
+def _geometry(corner_coords, dphi_geo):
+    """Per-point Jacobians from the Q1 corner map.
+    corner_coords [E, 2^dim, dim]; dphi_geo [nq, 2^dim, dim] →
+    (J [E,nq,dim,dim], detJ [E,nq], Jinv [E,nq,dim,dim])."""
+    J = jnp.einsum("ebi,qbk->eqik", corner_coords, dphi_geo)
     detJ = small_det(J)
     Jinv = small_inv(J, detJ)
-    # physical gradients g[e,q,b,i] = Jinv[e,q,k,i] dphi[q,b,k]
-    g = jnp.einsum("eqki,qbk->eqbi", Jinv, dphi)
-    K = jnp.einsum("q,eq,eqai,eqbi->eab", qw, jnp.abs(detJ), g, g)
-    return K
+    return J, detJ, Jinv
 
 
-@partial(jax.jit, static_argnames=("dim", "nq_axis"))
-def hex_elem_mass(node_coords, dim, nq_axis=2):
-    qp, qw = hex_quadrature(dim, nq_axis)
-    phi = jnp.asarray(q1_phi(dim, qp), f64)
-    dphi = jnp.asarray(q1_grad_phi(dim, qp), f64)
+@partial(jax.jit, static_argnames=("dim", "fe_type", "nq_axis"))
+def hex_elem_laplace(corner_coords, dim, fe_type="Q1", nq_axis=None):
+    """Stiffness ∫∇φa·∇φb: corner_coords [E, 2^dim, dim] → [E, nb, nb]."""
+    nq_axis = nq_axis or _default_nq(fe_type)
+    _, qw, _, dphi, dphi_geo = _tables(fe_type, dim, nq_axis)
+    dphi = jnp.asarray(dphi, f64)
     qw = jnp.asarray(qw, f64)
-    J = jnp.einsum("ebi,qbk->eqik", node_coords, dphi)
-    detJ = jnp.abs(small_det(J))
-    return jnp.einsum("q,eq,qa,qb->eab", qw, detJ, phi, phi)
+    _, detJ, Jinv = _geometry(corner_coords, jnp.asarray(dphi_geo, f64))
+    g = jnp.einsum("eqki,qbk->eqbi", Jinv, dphi)
+    return jnp.einsum("q,eq,eqai,eqbi->eab", qw, jnp.abs(detJ), g, g)
 
 
-def build_hex_mesh(dim: int, n_cells, lower=None, upper=None) -> Mesh:
-    """Structured Q1 quadrilateral/hexahedral mesh (fe_type 'Q1')."""
+@partial(jax.jit, static_argnames=("dim", "fe_type", "nq_axis"))
+def hex_elem_mass(corner_coords, dim, fe_type="Q1", nq_axis=None):
+    """Mass ∫φa φb → [E, nb, nb] (3-pt rule is exact for Q2·Q2 on affine
+    cells: degree 4 per axis ≤ 5)."""
+    nq_axis = nq_axis or _default_nq(fe_type)
+    _, qw, phi, _, dphi_geo = _tables(fe_type, dim, nq_axis)
+    phi = jnp.asarray(phi, f64)
+    qw = jnp.asarray(qw, f64)
+    _, detJ, _ = _geometry(corner_coords, jnp.asarray(dphi_geo, f64))
+    return jnp.einsum("q,eq,qa,qb->eab", qw, jnp.abs(detJ), phi, phi)
+
+
+def hex_elem_rhs(corner_coords, dim, fe_type, f, nq_axis=None):
+    """Volume source ∫ f φa → [E, nb]; f(x[dim]) → scalar (vmapped)."""
+    nq_axis = nq_axis or (_default_nq(fe_type) + 1)
+    qp, qw, phi, _, dphi_geo = _tables(fe_type, dim, nq_axis)
+    phi_j = jnp.asarray(phi, f64)
+    qw_j = jnp.asarray(qw, f64)
+    geo_phi = jnp.asarray(hex_phi("Q1", dim, qp), f64)  # [nq, 2^dim]
+    _, detJ, _ = _geometry(corner_coords, jnp.asarray(dphi_geo, f64))
+    xq = jnp.einsum("qb,ebi->eqi", geo_phi, corner_coords)  # [E, nq, dim]
+    fq = jax.vmap(jax.vmap(f))(xq)  # [E, nq]
+    return jnp.einsum("q,eq,eq,qa->ea", qw_j, jnp.abs(detJ), fq, phi_j)
+
+
+def build_hex_mesh(dim: int, n_cells, lower=None, upper=None,
+                   fe_type: str = "Q1"):
+    """Structured quadrilateral/hexahedral mesh (fe_type Q1 | Q2 | Q2-20).
+
+    Mirrors MeshStructured::buildMesh3D Q2/Q2-20 variants
+    (MeshStructured_decl.hpp:71-101): nodes live on the half-index grid
+    (2n+1 per axis); Q2 keeps all of it, Q2-20 drops face/cell centers
+    (grid points with ≥2 odd indices)."""
+    from feddlib_tpu.mesh.mesh import Mesh
+
     if isinstance(n_cells, int):
         n_cells = (n_cells,) * dim
     lower = np.array(lower if lower is not None else [0.0] * dim)
     upper = np.array(upper if upper is not None else [1.0] * dim)
-    axes = [np.linspace(lower[d], upper[d], n_cells[d] + 1)
-            for d in range(dim)]
+    rnodes = ref_nodes(fe_type, dim)
+    # node grid resolution: 1 (Q1) or 2 (Q2 family) per cell
+    s = 1 if fe_type == "Q1" else 2
+    grid_n = [s * n + 1 for n in n_cells]
+    axes = [np.linspace(lower[d], upper[d], grid_n[d]) for d in range(dim)]
     grids = np.meshgrid(*axes, indexing="ij")
-    points = np.stack([g.ravel() for g in grids], axis=1)
-    def nid(idx):
-        # row-major over axes with 'ij' indexing
-        out = idx[0]
+    all_points = np.stack([g.ravel() for g in grids], axis=1)
+
+    idx_grids = np.meshgrid(*[np.arange(g) for g in grid_n], indexing="ij")
+    flat_idx = np.stack([g.ravel() for g in idx_grids], axis=1)  # [N, dim]
+    if fe_type == "Q2-20":
+        keep = (flat_idx % 2 == 1).sum(axis=1) <= 1
+    else:
+        keep = np.ones(len(all_points), dtype=bool)
+    points = all_points[keep]
+    # grid linear index → compact node id
+    lin = np.zeros(len(all_points), dtype=np.int64)
+    lin[keep] = np.arange(keep.sum())
+
+    def grid_lin(idx):  # idx [E, dim] integer grid coords → linear index
+        out = idx[:, 0].astype(np.int64)
         for d in range(1, dim):
-            out = out * (n_cells[d] + 1) + idx[d]
+            out = out * grid_n[d] + idx[:, d]
         return out
 
     cells = np.meshgrid(*[np.arange(n) for n in n_cells], indexing="ij")
     cells = np.stack([c.ravel() for c in cells], axis=1)  # [E, dim]
-    ref_nodes = (_QUAD_NODES if dim == 2 else _HEX_NODES).astype(int)
-    conn = np.stack([
-        np.array([nid(c + off) for off in ref_nodes]) for c in cells
-    ])
+    offs = np.rint(rnodes * s).astype(np.int64)  # [nb, dim]
+    conn = np.stack([lin[grid_lin(cells * s + off)] for off in offs], axis=1)
+
     flags = np.zeros(len(points), dtype=np.int32)
     on_b = np.zeros(len(points), dtype=bool)
     for d in range(dim):
         on_b |= np.isclose(points[:, d], lower[d]) | np.isclose(
             points[:, d], upper[d])
     flags[on_b] = 1
-    mesh = Mesh.__new__(Mesh)
-    mesh.dim = dim
-    mesh.fe_type = "Q1"
-    mesh.points = points
-    mesh.point_flags = flags
-    mesh.elements = conn.astype(np.int64)
-    mesh.element_flags = np.zeros(len(conn), dtype=np.int32)
-    mesh.surfaces = None
-    mesh.surface_flags = None
-    mesh.lines = None
-    mesh.line_flags = None
-    mesh.p2_edges = None
-    mesh.ref_points = None
-    return mesh
+    return Mesh(dim=dim, fe_type=fe_type, points=points, point_flags=flags,
+                elements=conn.astype(np.int64),
+                element_flags=np.zeros(len(conn), dtype=np.int32))

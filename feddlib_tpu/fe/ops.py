@@ -70,12 +70,19 @@ def _square_pattern(domain: Domain, dofs_per_node: int):
 
 
 def assemble_laplace(domain: Domain) -> CsrMatrix:
-    """Scalar Laplace stiffness (FE::assemblyLaplace, FE_def.hpp:604)."""
+    """Scalar Laplace stiffness (FE::assemblyLaplace, FE_def.hpp:604).
+    Dispatches to the isoparametric quad/hex kernels for Q spaces
+    (FE::getPhi/getDPhi Q-branches, FE_def.hpp:6730/6846)."""
+    if domain.is_hex:
+        from feddlib_tpu.fe.hex import hex_elem_laplace
+
+        kernel = lambda vc: hex_elem_laplace(vc, domain.dim, domain.fe_type)
+    else:
+        kernel = lambda vc: asm.elem_laplace(vc, domain.dim, domain.fe_type)
     return _assemble_chunked(
         _square_pattern(domain, 1),
         ("laplace", domain.dim, domain.fe_type),
-        lambda vc: asm.elem_laplace(vc, domain.dim, domain.fe_type),
-        domain.vert_coords())
+        kernel, domain.vert_coords())
 
 
 def assemble_laplace_vec(domain: Domain, viscosity: float = 1.0) -> CsrMatrix:
@@ -97,11 +104,16 @@ def assemble_mass(domain: Domain, dofs_per_node: int = 1) -> CsrMatrix:
             return asm.vectorize_elem_mat(jnp.einsum("eab,ij->eabij", M, eye))
         return M
 
+    if domain.is_hex:
+        from feddlib_tpu.fe.hex import hex_elem_mass
+
+        kernel = lambda vc: hex_elem_mass(vc, domain.dim, domain.fe_type)
+    else:
+        kernel = lambda vc: asm.elem_mass(vc, domain.dim, domain.fe_type)
     return _assemble_chunked(
         _square_pattern(domain, dofs_per_node),
         ("mass", domain.dim, domain.fe_type, dofs_per_node),
-        lambda vc: asm.elem_mass(vc, domain.dim, domain.fe_type),
-        domain.vert_coords(), post=post)
+        kernel, domain.vert_coords(), post=post)
 
 
 def assemble_stress(domain: Domain, viscosity: float = 1.0) -> CsrMatrix:
@@ -214,8 +226,16 @@ def assemble_rhs(domain: Domain, f: Callable, dofs_per_node: int = 1,
                  degree: Optional[int] = None) -> jnp.ndarray:
     """Volume source term (FE::assemblyRHS, FE_def.hpp:4694).
     f(x) → scalar (dofs_per_node=1) or [dofs_per_node]."""
-    vec = asm.elem_rhs(domain.vert_coords(), domain.dim, domain.fe_type,
-                       f, degree=degree, n_comp=dofs_per_node)
+    if domain.is_hex:
+        from feddlib_tpu.fe.hex import hex_elem_rhs
+
+        if dofs_per_node != 1:
+            raise NotImplementedError("hex RHS is scalar-only for now")
+        vec = hex_elem_rhs(domain.vert_coords(), domain.dim, domain.fe_type,
+                           lambda x: jnp.asarray(f(x), jnp.float64))
+    else:
+        vec = asm.elem_rhs(domain.vert_coords(), domain.dim, domain.fe_type,
+                           f, degree=degree, n_comp=dofs_per_node)
     return asm.assemble_vector(domain.elem_nodes(), vec,
                                domain.n_dofs(dofs_per_node))
 

@@ -25,12 +25,18 @@ import numpy as np
 
 # number of vertices of the geometric simplex per dimension
 VERTS_PER_ELEM = {1: 2, 2: 3, 3: 4}
-# nodes per element per (dim, fe type)
+# nodes per element per (dim, fe type); Q types are quads/hexes
+# (MeshStructured_decl.hpp:71-101 Q1/Q2/Q2-20 variants)
 NODES_PER_ELEM = {
     (2, "P1"): 3,
     (2, "P2"): 6,
     (3, "P1"): 4,
     (3, "P2"): 10,
+    (2, "Q1"): 4,
+    (2, "Q2"): 9,
+    (3, "Q1"): 8,
+    (3, "Q2"): 27,
+    (3, "Q2-20"): 20,
 }
 
 
@@ -75,6 +81,8 @@ class Mesh:
 
     @property
     def vertices_per_element(self) -> int:
+        if self.fe_type.startswith("Q"):
+            return 2 ** self.dim  # quad/hex corners (geometry is Q1)
         return VERTS_PER_ELEM[self.dim]
 
     # -- ALE mesh motion (reference: Mesh::moveMesh, Mesh_decl.hpp:116) -----

@@ -249,3 +249,63 @@ def test_q1_hex_elements(dim):
     Kb = CsrMatrix(pat, data)
     res = cg(Kb.matvec, rhs, tol=1e-12, maxiter=1000)
     assert np.abs(np.asarray(res.x) - g).max() < 1e-9
+
+
+@pytest.mark.parametrize("fe_type,dim", [("Q2", 2), ("Q2", 3), ("Q2-20", 3)])
+def test_q2_hex_elements(fe_type, dim):
+    """Q2 (tensor) and Q2-20 (serendipity) quad/hex elements
+    (MeshStructured_decl.hpp:71-101, FE::getPhi/getDPhi Q-branches):
+    nodal-delta + partition of unity, and *quadratic* exactness of the
+    assembled stiffness energy against the analytic integral."""
+    from feddlib_tpu.fe.hex import (build_hex_mesh, hex_elem_laplace,
+                                    hex_phi, ref_nodes)
+
+    nodes = ref_nodes(fe_type, dim)
+    np.testing.assert_allclose(hex_phi(fe_type, dim, nodes),
+                               np.eye(len(nodes)), atol=1e-12)
+    pts = np.linspace(0.05, 0.95, 4)[:, None] * np.ones((1, dim))
+    np.testing.assert_allclose(hex_phi(fe_type, dim, pts).sum(axis=1), 1.0,
+                               atol=1e-12)
+
+    mesh = build_hex_mesh(dim, 3, fe_type=fe_type)
+    coords = jnp.asarray(mesh.points[mesh.elements[:, :2 ** dim]])
+    K = np.asarray(hex_elem_laplace(coords, dim, fe_type))
+    p = mesh.points
+    u = p[:, 0] ** 2 + 2 * p[:, 1] ** 2 + p[:, 0] * p[:, 1]
+    # ∫|∇u|² over [0,1]^dim with ∇u = (2x+y, 4y+x): exact 4/3+1/3+16/3+1/3+2 = 28/3... computed below
+    gx = lambda x, y: 2 * x + y
+    gy = lambda x, y: 4 * y + x
+    from numpy.polynomial.legendre import leggauss
+    xg, wg = leggauss(3)
+    xg, wg = (xg + 1) / 2, wg / 2
+    exact = sum(wi * wj * (gx(xi, yj) ** 2 + gy(xi, yj) ** 2)
+                for xi, wi in zip(xg, wg) for yj, wj in zip(xg, wg))
+    ue = u[mesh.elements]
+    energy = np.einsum("ea,eab,eb->", ue, K, ue)
+    np.testing.assert_allclose(energy, exact, rtol=1e-12)
+
+
+def test_q2_hex_poisson_convergence():
+    """End-to-end Q2 hex Poisson (Domain.structured_hex → assemble →
+    Dirichlet → CG) converges at ≥3rd order in L2."""
+    from feddlib_tpu.bc import BCBuilder
+    from feddlib_tpu.fe import ops
+    from feddlib_tpu.solvers.krylov import cg
+
+    errs = []
+    for n in (2, 4):
+        dom = Domain.structured_hex(2, n, fe_type="Q2")
+        K = ops.assemble_laplace(dom)
+        b = ops.assemble_rhs(
+            dom, lambda x: 2 * np.pi ** 2 * jnp.sin(np.pi * x[0])
+            * jnp.sin(np.pi * x[1]))
+        bcb = BCBuilder()
+        bcb.add_bc(lambda x, t: 0.0, 1, 0, dom, "Dirichlet", 1)
+        Kb, bb = bcb.apply_symmetric(K, b, 0)
+        res = cg(Kb.matvec, bb, tol=1e-12, maxiter=2000)
+        pts = dom.mesh.points
+        ex = np.sin(np.pi * pts[:, 0]) * np.sin(np.pi * pts[:, 1])
+        M = ops.assemble_mass(dom)
+        e = jnp.asarray(np.asarray(res.x) - ex)
+        errs.append(float(jnp.sqrt(e @ M.matvec(e))))
+    assert np.log2(errs[0] / errs[1]) > 2.9
