@@ -79,6 +79,17 @@ class IndexMap:
         parts = [np.sort(a) for a in np.split(gids, splits)]
         return IndexMap(self.n_global, parts)
 
+    def with_free_parts(self, num_free: int) -> "IndexMap":
+        """Append `num_free` empty partitions — the reference's reserved
+        coarse-solver ranks: domain rows live on the first parts, the last
+        `num_free` own nothing and serve the coarse level only
+        (Map::buildUniqueMap numFreeProcs, Map_decl.hpp:97-100;
+        'Mpi Ranks Coarse', Preconditioner_def.hpp:384-423)."""
+        if num_free < 0:
+            raise ValueError("num_free must be >= 0")
+        return IndexMap(self.n_global, list(self.partition_indices)
+                        + [np.array([], np.int64)] * num_free)
+
     def build_vec_field_map(self, dofs_per_node: int) -> "IndexMap":
         """Dof map from node map, NodeWise ordering: dof gid = node_gid*dofs+d
         (reference: Map::buildVecFieldMap, Map_decl.hpp:72; FROSch

@@ -275,7 +275,8 @@ def distributed_two_level(A: CsrMatrix, dmat, part, points: np.ndarray,
                           dofs_per_node: int = 1,
                           combine: str = "Restricted",
                           null_space: str = "laplace",
-                          dirichlet_mask: Optional[np.ndarray] = None):
+                          dirichlet_mask: Optional[np.ndarray] = None,
+                          coarse_ranks: int = 0):
     """Two-level GDSW for the shard_map solver (DistributedSolver).
 
     Level 1 reuses `distributed_schwarz` (overlap-1, on-device subdomain
@@ -283,8 +284,18 @@ def distributed_two_level(A: CsrMatrix, dmat, part, points: np.ndarray,
     restriction of Φ to its owned rows [N_o, nc]; a coarse residual is the
     psum over devices of Φ_ownᵀ r (one ICI all-reduce of nc numbers — the
     two-level analog of the reference's gathered coarse solve,
-    SURVEY.md §3.5 step 3), solved against the replicated A₀⁻¹ and
-    prolonged locally.  Returns (build_fn, arrays)."""
+    SURVEY.md §3.5 step 3), solved against A₀⁻¹ and prolonged locally.
+
+    coarse_ranks = 0: A₀⁻¹ replicated on every device (default).
+    coarse_ranks = k > 0: dedicated coarse devices — the reference's
+    'Mpi Ranks Coarse' (Preconditioner_def.hpp:384-423): the matrix rows
+    must live on the first n_dev − k devices (unique map built with
+    `IndexMap.with_free_parts(k)`, the analog of buildUniqueMap's
+    numFreeProcs); A₀⁻¹ is row-sharded over the LAST k devices only, so
+    coarse memory and the coarse matmul live on the reserved devices, and
+    the correction is recovered with one all_gather.
+
+    Returns (build_fn, arrays)."""
     import jax.numpy as jnp
     from jax import lax
 
@@ -294,22 +305,45 @@ def distributed_two_level(A: CsrMatrix, dmat, part, points: np.ndarray,
     build1, arrays1 = distributed_schwarz(A, dmat, combine=combine)
     n1 = len(arrays1)
     umap = dmat.unique_map
+    n_dev = dmat.n_dev
+    if coarse_ranks < 0 or coarse_ranks >= n_dev:
+        raise ValueError("coarse_ranks must be in [0, n_dev)")
+    if coarse_ranks:
+        for p in range(n_dev - coarse_ranks, n_dev):
+            if len(umap.partition_indices[p]):
+                raise ValueError(
+                    "dedicated coarse devices must own no matrix rows "
+                    "(build the unique map with with_free_parts)")
     coarse = GDSWCoarseOperator(
         A, umap, part.repeated_map.partition_indices, points,
         dofs_per_node, null_space, dirichlet_mask)
     phi = coarse.phi.to_scipy()
     nc = coarse.n_coarse
     N_o = dmat.plan.N_o
-    n_dev = dmat.n_dev
     phi_own = np.zeros((n_dev, N_o, nc))
     for p in range(n_dev):
         owned = umap.partition_indices[p]
         phi_own[p, : len(owned)] = phi[owned].toarray()
     A0_inv = np.asarray(coarse.A0_inv)
-    arrays = list(arrays1) + [
-        jnp.asarray(phi_own),
-        jnp.asarray(np.broadcast_to(A0_inv, (n_dev, nc, nc))),
-    ]
+    arrays = list(arrays1) + [jnp.asarray(phi_own)]
+
+    if coarse_ranks == 0:
+        arrays.append(jnp.asarray(np.broadcast_to(A0_inv, (n_dev, nc, nc))))
+        sel = None
+    else:
+        k = coarse_ranks
+        nc_s = -(-nc // k)  # ceil
+        slab = np.zeros((n_dev, nc_s, nc))
+        for j in range(k):
+            d = n_dev - k + j
+            rows = A0_inv[j * nc_s: min((j + 1) * nc_s, nc)]
+            slab[d, : len(rows)] = rows
+        arrays.append(jnp.asarray(slab))
+        # static gather: coarse row j lives in the all_gather buffer at
+        # (first_coarse_dev + j // nc_s) * nc_s + j % nc_s
+        sel = jnp.asarray(
+            (n_dev - k + np.arange(nc) // nc_s) * nc_s + np.arange(nc) % nc_s,
+            jnp.int32)
 
     def build(prec_arrays, ctx):
         M1 = build1(prec_arrays[:n1], ctx)
@@ -318,12 +352,13 @@ def distributed_two_level(A: CsrMatrix, dmat, part, points: np.ndarray,
         def M(r):
             z1 = M1(r)
             rc = lax.psum(phi_p.T @ r, AXIS)  # [nc] coarse residual
-            zc = A0i @ rc
+            if sel is None:
+                zc = A0i @ rc  # replicated coarse solve
+            else:
+                zc_slab = A0i @ rc  # [nc_s]; nonzero on coarse devices only
+                zc = lax.all_gather(zc_slab, AXIS).reshape(-1)[sel]
             return z1 + phi_p @ zc
 
         return M
 
     return build, arrays
-
-    def __call__(self, r):
-        return self.apply(r)

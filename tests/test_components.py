@@ -215,6 +215,48 @@ def test_distributed_two_level_matches_serial():
                                np.asarray(ref.x), atol=1e-9)
 
 
+def test_dedicated_coarse_ranks():
+    """'Mpi Ranks Coarse' analog (Preconditioner_def.hpp:384-423): domain
+    rows on the first 6 of 8 devices, A₀⁻¹ row-sharded over the 2 reserved
+    coarse devices.  Iterates must match the serial 6-part two-level
+    operator exactly."""
+    from feddlib_tpu.bc import BCBuilder
+    from feddlib_tpu.fe import ops
+    from feddlib_tpu.mesh.partition import MeshPartition
+    from feddlib_tpu.parallel.solve import DistributedSolver
+    from feddlib_tpu.parallel.spmd import (
+        DeviceAxis, DistributedCsr, collect_vector, distribute_vector)
+    from feddlib_tpu.precond.gdsw import TwoLevelSchwarz, distributed_two_level
+    from feddlib_tpu.solvers.krylov import gmres
+
+    dom = Domain.structured(2, 16)
+    K = ops.assemble_laplace(dom)
+    bcb = BCBuilder()
+    bcb.add_bc(lambda x, t: 0.0, 1, 0, dom, "Dirichlet", 1)
+    b = ops.assemble_rhs(dom, lambda x: 1.0 + 0 * x[0])
+    Kb, bb = bcb.apply_symmetric(K, b, 0)
+    dmask = bcb.dirichlet_mask(0, dom.n_nodes)
+    part = MeshPartition(dom.mesh, 6)  # domain work on 6 parts
+    tls = TwoLevelSchwarz(Kb, part.unique_map,
+                          part.repeated_map.partition_indices,
+                          dom.mesh.points, 1, overlap=1,
+                          dirichlet_mask=dmask)
+    ref = gmres(Kb.matvec, bb, M=tls.apply, tol=1e-8, maxiter=500)
+
+    umap8 = part.unique_map.with_free_parts(2)  # devices 6,7 own nothing
+    assert umap8.n_parts == 8 and umap8.is_unique()
+    dmat = DistributedCsr(Kb, umap8)
+    solver = DistributedSolver(dmat, DeviceAxis.make(8))
+    b_dist = distribute_vector(np.asarray(bb), umap8, dmat.plan.N_o)
+    build, arrs = distributed_two_level(Kb, dmat, part, dom.mesh.points, 1,
+                                        dirichlet_mask=dmask, coarse_ranks=2)
+    x, it, rel = solver.solve(b_dist, method="gmres", tol=1e-8, maxiter=500,
+                              precond=(build, arrs))
+    assert it == ref.iters
+    np.testing.assert_allclose(collect_vector(x, umap8),
+                               np.asarray(ref.x), atol=1e-9)
+
+
 @pytest.mark.parametrize("dim", [2, 3])
 def test_q1_hex_elements(dim):
     """Isoparametric Q1 quad/hex elements: partition of unity, nodal basis,
