@@ -208,6 +208,13 @@ class CsrMatrix:
         ell_cols, slot_of = self._ell_plan()
         return _ell_matvec(self.data, ell_cols, slot_of, x)
 
+    def matmat(self, X: jnp.ndarray) -> jnp.ndarray:
+        """Sparse × dense-block SpMM: X [n_cols, m] → [n_rows, m].
+        Same K-pass ELL gather as matvec with a trailing block axis
+        (device-side building block for the Galerkin RAP product)."""
+        ell_cols, slot_of = self._ell_plan()
+        return _ell_matmat(self.data, ell_cols, slot_of, X)
+
     def operator(self):
         """(pure_fn, operands) form for jit-argument solver programs
         (feddlib_tpu.solvers.krylov.solve_jit)."""
@@ -281,6 +288,14 @@ def _ell_matvec(data, ell_cols, slot_of, x):
     vals = padded[slot_of]  # [K, n_rows]
     xg = x[ell_cols]  # [K, n_rows]
     return jnp.sum(vals * xg, axis=0)
+
+
+@jax.jit
+def _ell_matmat(data, ell_cols, slot_of, X):
+    padded = jnp.concatenate([data, jnp.zeros(1, data.dtype)])
+    vals = padded[slot_of]  # [K, n_rows]
+    Xg = X[ell_cols]  # [K, n_rows, m]
+    return jnp.sum(vals[:, :, None] * Xg, axis=0)
 
 
 def ell_apply(ops, x):

@@ -92,6 +92,36 @@ def build_null_space(kind: str, points: np.ndarray, dofs_per_node: int):
     raise ValueError(f"unknown null space {kind!r}")
 
 
+def rap_device(A: CsrMatrix, phi: sps.csr_matrix,
+               chunk: int = 128) -> np.ndarray:
+    """Galerkin product A₀ = Φᵀ A Φ computed ON DEVICE (the RAP/SpGEMM of
+    SURVEY.md §2.8 / §7 hard part 3, replacing the host scipy fallback).
+
+    Exploits that Φ is tall-skinny (nc = O(#interface components) ≪ n):
+    chunks of Φ's columns are densified [n, c] and pushed through the ELL
+    SpMM (Y = AΦ_c, MXU-friendly), then Φᵀ Y is one deterministic
+    segment-sum over Φ's nonzeros.  f64 throughout (accumulation parity
+    with the host path)."""
+    import jax
+
+    n, nc = phi.shape
+    coo = phi.tocoo()
+    prows = jnp.asarray(coo.row.astype(np.int32))
+    pcols = jnp.asarray(coo.col.astype(np.int32))
+    pvals = jnp.asarray(coo.data)
+    A0 = np.zeros((nc, nc))
+    for s in range(0, nc, chunk):
+        c = min(chunk, nc - s)
+        sel = (coo.col >= s) & (coo.col < s + c)
+        X = (jnp.zeros((n, c))
+             .at[jnp.asarray(coo.row[sel]),
+                 jnp.asarray(coo.col[sel] - s)].set(jnp.asarray(coo.data[sel])))
+        Y = A.matmat(X)  # [n, c]
+        A0[:, s: s + c] = np.asarray(jax.ops.segment_sum(
+            pvals[:, None] * Y[prows], pcols, num_segments=nc))
+    return A0
+
+
 class GDSWCoarseOperator:
     """Φ and A₀ for a GDSW coarse level; device-resident apply."""
 
@@ -99,7 +129,7 @@ class GDSWCoarseOperator:
                  node_part_sets: List[np.ndarray], points: np.ndarray,
                  dofs_per_node: int = 1, null_space: str = "laplace",
                  dirichlet_mask: Optional[np.ndarray] = None,
-                 dtype=jnp.float64):
+                 dtype=jnp.float64, rap: str = "host"):
         n = A.shape[0]
         n_nodes = points.shape[0]
         if n != n_nodes * dofs_per_node:
@@ -183,7 +213,10 @@ class GDSWCoarseOperator:
              (np.concatenate(rows_t), np.concatenate(cols_t))),
             shape=(n, nc))
 
-        A0 = (phi.T @ sp @ phi).toarray()
+        if rap == "device":
+            A0 = rap_device(A, phi)
+        else:
+            A0 = (phi.T @ sp @ phi).toarray()
         # regularize exact zero diagonal (fully-Dirichlet components)
         d0 = np.abs(np.diag(A0))
         bad = d0 < 1e-14 * max(d0.max(), 1.0)
@@ -237,13 +270,14 @@ class TwoLevelSchwarz:
                  node_part_sets: List[np.ndarray], points: np.ndarray,
                  dofs_per_node: int = 1, overlap: int = 1,
                  combine: str = "Restricted", null_space: str = "laplace",
-                 dirichlet_mask: Optional[np.ndarray] = None):
+                 dirichlet_mask: Optional[np.ndarray] = None,
+                 rap: str = "host"):
         self.level1 = SchwarzPreconditioner(A, unique_map, overlap=overlap,
                                             combine=combine)
         try:
             self.coarse = GDSWCoarseOperator(
                 A, unique_map, node_part_sets, points, dofs_per_node,
-                null_space, dirichlet_mask)
+                null_space, dirichlet_mask, rap=rap)
         except ValueError as e:
             # tiny problems can have a fully-Dirichlet interface → no coarse
             # functions; degrade gracefully to one level

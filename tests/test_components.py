@@ -215,6 +215,39 @@ def test_distributed_two_level_matches_serial():
                                np.asarray(ref.x), atol=1e-9)
 
 
+def test_device_rap_matches_host():
+    """Device-side Galerkin RAP (ELL SpMM + segment-sum, gdsw.rap_device)
+    reproduces the host scipy triple product to f64 roundoff, and the
+    coarse operator built with rap='device' preconditions identically."""
+    from feddlib_tpu.bc import BCBuilder
+    from feddlib_tpu.fe import ops
+    from feddlib_tpu.mesh.partition import MeshPartition
+    from feddlib_tpu.precond.gdsw import GDSWCoarseOperator, rap_device
+
+    dom = Domain.structured(2, 16)
+    K = ops.assemble_laplace(dom)
+    bcb = BCBuilder()
+    bcb.add_bc(lambda x, t: 0.0, 1, 0, dom, "Dirichlet", 1)
+    Kb, _ = bcb.apply_symmetric(
+        K, ops.assemble_rhs(dom, lambda x: 1.0 + 0 * x[0]), 0)
+    dmask = bcb.dirichlet_mask(0, dom.n_nodes)
+    part = MeshPartition(dom.mesh, 8)
+    co_h = GDSWCoarseOperator(Kb, part.unique_map,
+                              part.repeated_map.partition_indices,
+                              dom.mesh.points, 1, dirichlet_mask=dmask)
+    phi = co_h.phi.to_scipy()
+    A0_dev = rap_device(Kb, phi, chunk=7)  # odd chunk exercises the tail
+    A0_host = (phi.T @ Kb.to_scipy() @ phi).toarray()
+    np.testing.assert_allclose(A0_dev, A0_host, atol=1e-12)
+    co_d = GDSWCoarseOperator(Kb, part.unique_map,
+                              part.repeated_map.partition_indices,
+                              dom.mesh.points, 1, dirichlet_mask=dmask,
+                              rap="device")
+    r = jnp.asarray(np.random.default_rng(3).standard_normal(Kb.shape[0]))
+    np.testing.assert_allclose(np.asarray(co_d.apply(r)),
+                               np.asarray(co_h.apply(r)), atol=1e-9)
+
+
 def test_dedicated_coarse_ranks():
     """'Mpi Ranks Coarse' analog (Preconditioner_def.hpp:384-423): domain
     rows on the first 6 of 8 devices, A₀⁻¹ row-sharded over the 2 reserved
