@@ -70,16 +70,16 @@ def main():
     cluster = part.unique_map.owner_of()
     db32 = DenseBlockSpMV.from_csr(Kb, cluster, dtype=jnp.float32)
 
-    from feddlib_tpu.la.dense_blocks import _batched_gemv
+    from feddlib_tpu.la.dense_blocks import _batched_gemv, _gather_ghosts
 
     @jax.jit
-    def chain(blocks, ghost_idx, xp, steps):
+    def chain(blocks, ghost_idx, ghost_rows, ghost_onehot, xp, steps):
         P, R = blocks.shape[0], blocks.shape[1]
 
         def body(i, x):
             x_own = x.reshape(P, R)
-            src = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
-            xs = jnp.concatenate([x_own, src[ghost_idx]], axis=1)
+            ghosts = _gather_ghosts(ghost_idx, ghost_rows, ghost_onehot, x)
+            xs = jnp.concatenate([x_own, ghosts], axis=1)
             y = _batched_gemv(blocks, xs).reshape(-1)
             return y * lax.rsqrt(jnp.vdot(y, y) + 1e-30)
 
@@ -87,7 +87,8 @@ def main():
 
     note(f"dense blocks P={db32.P} R={db32.R} G={db32.G}")
     xp = db32.to_padded(jnp.ones(dom.n_nodes, jnp.float32))
-    r = chain(db32.blocks, db32.ghost_idx, xp, 2)
+    gargs = (db32.blocks, db32.ghost_idx, db32.ghost_rows, db32.ghost_onehot)
+    r = chain(*gargs, xp, 2)
     _ = float(jnp.asarray(r).ravel()[0])  # compile + sync
     note("spmv chain compiled")
 
@@ -95,7 +96,7 @@ def main():
 
     def run(steps):
         t0 = time.perf_counter()
-        rr = chain(db32.blocks, db32.ghost_idx, xp, steps)
+        rr = chain(*gargs, xp, steps)
         _ = float(jnp.asarray(rr).ravel()[0])
         return time.perf_counter() - t0
 
@@ -104,7 +105,8 @@ def main():
     dt = max((t_hi - t_lo) / (hi - lo), 1e-9)
     nnz_per_s = nnz / dt
 
-    bytes_per_pass = db32.blocks.size * 4 + db32.ghost_idx.size * 4 \
+    bytes_per_pass = db32.blocks.size * 4 \
+        + db32.ghost_onehot.size * 4 + db32.ghost_rows.size * (128 * 4 + 4) \
         + db32.blocks.shape[0] * db32.blocks.shape[1] * 4 * 2
     hbm_gbps = 819e9 if on_tpu else 50e9
     vs = (nnz / dt) / (nnz / (bytes_per_pass / hbm_gbps))
