@@ -45,9 +45,8 @@ def main():
     from feddlib_tpu.bc import BCBuilder
     from feddlib_tpu.fe import ops
     from feddlib_tpu.fe.domain import Domain
-    from feddlib_tpu.la.dense_blocks import DenseBlockSpMV
+    from feddlib_tpu.la.dense_blocks import DenseBlockSchwarz, DenseBlockSpMV
     from feddlib_tpu.mesh.partition import MeshPartition
-    from feddlib_tpu.precond.schwarz import SchwarzPreconditioner
     from feddlib_tpu.solvers.krylov import gmres, solve_jit
     from feddlib_tpu.solvers.refinement import iterative_refinement
 
@@ -111,15 +110,20 @@ def main():
     hbm_gbps = 819e9 if on_tpu else 50e9
     vs = (nnz / dt) / (nnz / (bytes_per_pass / hbm_gbps))
 
-    # correctness anchor: mixed-precision IR to the reference tolerance 1e-8
-    prec32 = SchwarzPreconditioner(Kb, part.unique_map, overlap=1,
-                                   dtype=jnp.float32)
-    A_fn, A_ops = db32.operator()
-    M_fn, M_ops = prec32.operator()
+    # correctness anchor: mixed-precision IR to the reference tolerance 1e-8.
+    # The whole inner Krylov loop runs in PADDED cluster space: the SpMV and
+    # the overlap-1 restricted-Schwarz apply share the fast halo exchange
+    # and skip all permutation gathers (pad lanes are zero, so dots agree).
+    prec32 = DenseBlockSchwarz(Kb, db32)
+    A_fn, A_ops = db32.padded_operator()
+    M_fn, M_ops = prec32.padded_operator()
 
     def inner(r32):
-        return solve_jit("gmres", A_fn, A_ops, r32, M_fn=M_fn, M_ops=M_ops,
-                         tol=1e-6, maxiter=150, restart=80)
+        res = solve_jit("gmres", A_fn, A_ops, db32.to_padded(r32),
+                        M_fn=M_fn, M_ops=M_ops,
+                        tol=1e-6, maxiter=150, restart=80)
+        res.x = db32.from_padded(res.x)
+        return res
 
     note("starting IR anchor")
     t0 = time.perf_counter()

@@ -161,6 +161,14 @@ class DenseBlockSpMV:
                                 self.ghost_rows, self.ghost_onehot,
                                 self.pad_of_old, self.old_of_pad)
 
+    def padded_operator(self):
+        """(pure_fn, operands) acting on PADDED-clustered vectors [P*R] —
+        run whole Krylov loops in padded space (pad lanes stay zero, so
+        dots/norms agree with the original ordering) and skip the two
+        permutation gathers per apply that `operator()` pays."""
+        return dense_block_padded_op, (self.blocks, self.ghost_idx,
+                                       self.ghost_rows, self.ghost_onehot)
+
 
 def _gather_ghosts(ghost_idx, ghost_rows, ghost_onehot, xp):
     """xp [M] padded-clustered → ghosts [P, G].
@@ -193,6 +201,119 @@ def dense_block_op(ops, x):
     xs = jnp.concatenate([x_own, ghosts], axis=1)
     y = _batched_gemv(blocks, xs).reshape(-1)
     return y[pad_of_old]
+
+
+def dense_block_padded_op(ops, xp):
+    """Pure operator on padded-clustered vectors: xp [P*R] → y [P*R]."""
+    blocks, ghost_idx, ghost_rows, ghost_onehot = ops
+    P, R = blocks.shape[0], blocks.shape[1]
+    x_own = xp.reshape(P, R)
+    ghosts = _gather_ghosts(ghost_idx, ghost_rows, ghost_onehot, xp)
+    xs = jnp.concatenate([x_own, ghosts], axis=1)
+    return _batched_gemv(blocks, xs).reshape(-1)
+
+
+class DenseBlockSchwarz:
+    """Overlap-1 restricted additive Schwarz in the padded cluster space.
+
+    The dense row-cluster layout already materializes each cluster's
+    overlap-1 dof set as its column map [own | ghost] (= the column support
+    of the owned rows, exactly FROSch's algebraic overlap growth of one
+    layer).  The subdomain matrix is therefore A[ov][:, ov] in that SAME
+    ordering, the residual restriction reuses the fast halo exchange of the
+    SpMV, and the Restricted combine (each dof updated only by its owner —
+    parametersPrec.xml 'Combine Values in Overlap') is a FREE slice
+    z = z_ov[:, :R]: no scatter at all.  Equivalent to
+    SchwarzPreconditioner(overlap=1, combine='Restricted') conjugated by
+    the padding permutation (asserted in tests).
+
+    Factorization: batched explicit inverse — on-device f32 LU on
+    accelerators (jnp.linalg.inv has no f64 TPU lowering), host f64
+    otherwise — mirroring SchwarzPreconditioner's device_factor policy."""
+
+    def __init__(self, A: CsrMatrix, db: DenseBlockSpMV, dtype=None,
+                 device_factor: Optional[bool] = None, shift: float = 0.0):
+        dtype = dtype or db.dtype
+        P, R = db.P, db.R
+        W = db.blocks.shape[2]
+        M = P * R
+        n = db.n
+        self.P, self.R, self.W = P, R, W
+        self.db = db
+        if device_factor is None:
+            device_factor = (jnp.dtype(dtype) == jnp.float32
+                             and jax.default_backend() != "cpu")
+
+        old_of_pad = np.asarray(db.old_of_pad)  # [M], pad → n
+        ghost_idx = np.asarray(db.ghost_idx)    # [P, G] padded ids, pad → M
+        colmap = np.empty((P, W), np.int64)     # per-cluster ORIGINAL ids
+        colmap[:, :R] = old_of_pad.reshape(P, R)
+        gi_old = np.full(ghost_idx.shape, n, np.int64)
+        valid = ghost_idx < M
+        gi_old[valid] = old_of_pad[ghost_idx[valid]]
+        colmap[:, R:] = gi_old
+
+        # slot-carrying extraction of A[ov][:, ov] per cluster (values stay
+        # on device; only index plans are built on the host)
+        sp = A.to_scipy()
+        spi = sp.copy()
+        spi.data = np.arange(sp.nnz, dtype=np.float64) + 1.0
+        flat_l, slot_l = [], []
+        for p in range(P):
+            ov = colmap[p]
+            real = np.nonzero(ov < n)[0]
+            sub = spi[ov[real]][:, ov[real]].tocoo()
+            flat_l.append(p * W * W + real[sub.row].astype(np.int64) * W
+                          + real[sub.col])
+            slot_l.append(sub.data.astype(np.int64) - 1)
+        flat = np.concatenate(flat_l)
+        slots = np.concatenate(slot_l)
+        eye_idx = (np.arange(P, dtype=np.int64)[:, None] * (W * W)
+                   + np.arange(W, dtype=np.int64)[None, :] * (W + 1)).ravel()
+        vals = A.data.astype(dtype)[jnp.asarray(slots)]
+        blocks_sq = (jnp.zeros(P * W * W, dtype)
+                     .at[jnp.asarray(eye_idx)].set(1.0)
+                     .at[jnp.asarray(flat)].set(vals)
+                     .reshape(P, W, W))
+        if shift:
+            diag = jnp.arange(W)
+            blocks_sq = blocks_sq.at[:, diag, diag].add(
+                shift * jnp.abs(blocks_sq).max())
+        if device_factor:
+            self.inv = jnp.linalg.inv(blocks_sq)
+        else:
+            inv = np.stack([_np_robust_inverse(np.asarray(b, np.float64))
+                            for b in blocks_sq])
+            self.inv = jnp.asarray(inv, dtype)
+
+    def apply_padded(self, rp: jnp.ndarray) -> jnp.ndarray:
+        fn, ops = self.padded_operator()
+        return fn(ops, rp)
+
+    def padded_operator(self):
+        db = self.db
+        return dense_block_schwarz_op, (self.inv, db.ghost_idx,
+                                        db.ghost_rows, db.ghost_onehot)
+
+
+def dense_block_schwarz_op(ops, rp):
+    """Pure padded-space Schwarz apply: rp [P*R] → z [P*R]."""
+    inv, ghost_idx, ghost_rows, ghost_onehot = ops
+    P, W = inv.shape[0], inv.shape[1]
+    R = rp.shape[0] // P
+    r_own = rp.reshape(P, R)
+    ghosts = _gather_ghosts(ghost_idx, ghost_rows, ghost_onehot, rp)
+    rs = jnp.concatenate([r_own, ghosts], axis=1)  # [P, W]
+    z_ov = _batched_gemv(inv, rs)  # [P, W]
+    return z_ov[:, :R].reshape(-1)  # Restricted combine = owned slice
+
+
+def _np_robust_inverse(block):
+    try:
+        return np.linalg.inv(block)
+    except np.linalg.LinAlgError:
+        scale = np.abs(block).max() or 1.0
+        return np.linalg.inv(block + 1e-10 * scale * np.eye(len(block)))
 
 
 @partial(jax.jit, static_argnames=("P", "R", "G"))

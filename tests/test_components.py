@@ -215,6 +215,38 @@ def test_distributed_two_level_matches_serial():
                                np.asarray(ref.x), atol=1e-9)
 
 
+def test_dense_block_schwarz_matches_reference_schwarz():
+    """DenseBlockSchwarz (padded-space overlap-1 restricted Schwarz with
+    slice-combine) must equal SchwarzPreconditioner(overlap=1, Restricted)
+    conjugated by the padding permutation, and the padded A-operator must
+    equal the CSR apply."""
+    from feddlib_tpu.bc import BCBuilder
+    from feddlib_tpu.fe import ops
+    from feddlib_tpu.la.dense_blocks import DenseBlockSchwarz, DenseBlockSpMV
+    from feddlib_tpu.mesh.partition import MeshPartition
+    from feddlib_tpu.precond.schwarz import SchwarzPreconditioner
+
+    dom = Domain.structured(3, 6)
+    K = ops.assemble_laplace(dom)
+    bcb = BCBuilder()
+    bcb.add_bc(lambda x, t: 0.0, 1, 0, dom, "Dirichlet", 1)
+    Kb, _ = bcb.apply_symmetric(
+        K, ops.assemble_rhs(dom, lambda x: 1.0 + 0 * x[0]), 0)
+    part = MeshPartition(dom.mesh, 8)
+    db = DenseBlockSpMV.from_csr(Kb, part.unique_map.owner_of())
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(dom.n_nodes))
+    fnA, opsA = db.padded_operator()
+    np.testing.assert_allclose(
+        np.asarray(db.from_padded(fnA(opsA, db.to_padded(x)))),
+        np.asarray(Kb.matvec(x)), atol=1e-12)
+    sw = SchwarzPreconditioner(Kb, part.unique_map, overlap=1,
+                               combine="Restricted")
+    dsw = DenseBlockSchwarz(Kb, db)
+    z0 = np.asarray(sw.apply(x))
+    z1 = np.asarray(db.from_padded(dsw.apply_padded(db.to_padded(x))))
+    np.testing.assert_allclose(z1, z0, atol=1e-10 * np.abs(z0).max())
+
+
 def test_device_rap_matches_host():
     """Device-side Galerkin RAP (ELL SpMM + segment-sum, gdsw.rap_device)
     reproduces the host scipy triple product to f64 roundoff, and the
