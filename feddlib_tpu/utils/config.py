@@ -70,6 +70,9 @@ class ParameterList:
     def items(self):
         return self._items.items()
 
+    def setdefault(self, key: str, value: Any) -> Any:
+        return self._items.setdefault(key, value)
+
     def keys(self):
         return self._items.keys()
 
