@@ -38,6 +38,7 @@ class Problem:
         self.preconditioner = Preconditioner(self)
         self.linear_solver = LinearSolver()
         self.last_relres = None
+        self.last_history = None
         self._prec_stale = True
 
     # -- setup --------------------------------------------------------------

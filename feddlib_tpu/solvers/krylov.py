@@ -33,10 +33,30 @@ class KrylovResult:
     iters: int
     relres: float
     converged: bool
+    # per-iteration relative residuals [iters+1] (index 0 = initial), only
+    # when requested with record_history=True — the Belos iteration log
+    # (reference: LinearSolver_def.hpp:106-109 Belos ostream) as data
+    history: Optional["jnp.ndarray"] = None
 
     def __iter__(self):  # allow x, info unpacking
         yield self.x
         yield self
+
+    def print_history(self, label: str = "Krylov", every: int = 1,
+                      file=None) -> None:
+        """Belos-style iteration log (OutputFrequency = `every`)."""
+        import sys
+
+        f = file or sys.stdout
+        if self.history is None:
+            print(f"{label}: no history recorded", file=f)
+            return
+        import numpy as np
+
+        h = np.asarray(self.history)
+        for k, v in enumerate(h):
+            if k % every == 0 or k == len(h) - 1:
+                print(f"{label} Iter {k:4d}: ||r||/||b|| = {v:.6e}", file=f)
 
 
 def _identity(x):
@@ -58,29 +78,41 @@ _program_cache: dict = {}
 
 def solve_jit(kind: str, A_fn, A_ops, b, x0=None, M_fn=None, M_ops=(),
               tol: float = 1e-8, maxiter: int = 1000, restart: int = 100,
-              left: bool = False):
+              left: bool = False, record_history: bool = False):
     """Run a jit-cached CG/GMRES program.  Returns KrylovResult."""
     import jax
 
     x0 = jnp.zeros_like(b) if x0 is None else x0
     key = (kind, A_fn, M_fn, float(tol), int(maxiter), int(restart),
-           bool(left))
+           bool(left), bool(record_history))
     run = _program_cache.get(key)
     if run is None:
         if kind == "cg":
             def run(b, x0, A_ops, M_ops):
                 A = lambda x: A_fn(A_ops, x)
                 M = (lambda x: M_fn(M_ops, x)) if M_fn is not None else _identity
-                return cg_loop(A, M, b, x0, tol, maxiter)
+                return cg_loop(A, M, b, x0, tol, maxiter,
+                               record=record_history)
         else:
             def run(b, x0, A_ops, M_ops):
                 A = lambda x: A_fn(A_ops, x)
                 M = (lambda x: M_fn(M_ops, x)) if M_fn is not None else _identity
-                return gmres_loop(A, M, b, x0, tol, restart, maxiter, left)
+                return gmres_loop(A, M, b, x0, tol, restart, maxiter, left,
+                                  record=record_history)
         run = jax.jit(run)
         _program_cache[key] = run
-    x, it, rel = run(b, x0, A_ops, M_ops)
-    return KrylovResult(x, int(it), float(rel), bool(rel <= tol))
+    out = run(b, x0, A_ops, M_ops)
+    x, it, rel = out[:3]
+    res = KrylovResult(x, int(it), float(rel), bool(rel <= tol))
+    if record_history:
+        res.history = _trim_history(out[3], res.iters)
+    return res
+
+
+def _trim_history(hist, iters):
+    import numpy as np
+
+    return np.asarray(hist)[: iters + 1]
 
 
 def _make_reducers(axis_name: Optional[str]):
@@ -104,7 +136,8 @@ def _make_reducers(axis_name: Optional[str]):
 
 def cg(A: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
        M: Optional[Callable] = None, tol: float = 1e-8,
-       maxiter: int = 1000, axis_name: Optional[str] = None):
+       maxiter: int = 1000, axis_name: Optional[str] = None,
+       record_history: bool = False):
     """Preconditioned conjugate gradients (M ≈ A⁻¹, SPD).
 
     Returns KrylovResult outside shard_map; inside shard_map (axis_name set)
@@ -112,26 +145,33 @@ def cg(A: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
     needs concrete values."""
     M = M or _identity
     x0 = jnp.zeros_like(b) if x0 is None else x0
-    x, it, relres = cg_loop(A, M, b, x0, tol, maxiter, axis_name)
+    out = cg_loop(A, M, b, x0, tol, maxiter, axis_name,
+                  record=record_history)
     if axis_name is not None:
-        return x, it, relres
-    return KrylovResult(x, int(it), float(relres), bool(relres <= tol))
+        return out
+    x, it, relres = out[:3]
+    res = KrylovResult(x, int(it), float(relres), bool(relres <= tol))
+    if record_history:
+        res.history = _trim_history(out[3], res.iters)
+    return res
 
 
-def cg_loop(A, M, b, x0, tol, maxiter, axis_name=None):
+def cg_loop(A, M, b, x0, tol, maxiter, axis_name=None, record=False):
     dot, norm = _make_reducers(axis_name)
     r0 = b - A(x0)
     z0 = M(r0)
     bnorm = norm(b)
     bnorm = jnp.where(bnorm == 0, 1.0, bnorm)
     rz0 = dot(r0, z0)
+    hist0 = (jnp.full(maxiter + 1, jnp.nan, b.dtype)
+             .at[0].set(norm(r0) / bnorm) if record else jnp.zeros(1, b.dtype))
 
     def cond(state):
-        x, r, z, p, rz, k = state
+        x, r, z, p, rz, k, _ = state
         return (norm(r) / bnorm > tol) & (k < maxiter)
 
     def body(state):
-        x, r, z, p, rz, k = state
+        x, r, z, p, rz, k, hist = state
         Ap = A(p)
         alpha = rz / dot(p, Ap)
         x = x + alpha * p
@@ -140,11 +180,14 @@ def cg_loop(A, M, b, x0, tol, maxiter, axis_name=None):
         rz_new = dot(r, z)
         beta = rz_new / rz
         p = z + beta * p
-        return (x, r, z, p, rz_new, k + 1)
+        if record:
+            hist = hist.at[k + 1].set(norm(r) / bnorm)
+        return (x, r, z, p, rz_new, k + 1, hist)
 
-    x, r, z, p, rz, k = lax.while_loop(
-        cond, body, (x0, r0, z0, z0, rz0, jnp.array(0)))
-    return x, k, norm(r) / bnorm
+    x, r, z, p, rz, k, hist = lax.while_loop(
+        cond, body, (x0, r0, z0, z0, rz0, jnp.array(0), hist0))
+    out = (x, k, norm(r) / bnorm)
+    return out + (hist,) if record else out
 
 
 # ---------------------------------------------------------------------------
@@ -155,7 +198,8 @@ def cg_loop(A, M, b, x0, tol, maxiter, axis_name=None):
 def gmres(A: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
           M: Optional[Callable] = None, tol: float = 1e-8,
           restart: int = 100, maxiter: int = 1000,
-          left: bool = False, axis_name: Optional[str] = None):
+          left: bool = False, axis_name: Optional[str] = None,
+          record_history: bool = False):
     """Restarted GMRES(m), right-preconditioned by default.
 
     Orthogonalisation: classical Gram-Schmidt with one DGKS correction pass
@@ -164,14 +208,19 @@ def gmres(A: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
     Arnoldi step instead of j sequential MGS dots."""
     M = M or _identity
     x0 = jnp.zeros_like(b) if x0 is None else x0
-    x, total, relres = gmres_loop(A, M, b, x0, tol, restart, maxiter, left,
-                                  axis_name)
+    out = gmres_loop(A, M, b, x0, tol, restart, maxiter, left, axis_name,
+                     record=record_history)
     if axis_name is not None:
-        return x, total, relres
-    return KrylovResult(x, int(total), float(relres), bool(relres <= tol))
+        return out
+    x, total, relres = out[:3]
+    res = KrylovResult(x, int(total), float(relres), bool(relres <= tol))
+    if record_history:
+        res.history = _trim_history(out[3], res.iters)
+    return res
 
 
-def gmres_loop(A, M, b, x0, tol, restart, maxiter, left=False, axis_name=None):
+def gmres_loop(A, M, b, x0, tol, restart, maxiter, left=False, axis_name=None,
+               record=False):
     dot, norm = _make_reducers(axis_name)
     if axis_name is None:
         def batched_dots(V, w, mask):
@@ -190,7 +239,7 @@ def gmres_loop(A, M, b, x0, tol, restart, maxiter, left=False, axis_name=None):
         r = b - A(x)
         return M(r) if left else r
 
-    def arnoldi_cycle(x):
+    def arnoldi_cycle(x, total, hist):
         r = residual(x)
         beta = norm(r)
         V = jnp.zeros((m + 1, n), b.dtype).at[0].set(
@@ -201,11 +250,11 @@ def gmres_loop(A, M, b, x0, tol, restart, maxiter, left=False, axis_name=None):
         g = jnp.zeros(m + 1, b.dtype).at[0].set(beta)
 
         def cond(state):
-            V, H, cs, sn, g, j, res = state
+            V, H, cs, sn, g, j, res, _ = state
             return (j < m) & (res / bnorm > tol)
 
         def body(state):
-            V, H, cs, sn, g, j, _ = state
+            V, H, cs, sn, g, j, _, hist = state
             v = V[j]
             w = M(v) if not left else v
             w = A(w)
@@ -241,10 +290,12 @@ def gmres_loop(A, M, b, x0, tol, restart, maxiter, left=False, axis_name=None):
             g = g.at[j].set(c_new * gj).at[j + 1].set(-s_new * gj)
             H = H.at[:, j].set(H_col)
             res = jnp.abs(g[j + 1])
-            return (V, H, cs, sn, g, j + 1, res)
+            if record:
+                hist = hist.at[total + j + 1].set(res / bnorm)
+            return (V, H, cs, sn, g, j + 1, res, hist)
 
-        V, H, cs, sn, g, j, res = lax.while_loop(
-            cond, body, (V, H, cs, sn, g, jnp.array(0), beta))
+        V, H, cs, sn, g, j, res, hist = lax.while_loop(
+            cond, body, (V, H, cs, sn, g, jnp.array(0), beta, hist))
 
         def back(i_, y):
             i = j - 1 - i_
@@ -258,20 +309,24 @@ def gmres_loop(A, M, b, x0, tol, restart, maxiter, left=False, axis_name=None):
         dx = V[:m].T @ y
         if not left:
             dx = M(dx)
-        return x + dx, j, res
+        return x + dx, j, res, hist
 
     x = x0
     total = jnp.array(0)
     res = norm(residual(x0))
+    hist0 = (jnp.full(maxiter + 1, jnp.nan, b.dtype).at[0].set(res / bnorm)
+             if record else jnp.zeros(1, b.dtype))
 
     def outer_cond(state):
-        x, total, res = state
+        x, total, res, _ = state
         return (res / bnorm > tol) & (total < maxiter)
 
     def outer_body(state):
-        x, total, res = state
-        x, j, res = arnoldi_cycle(x)
-        return (x, total + j, res)
+        x, total, res, hist = state
+        x, j, res, hist = arnoldi_cycle(x, total, hist)
+        return (x, total + j, res, hist)
 
-    x, total, res = lax.while_loop(outer_cond, outer_body, (x, total, res))
-    return x, total, res / bnorm
+    x, total, res, hist = lax.while_loop(outer_cond, outer_body,
+                                         (x, total, res, hist0))
+    out = (x, total, res / bnorm)
+    return out + (hist,) if record else out

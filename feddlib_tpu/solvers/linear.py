@@ -174,6 +174,12 @@ class LinearSolver:
         restart = int(params.get("Num Blocks", 100))
         method = params.get("Solver Type", "gmres").lower()
 
+        # Belos-style iteration output (reference: Belos ostream log,
+        # LinearSolver_def.hpp:106-109; XML keys Verbosity/Output Frequency)
+        verbose = bool(params.get("Verbose", False)) or \
+            "IterationDetails" in str(params.get("Verbosity", ""))
+        out_freq = int(params.get("Output Frequency", 10))
+
         system = problem.bc_system()
         if len(problem.variables) == 1:
             A = system.get_block(0, 0)
@@ -206,13 +212,18 @@ class LinearSolver:
             M_fn, M_ops = (None, ()) if M_op is None else M_op
             res = solve_jit("cg" if method == "cg" else "gmres",
                             A_fn, A_ops, bf, M_fn=M_fn, M_ops=M_ops,
-                            tol=tol, maxiter=maxiter, restart=restart)
+                            tol=tol, maxiter=maxiter, restart=restart,
+                            record_history=verbose)
         elif method == "cg":
-            res = cg(A.matvec, bf, M=M, tol=tol, maxiter=maxiter)
+            res = cg(A.matvec, bf, M=M, tol=tol, maxiter=maxiter,
+                     record_history=verbose)
         else:
             res = gmres(A.matvec, bf, M=M, tol=tol, restart=restart,
-                        maxiter=maxiter)
+                        maxiter=maxiter, record_history=verbose)
         problem.last_relres = res.relres
+        problem.last_history = res.history
+        if verbose:
+            res.print_history(label=f"Belos {method.upper()}", every=out_freq)
         if not res.converged:
             import warnings
 

@@ -80,3 +80,39 @@ def test_gmres_iteration_exactness():
     res = gmres(lambda v: A @ v, b, tol=1e-12, restart=10, maxiter=50)
     assert res.converged
     assert res.iters <= 5
+
+
+def test_residual_history_recording():
+    """record_history returns the per-iteration Belos-style relres log:
+    history[0] = 1 (zero initial guess), history[-1] == final relres, and
+    it is monotone for CG on SPD systems at tight tolerance."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from feddlib_tpu.bc import BCBuilder
+    from feddlib_tpu.fe import ops
+    from feddlib_tpu.fe.domain import Domain
+    from feddlib_tpu.solvers.krylov import cg, gmres, solve_jit
+
+    dom = Domain.structured(2, 10)
+    K = ops.assemble_laplace(dom)
+    bcb = BCBuilder()
+    bcb.add_bc(lambda x, t: 0.0, 1, 0, dom, "Dirichlet", 1)
+    Kb, bb = bcb.apply_symmetric(
+        K, ops.assemble_rhs(dom, lambda x: 1.0 + 0 * x[0]), 0)
+    for res in (cg(Kb.matvec, bb, tol=1e-10, maxiter=500,
+                   record_history=True),
+                gmres(Kb.matvec, bb, tol=1e-10, maxiter=500,
+                      record_history=True)):
+        assert res.history is not None
+        assert len(res.history) == res.iters + 1
+        assert np.isclose(res.history[0], 1.0)
+        assert np.isclose(res.history[-1], res.relres, rtol=1e-10)
+        assert np.all(np.isfinite(res.history))
+    # jit-argument program path
+    A_fn, A_ops = Kb.operator()
+    r = solve_jit("gmres", A_fn, A_ops, bb, tol=1e-8, maxiter=300,
+                  record_history=True)
+    assert len(r.history) == r.iters + 1
+    # GMRES true-residual log decreases monotonically
+    assert np.all(np.diff(r.history) <= 1e-12)
