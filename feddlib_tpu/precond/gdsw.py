@@ -123,51 +123,74 @@ def rap_device(A: CsrMatrix, phi: sps.csr_matrix,
 
 
 class GDSWCoarseOperator:
-    """Φ and A₀ for a GDSW coarse level; device-resident apply."""
+    """Φ and A₀ for a GDSW coarse level; device-resident apply.
+
+    Single-space systems: pass (node_part_sets, points, dofs_per_node,
+    null_space).  Block/monolithic systems (Stokes, NS, FSI — the FROSch
+    MONOLITHIC path, fed per-block repeated maps + DofsPerNode,
+    Preconditioner_def.hpp:295-383): pass `blocks`, a list of dicts with
+    keys {offset, node_part_sets, points, dofs_per_node, null_space};
+    Φ is then block-diagonal (per-block interface classification and null
+    spaces) while the energy-minimal extension and A₀ use the MERGED
+    matrix."""
 
     def __init__(self, A: CsrMatrix, unique_map: IndexMap,
-                 node_part_sets: List[np.ndarray], points: np.ndarray,
+                 node_part_sets: Optional[List[np.ndarray]] = None,
+                 points: Optional[np.ndarray] = None,
                  dofs_per_node: int = 1, null_space: str = "laplace",
                  dirichlet_mask: Optional[np.ndarray] = None,
-                 dtype=jnp.float64, rap: str = "host"):
+                 dtype=jnp.float64, rap: str = "host",
+                 blocks: Optional[List[dict]] = None):
         n = A.shape[0]
-        n_nodes = points.shape[0]
-        if n != n_nodes * dofs_per_node:
-            raise ValueError("matrix size != n_nodes * dofs_per_node")
+        if blocks is None:
+            if points is None or node_part_sets is None:
+                raise ValueError("need node_part_sets+points or blocks")
+            if n != points.shape[0] * dofs_per_node:
+                raise ValueError("matrix size != n_nodes * dofs_per_node")
+            blocks = [dict(offset=0, node_part_sets=node_part_sets,
+                           points=points, dofs_per_node=dofs_per_node,
+                           null_space=null_space)]
         sp = A.to_scipy().tocsr()
 
-        comps, iface_node = interface_components(node_part_sets, n_nodes)
-        ns = build_null_space(null_space, points, dofs_per_node)
-        k = ns.shape[2]
-
-        # dof-level interface mask; Dirichlet dofs are excluded from the
-        # coarse space (their rows are identity — extending through them
-        # would pollute Φ)
-        iface_dof = np.repeat(iface_node, dofs_per_node)
-        if dirichlet_mask is not None:
-            iface_dof = iface_dof & ~dirichlet_mask
-
-        # Φ_Γ: per component, the null-space restrictions ORTHONORMALIZED by
-        # QR with rank filtering — on small components rotations become
-        # linearly dependent on translations, which would make A₀ nearly
-        # singular and the coarse correction an amplifier (FROSch's
-        # partition-of-unity basis serves the same role)
+        # per-block interface classification + null-space restrictions;
+        # dof-level interface mask over the MERGED index space.  Dirichlet
+        # dofs are excluded from the coarse space (their rows are identity —
+        # extending through them would pollute Φ)
+        iface_dof = np.zeros(n, dtype=bool)
         cols = []
-        for c in comps:
-            cdofs = (c[:, None] * dofs_per_node
-                     + np.arange(dofs_per_node)[None, :]).ravel()
-            keep = iface_dof[cdofs]
-            kept = cdofs[keep]
-            if len(kept) == 0:
-                continue
-            V = ns[c].reshape(-1, k)[keep]  # [n_kept_dofs, k]
-            if not np.abs(V).max() > 0:
-                continue
-            Q, Rm = np.linalg.qr(V)
-            diag = np.abs(np.diag(Rm))
-            good = diag > 1e-10 * max(diag.max(), 1e-300)
-            for j in np.nonzero(good)[0]:
-                cols.append((kept, Q[:, j]))
+        for blk in blocks:
+            off = int(blk["offset"])
+            dpn = int(blk["dofs_per_node"])
+            pts = blk["points"]
+            n_nodes = pts.shape[0]
+            comps, iface_node = interface_components(blk["node_part_sets"],
+                                                     n_nodes)
+            ns = build_null_space(blk.get("null_space", "laplace"), pts, dpn)
+            k = ns.shape[2]
+            blk_iface = np.repeat(iface_node, dpn)
+            if dirichlet_mask is not None:
+                blk_iface = blk_iface & ~dirichlet_mask[off:off + n_nodes * dpn]
+            iface_dof[off:off + n_nodes * dpn] = blk_iface
+
+            # Φ_Γ: per component, the null-space restrictions ORTHONORMALIZED
+            # by QR with rank filtering — on small components rotations become
+            # linearly dependent on translations, which would make A₀ nearly
+            # singular and the coarse correction an amplifier (FROSch's
+            # partition-of-unity basis serves the same role)
+            for c in comps:
+                cdofs = (c[:, None] * dpn + np.arange(dpn)[None, :]).ravel()
+                keep = blk_iface[cdofs]
+                kept = cdofs[keep] + off
+                if len(kept) == 0:
+                    continue
+                V = ns[c].reshape(-1, k)[keep]  # [n_kept_dofs, k]
+                if not np.abs(V).max() > 0:
+                    continue
+                Q, Rm = np.linalg.qr(V)
+                diag = np.abs(np.diag(Rm))
+                good = diag > 1e-10 * max(diag.max(), 1e-300)
+                for j in np.nonzero(good)[0]:
+                    cols.append((kept, Q[:, j]))
         nc = len(cols)
         if nc == 0:
             raise ValueError("empty coarse space (no interface components)")
@@ -267,17 +290,18 @@ class TwoLevelSchwarz:
     Additive)."""
 
     def __init__(self, A: CsrMatrix, unique_map: IndexMap,
-                 node_part_sets: List[np.ndarray], points: np.ndarray,
+                 node_part_sets: Optional[List[np.ndarray]] = None,
+                 points: Optional[np.ndarray] = None,
                  dofs_per_node: int = 1, overlap: int = 1,
                  combine: str = "Restricted", null_space: str = "laplace",
                  dirichlet_mask: Optional[np.ndarray] = None,
-                 rap: str = "host"):
+                 rap: str = "host", blocks: Optional[List[dict]] = None):
         self.level1 = SchwarzPreconditioner(A, unique_map, overlap=overlap,
                                             combine=combine)
         try:
             self.coarse = GDSWCoarseOperator(
                 A, unique_map, node_part_sets, points, dofs_per_node,
-                null_space, dirichlet_mask, rap=rap)
+                null_space, dirichlet_mask, rap=rap, blocks=blocks)
         except ValueError as e:
             # tiny problems can have a fully-Dirichlet interface → no coarse
             # functions; degrade gracefully to one level

@@ -81,11 +81,20 @@ class Preconditioner:
 
             nsp = params.get("Null Space Type", "laplace").lower()
             nsp = "elasticity" if "elas" in nsp else "laplace"
-            prec = TwoLevelSchwarz(
-                matrix, dof_map, part.repeated_map.partition_indices,
-                dom0.mesh.points, self.problem.total_dofs_per_node(),
-                overlap=overlap, combine=combine, null_space=nsp,
-                dirichlet_mask=self.problem.merged_dirichlet_mask())
+            prob = self.problem
+            if len(prob.variables) == 1:
+                prec = TwoLevelSchwarz(
+                    matrix, dof_map, part.repeated_map.partition_indices,
+                    dom0.mesh.points, prob.total_dofs_per_node(),
+                    overlap=overlap, combine=combine, null_space=nsp,
+                    dirichlet_mask=prob.merged_dirichlet_mask())
+            else:
+                # monolithic block GDSW (FROSch monolithic fed per-block
+                # repeated maps + DofsPerNode, Preconditioner_def.hpp:295-383)
+                prec = TwoLevelSchwarz(
+                    matrix, dof_map, overlap=overlap, combine=combine,
+                    dirichlet_mask=prob.merged_dirichlet_mask(),
+                    blocks=self._block_specs(part, nsp))
         else:  # "SchwarzOneLevel" / "Schwarz"
             from feddlib_tpu.precond.schwarz import SchwarzPreconditioner
 
@@ -136,6 +145,37 @@ class Preconditioner:
                     parts[p].append(np.nonzero(owner == p)[0] + offsets[b])
         merged = [np.sort(np.concatenate(lst)) for lst in parts]
         return IndexMap(int(offsets[-1]), merged)
+
+    def _block_specs(self, part: MeshPartition, null_space: str):
+        """Per-block GDSW specs: each variable block contributes its own
+        mesh's per-part repeated node sets, node coordinates, DofsPerNode
+        and null space; extra (domain-less) blocks such as FSI's λ get no
+        coarse functions.  Vector blocks use the elasticity null space only
+        when requested; scalar blocks always use constants."""
+        prob = self.problem
+        sizes = prob.block_sizes()
+        offsets = np.concatenate([[0], np.cumsum(sizes)])
+        specs = []
+        mesh_parts = {id(part.mesh): part}
+        for b in range(len(prob.variables)):
+            dom, dofs, _ = prob.variables[b]
+            base = dom.parent_p1 or dom
+            bp = mesh_parts.get(id(base.mesh))
+            if bp is None:
+                bp = MeshPartition(base.mesh, part.n_parts)
+                mesh_parts[id(base.mesh)] = bp
+            if dom.mesh is bp.mesh:
+                rep_sets = bp.repeated_map.partition_indices
+            else:  # P2 child: repeated nodes = nodes touched by my elements
+                rep_sets = [np.unique(dom.mesh.elements[bp.elem_ids[p]])
+                            for p in range(part.n_parts)]
+            nsp = null_space if (dofs > 1 and null_space == "elasticity") \
+                else "laplace"
+            specs.append(dict(offset=int(offsets[b]),
+                              node_part_sets=rep_sets,
+                              points=dom.mesh.points,
+                              dofs_per_node=dofs, null_space=nsp))
+        return specs
 
     def apply(self):
         return self._apply

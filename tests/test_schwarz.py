@@ -76,3 +76,45 @@ def test_overlap_reduces_iterations(poisson):
         iters.append(res.iters)
     assert iters[1] <= iters[0]
     assert iters[2] <= iters[1]
+
+
+def test_monolithic_block_gdsw_stokes():
+    """Two-level monolithic GDSW on the Stokes saddle point (block-diagonal
+    Φ: velocity translations + pressure constants — the FROSch-monolithic
+    analog) must beat one-level Schwarz at 16 subdomains and must NOT fall
+    back to one level."""
+    import warnings
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from feddlib_tpu.fe.domain import Domain
+    from feddlib_tpu.problems import Stokes
+    from feddlib_tpu.utils.config import ParameterList
+
+    def params(**kw):
+        p = ParameterList("p")
+        for k, v in kw.items():
+            p[k] = v
+        return p
+
+    iters = {}
+    for prec in ("SchwarzOneLevel", "SchwarzTwoLevel"):
+        dom_p = Domain.structured(2, 16)
+        dom_u = dom_p.p2_domain()
+        prob = Stokes(dom_u, dom_p, parameter_list=params(
+            Viscosity=1.0, **{"Preconditioner Type": prec, "Subdomains": 16,
+                              "Maximum Iterations": 4000}))
+        prob.assemble()
+        prob.add_bc(lambda x, t: jnp.where(
+            jnp.isclose(x[1], 1.0), jnp.array([1.0, 0.0]), jnp.zeros(2)),
+            1, 0)
+        dom_p.mesh.point_flags = dom_p.mesh.point_flags.copy()
+        dom_p.mesh.point_flags[0] = 77
+        prob.bc_builder.add_bc(lambda x, t: 0.0, 77, 1, dom_p, "Dirichlet", 1)
+        prob.set_boundaries_rhs()
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # fallback warning = failure
+            iters[prec] = prob.solve()
+        assert prob.last_relres <= 1e-8
+    assert iters["SchwarzTwoLevel"] < iters["SchwarzOneLevel"], iters
