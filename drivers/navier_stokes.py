@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--density", type=float, default=1000.0)
     ap.add_argument("--umax", type=float, default=0.3)
     ap.add_argument("--subdomains", type=int, default=8)
+    ap.add_argument("--prec", default=None,
+                    help="SchwarzOneLevel | SchwarzTwoLevel | Jacobi")
     ap.add_argument("--out", default=None)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -51,6 +53,8 @@ def main():
     pl["Viscosity"] = args.viscosity
     pl["Density"] = args.density
     pl["Subdomains"] = args.subdomains
+    if args.prec:
+        pl["Preconditioner Type"] = args.prec
     if "Preconditioner Type" not in pl:
         pl["Preconditioner Type"] = "SchwarzOneLevel"
     if "Maximum Iterations" not in pl:
