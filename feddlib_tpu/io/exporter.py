@@ -22,6 +22,16 @@ _TOPOLOGY = {
     (2, "P2"): ("Triangle_6", 6),
     (3, "P1"): ("Tetrahedron", 4),
     (3, "P2"): ("Tetrahedron_10", 10),
+    # quad/hex (fe/hex.py) — node orderings match VTK/XDMF conventions
+    # (corners, then edge midpoints bottom/top/vertical, [center]);
+    # 27-node Q2 is written on its corner subgrid (VTK's triquadratic
+    # face/center ordering differs from ours — vertex values suffice
+    # for visualization)
+    (2, "Q1"): ("Quadrilateral", 4),
+    (2, "Q2"): ("Quadrilateral_9", 9),
+    (3, "Q1"): ("Hexahedron", 8),
+    (3, "Q2"): ("Hexahedron", 8),
+    (3, "Q2-20"): ("Hexahedron_20", 20),
 }
 
 
@@ -49,8 +59,9 @@ class ExporterParaView:
         if mesh.dim == 2:  # ParaView wants 3-D coordinates
             pts = np.concatenate([pts, np.zeros((len(pts), 1))], axis=1)
         self.h5.create_dataset("points", data=pts)
-        self.h5.create_dataset("connectivity", data=mesh.elements)
         self.topo, self.nodes_per_cell = _TOPOLOGY[(mesh.dim, mesh.fe_type)]
+        self.h5.create_dataset("connectivity",
+                               data=mesh.elements[:, : self.nodes_per_cell])
         self.variables: List[tuple] = []  # (name, dofs_per_node)
         self.timesteps: List[float] = []
 
