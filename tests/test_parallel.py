@@ -123,3 +123,17 @@ def test_distributed_assembly_matches_serial():
     K = ops.assemble_laplace(dom)
     ref = da.reference_local_data(np.asarray(K.data))
     np.testing.assert_allclose(data, ref, atol=1e-12)
+
+
+def test_multihost_single_process_fallback():
+    """multihost helpers degrade to the local device list in a single
+    process (the N-host path differs only by jax.distributed.initialize)."""
+    import jax
+
+    from feddlib_tpu.parallel import multihost
+
+    assert not multihost.is_multiprocess()
+    axis = multihost.global_device_axis(4)
+    assert axis.n_dev == 4
+    lo, hi = multihost.process_local_slice(axis)
+    assert (lo, hi) == (0, 4)  # all partitions are process-local
