@@ -29,6 +29,32 @@ IFACE_BOX = 9     # two-box scenario interface flag
 IFACE_TUREK = 5   # reference dfg_fsi mesh interface flag
 
 
+def _tube(n):
+    """Artery-like channel with an elastic wall — the fsi_artery / Tube2D
+    analog (reference main.cpp bcType 'Tube2D'): fluid [0,5]x[0,1] below an
+    elastic wall [0,5]x[1,1.2]; pulsed parabolic inflow at x=0, symmetry
+    axis at y=0, wall clamped at both ends.  Flags: 2 inflow, 3 outflow,
+    6 axis, 1 wall ends (solid), IFACE interface."""
+    import numpy as np
+
+    from feddlib_tpu.fe.domain import Domain
+    from feddlib_tpu.mesh.structured import (build_structured_mesh,
+                                             flag_boxed_boundary)
+
+    L, H, T = 5.0, 1.0, 0.2
+    fluid = build_structured_mesh(2, (5 * n, n), lower=[0, 0], upper=[L, H])
+    solid = build_structured_mesh(2, (5 * n, max(n // 2, 1)),
+                                  lower=[0, H], upper=[L, H + T])
+    flag_boxed_boundary(fluid, [0, 0], [L, H],
+                        {"x0": 2, "x1": 3, "y0": 6, "y1": IFACE_BOX})
+    # interface flag applied LAST so the wall-end corners on y=H match the
+    # fluid side (the corner nodes must be interface on BOTH meshes)
+    flag_boxed_boundary(solid, [0, H], [L, H + T],
+                        {"x0": 1, "x1": 1, "y1": 7, "y0": IFACE_BOX})
+    dom_fp, dom_sp = Domain(fluid), Domain(solid)
+    return dom_fp.p2_domain(), dom_fp, dom_sp.p2_domain(), IFACE_BOX
+
+
 def _two_box(n):
     import numpy as np
 
@@ -56,6 +82,9 @@ def main():
     ap.add_argument("--mesh-fluid", default=None)
     ap.add_argument("--mesh-solid", default=None)
     ap.add_argument("--n", type=int, default=4, help="two-box cells")
+    ap.add_argument("--scenario", default="box", choices=["box", "tube"],
+                    help="box: lid-driven two-box; tube: artery-like "
+                         "pulsed channel with elastic wall (fsi_artery)")
     ap.add_argument("--t-end", type=float, default=0.06)
     ap.add_argument("--dt", type=float, default=0.02)
     ap.add_argument("--mode", default="GE", choices=["GE", "GI"])
@@ -102,6 +131,12 @@ def main():
             pl.setdefault("Density Solid", 1e-3)
             pl.setdefault("E", 1.4e3)
             pl.setdefault("Poisson Ratio", 0.4)
+        elif args.scenario == "tube":
+            dom_u, dom_p, dom_d, iface = _tube(args.n)
+            pl.setdefault("Viscosity", 0.03)
+            pl.setdefault("E", 100.0)
+            pl.setdefault("Poisson Ratio", 0.3)
+            pl["Geometry Boundary Flags"] = (2, 3, 6)
         else:
             dom_u, dom_p, dom_d, iface = _two_box(args.n)
             pl.setdefault("Viscosity", 0.1)
@@ -127,6 +162,17 @@ def main():
         prob.add_bc(lambda x, t: jnp.zeros(2), 4, 0)   # cylinder
         prob.add_bc(lambda x, t: jnp.zeros(2), 1, 2)   # solid clamped
         tip_point = [0.6, 0.2]                          # Turek point A
+    elif args.scenario == "tube":
+        def pulse(x, t):  # pulsed parabolic inflow (artery pressure pulse)
+            amp = 0.5 * (1.0 - jnp.cos(2 * jnp.pi * t / 0.4))
+            prof = x[1] * (2.0 - x[1])  # parabolic over [0, 1], max at axis
+            return jnp.array([amp * prof, 0.0])
+
+        prob.add_bc(pulse, 2, 0)                           # inflow
+        prob.bc_builder.add_bc(lambda x, t: 0.0, 6, 0,     # symmetry axis
+                               prob.variables[0][0], "Dirichlet_Y", 2)
+        prob.add_bc(lambda x, t: jnp.zeros(2), 1, 2)       # wall ends
+        tip_point = [2.5, 1.0]                             # wall midpoint
     else:
         def lid(x, t):
             on_lid = jnp.isclose(x[1], 1.0)

@@ -78,8 +78,14 @@ class FSI(NonLinearProblem):
         self.newmark_beta = float(pl.get("beta", 0.25))
         self.newmark_gamma = float(pl.get("gamma", 0.5))
 
-        # geometry (mesh motion) sub-problem on the fluid mesh
+        # geometry (mesh motion) sub-problem on the fluid mesh; the outer
+        # fluid boundary held fixed during mesh motion is flag 1 by default
+        # (walls) — scenarios with differently-flagged boundaries (inflow 2,
+        # outflow 3, symmetry axis, ... — e.g. the artery/Tube2D test) list
+        # them in 'Geometry Boundary Flags'
         self.geometry = Geometry(domain_u, parameter_list=geometry_params)
+        self.geometry_boundary_flags = tuple(
+            pl.get("Geometry Boundary Flags", (1,)))
         domain_u.mesh.save_reference_configuration()
 
         # interface coupling matrices (built once; nodal identities)
@@ -184,8 +190,9 @@ class FSI(NonLinearProblem):
             # 1) geometry: harmonic extension of interface displacement dⁿ
             d_np = np.asarray(self.solution[2]).reshape(-1, dim)
             iface_disp = d_np[self.interface.nodes_b]
-            g = self.geometry.solve_motion(self.interface.nodes_a,
-                                           iface_disp)
+            g = self.geometry.solve_motion(
+                self.interface.nodes_a, iface_disp,
+                boundary_flags=self.geometry_boundary_flags)
             # 2) ALE move + mesh velocity w
             dom_u.mesh.move(g)
             dom_u.invalidate_geometry()
