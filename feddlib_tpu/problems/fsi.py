@@ -433,17 +433,22 @@ class FSI(NonLinearProblem):
 
         dom_u = self.variables[0][0]
         base = (dom_u.parent_p1 or dom_u).mesh
-        bp = mesh_parts.get(id(base))
+        bp, a0 = None, 0  # mesh_parts keys: (id(mesh), range_start, n_parts)
+        for k, v in mesh_parts.items():
+            if (k[0] if isinstance(k, tuple) else k) == id(base):
+                bp = v
+                a0 = k[1] if isinstance(k, tuple) else 0
+                break
         if bp is None:
             bp = MeshPartition(base, n_parts)
-            mesh_parts[id(base)] = bp
+            mesh_parts[(id(base), 0, n_parts)] = bp
         node_map = (bp.unique_map if dom_u.mesh is bp.mesh
                     else _p2_unique_map(bp, dom_u))
-        if block == 3:  # λ
-            owner = node_map.owner_of()[self.interface.nodes_a]
+        if block == 3:  # λ follows its matched fluid node's owner device
+            owner = a0 + node_map.owner_of()[self.interface.nodes_a]
             return np.repeat(owner, self.dim)
         # geometry block: same layout as the velocity space
-        return node_map.build_vec_field_map(self.dim).owner_of()
+        return a0 + node_map.build_vec_field_map(self.dim).owner_of()
 
     def tip_displacement(self, point) -> np.ndarray:
         """Displacement at the solid node closest to `point` — the Turek

@@ -122,20 +122,35 @@ class Preconditioner:
         offsets = np.concatenate([[0], np.cumsum(sizes)])
         n_parts = part.n_parts
         parts = [[] for _ in range(n_parts)]
-        mesh_parts = {id(part.mesh): part}
+        mesh_parts = {(id(part.mesh), 0, n_parts): part}
+        # 'Mesh Rank Ranges': per-variable [start, end] device ranges — the
+        # reference's multi-mesh rank partitioning (fluid mesh on ranks
+        # a..b, solid on c..d; MeshPartitioner determineRanks/fractions,
+        # MeshPartitioner_def.hpp:61-120).  Default: every mesh spans all
+        # parts (device p owns piece p of every mesh).
+        ranges = prob.parameter_list.get("Mesh Rank Ranges", None)
         for b in range(len(sizes)):
             if b < len(prob.variables):
                 dom, dofs, _ = prob.variables[b]
                 base = dom.parent_p1 or dom
-                bp = mesh_parts.get(id(base.mesh))
+                if ranges is not None and b < len(ranges):
+                    a0, a1 = int(ranges[b][0]), int(ranges[b][1])
+                    if not (0 <= a0 <= a1 < n_parts):
+                        raise ValueError(f"bad rank range {ranges[b]}")
+                else:
+                    a0, a1 = 0, n_parts - 1
+                nb = a1 - a0 + 1
+                key = (id(base.mesh), a0, nb)
+                bp = mesh_parts.get(key)
                 if bp is None:
-                    bp = MeshPartition(base.mesh, n_parts)
-                    mesh_parts[id(base.mesh)] = bp
+                    bp = MeshPartition(base.mesh, nb)
+                    mesh_parts[key] = bp
                 node_map = (bp.unique_map if dom.mesh is bp.mesh
                             else _p2_unique_map(bp, dom))
                 dmap = node_map.build_vec_field_map(dofs)
-                for p in range(n_parts):
-                    parts[p].append(dmap.partition_indices[p] + offsets[b])
+                for q in range(nb):
+                    parts[a0 + q].append(dmap.partition_indices[q]
+                                         + offsets[b])
             else:
                 hook = getattr(prob, "extra_block_owner", None)
                 owner = (hook(b, n_parts, mesh_parts) if hook is not None

@@ -227,3 +227,47 @@ def test_fsi_monolithic_schwarz():
         linmod.LinearSolver.solve_system = orig
     assert max(iters_log) < 60
     assert np.isfinite(np.asarray(prob.solution[2])).all()
+
+
+def test_fsi_mesh_rank_ranges():
+    """Multi-mesh rank ranges (MeshPartitioner determineRanks,
+    MeshPartitioner_def.hpp:61-120): fluid u/p on parts 0-2, solid on 3-5.
+    The merged dof map must place each mesh's dofs ONLY in its range, and
+    the monolithic Schwarz solve must still converge."""
+    import numpy as np
+
+    from feddlib_tpu.problems.fsi import FSI
+
+    dom_u, dom_p, dom_d = _two_box_domains(3)
+    pl = _params(Viscosity=0.1, E=50.0, dt=0.02,
+                 **{"Poisson Ratio": 0.3,
+                    "Preconditioner Type": "SchwarzOneLevel",
+                    "Subdomains": 6, "Maximum Iterations": 8000,
+                    "Convergence Tolerance": 1e-9, "MaxNonLinIts": 12,
+                    "Mesh Rank Ranges": [[0, 2], [0, 2], [3, 5]]})
+    prob = FSI(dom_u, dom_p, dom_d, [IFACE], parameter_list=pl)
+    prob.assemble()
+    prob.add_bc(lambda x, t: jnp.where(
+        jnp.isclose(x[1], 1.0), jnp.array([0.5, 0.0]), jnp.zeros(2)), 1, 0)
+    prob.add_bc(lambda x, t: jnp.zeros(2), 1, 2)
+    prob.advance(t_end=0.02)
+    assert np.isfinite(np.asarray(prob.solution[2])).all()
+
+    # verify the range structure of the merged dof map
+    from feddlib_tpu.mesh.partition import MeshPartition
+
+    pre = prob.preconditioner
+    part = MeshPartition((dom_u.parent_p1 or dom_u).mesh, 6)
+    dmap = pre._merged_dof_map(part)
+    sizes = prob.block_sizes()
+    off = np.concatenate([[0], np.cumsum(sizes)])
+    for p in range(6):
+        ix = dmap.partition_indices[p]
+        fluid = ix[(ix < off[2])]           # u+p dofs
+        solid = ix[(ix >= off[2]) & (ix < off[3])]
+        if p <= 2:
+            assert len(solid) == 0
+        else:
+            assert len(fluid) == 0
+            assert len(solid) > 0
+    assert dmap.is_unique()
