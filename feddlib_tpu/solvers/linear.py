@@ -249,7 +249,15 @@ class LinearSolver:
             return self._solve_mixed(problem, A, b, params, tol, maxiter,
                                      restart)
 
-        if problem.preconditioner.apply() is None or problem._prec_stale:
+        # 'Reuse Preconditioner': keep the factorized preconditioner across
+        # Newton/time-step reassemblies (the reference's FROSch Reuse flags,
+        # parametersPrec.xml 'Reuse: Coarse Basis / Symbolic Factorization'
+        # taken to their limit) — valid since M need only approximate A⁻¹,
+        # and it removes the per-step setup cost
+        reuse = bool(params.get("Reuse Preconditioner", False))
+        built = problem.preconditioner.apply() is not None \
+            or problem.preconditioner.operator() is not None
+        if not built or (problem._prec_stale and not reuse):
             problem.preconditioner.build(A)
             problem._prec_stale = False
 

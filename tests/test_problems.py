@@ -193,3 +193,47 @@ def test_problem_mixed_precision_backend():
     rmx, xmx = run(True)
     assert rmx <= 1e-8
     np.testing.assert_allclose(xmx, x64, atol=1e-8)
+
+
+def test_reuse_preconditioner():
+    """'Reuse Preconditioner' (reference FROSch Reuse flags): the Schwarz
+    setup runs once and is kept across Newton reassemblies; Newton
+    convergence is unaffected (M need only approximate A⁻¹)."""
+    from feddlib_tpu.solvers import linear as linmod
+
+    builds = []
+    orig = linmod.Preconditioner.build
+
+    def patched(self, m):
+        builds.append(1)
+        return orig(self, m)
+
+    linmod.Preconditioner.build = patched
+    try:
+        its = {}
+        for reuse in (False, True):
+            builds.clear()
+            dom_p = Domain.structured(2, 6)
+            dom_u = dom_p.p2_domain()
+            prob = NavierStokes(dom_u, dom_p, parameter_list=_params(
+                Viscosity=0.1,
+                **{"Preconditioner Type": "SchwarzOneLevel",
+                   "Subdomains": 2, "Maximum Iterations": 2000,
+                   "Reuse Preconditioner": reuse}))
+            prob.assemble()
+            prob.add_bc(lambda x, t: jnp.where(
+                jnp.isclose(x[1], 1.0), jnp.array([1.0, 0.0]),
+                jnp.zeros(2)), 1, 0)
+            prob.bc_builder.add_bc(lambda x, t: 0.0, _pin_flag(dom_p), 1,
+                                   dom_p, "Dirichlet", 1)
+            prob.set_boundaries_rhs()
+            from feddlib_tpu.solvers.nonlinear import NonLinearSolver
+
+            its[reuse] = NonLinearSolver("Newton").solve(prob)
+            if reuse:
+                assert sum(builds) == 1
+            else:
+                assert sum(builds) == its[reuse]
+        assert its[True] == its[False]
+    finally:
+        linmod.Preconditioner.build = orig
