@@ -117,7 +117,10 @@ class DAESolverInTime:
                  scheme: str = "BDF2", theta: float = 1.0,
                  newmark_beta: float = 0.25, newmark_gamma: float = 0.5,
                  rhs_func: Optional[Callable] = None,
-                 observer: Optional[Callable] = None):
+                 observer: Optional[Callable] = None,
+                 checkpoint_path: Optional[str] = None,
+                 checkpoint_every: int = 1,
+                 resume_from: Optional[str] = None):
         self.tp = time_problem
         self.dt = dt
         self.t_end = t_end
@@ -127,14 +130,48 @@ class DAESolverInTime:
         self.gamma = newmark_gamma
         self.rhs_func = rhs_func  # rhs_func(t) -> BlockVector
         self.observer = observer  # observer(t, solution)
+        # checkpoint/resume (capability ADD over the reference — SURVEY §5:
+        # the reference has output-only persistence): solution + integrator
+        # history saved every `checkpoint_every` steps; `resume_from`
+        # restores state and continues from the saved time.  Supported by
+        # the linear θ / BDF / Newmark loops.
+        self.checkpoint_path = checkpoint_path
+        self.checkpoint_every = max(int(checkpoint_every), 1)
+        self._step_count = 0
+        self._resume = None
+        if resume_from is not None:
+            from feddlib_tpu.utils.checkpoint import load_checkpoint
+
+            self._resume = load_checkpoint(resume_from)
+
+    # -- checkpoint plumbing --------------------------------------------------
+    def _resume_state(self):
+        """Restore solution + time from a loaded checkpoint (if any);
+        returns (t_start, aux dict)."""
+        if self._resume is None:
+            return 0.0, {}
+        sol, t, aux, _meta = self._resume
+        self.tp.problem.solution = sol
+        return t, aux
+
+    def _checkpoint(self, t, aux=None):
+        if not self.checkpoint_path:
+            return
+        self._step_count += 1
+        if self._step_count % self.checkpoint_every:
+            return
+        from feddlib_tpu.utils.checkpoint import save_checkpoint
+
+        save_checkpoint(self.checkpoint_path, self.tp.problem.solution, t,
+                        aux=aux)
 
     # -- linear θ-scheme (advanceInTimeLinear, :190) -------------------------
     def advance_linear_theta(self) -> None:
         tp, prob = self.tp, self.tp.problem
         dt, th = self.dt, self.theta
         prob.init_vectors()
+        t, _ = self._resume_state()
         u = prob.solution
-        t = 0.0
         lhs = tp.combined_system(1.0 / dt, th)
         f_prev = self.rhs_func(t) if self.rhs_func else BlockVector.zeros(
             prob.block_sizes())
@@ -149,6 +186,7 @@ class DAESolverInTime:
             prob.solution = u
             if self.observer:
                 self.observer(t_new, u)
+            self._checkpoint(t_new)
             t, f_prev = t_new, f_new
 
     # -- linear BDF-k (advanceInTimeLinearMultistep, :1209) ------------------
@@ -157,8 +195,16 @@ class DAESolverInTime:
         dt = self.dt
         beta0, alphas = bdf_coefficients(order)
         prob.init_vectors()
-        history = [prob.solution.copy()]
-        t = 0.0
+        t, aux = self._resume_state()
+        if aux:
+            import jax.numpy as jnp
+
+            hist_keys = sorted(k for k in aux if k.startswith("hist_"))
+            history = [BlockVector.split(jnp.asarray(aux[k]),
+                                         prob.block_sizes())
+                       for k in hist_keys]
+        else:
+            history = [prob.solution.copy()]
         lhs = tp.combined_system(beta0 / dt, 1.0)
         lhs1 = tp.combined_system(1.0 / dt, 1.0)  # BDF1 startup
         while t < self.t_end - 1e-12:
@@ -183,6 +229,8 @@ class DAESolverInTime:
                 history.pop(0)
             if self.observer:
                 self.observer(t_new, u)
+            self._checkpoint(t_new, aux={
+                f"hist_{i}": h.concat() for i, h in enumerate(history)})
             t = t_new
 
     # -- linear Newmark (advanceInTimeLinearNewmark, :519) -------------------
@@ -191,10 +239,18 @@ class DAESolverInTime:
         tp, prob = self.tp, self.tp.problem
         dt, be, ga = self.dt, self.beta, self.gamma
         prob.init_vectors()
+        t, aux = self._resume_state()
         d = prob.solution
-        v = BlockVector.zeros(prob.block_sizes())
-        a = BlockVector.zeros(prob.block_sizes())
-        t = 0.0
+        if aux:
+            import jax.numpy as jnp
+
+            v = BlockVector.split(jnp.asarray(aux["velocity"]),
+                                  prob.block_sizes())
+            a = BlockVector.split(jnp.asarray(aux["acceleration"]),
+                                  prob.block_sizes())
+        else:
+            v = BlockVector.zeros(prob.block_sizes())
+            a = BlockVector.zeros(prob.block_sizes())
         # effective lhs: M/(β dt²) + K
         lhs = tp.combined_system(1.0 / (be * dt * dt), 1.0)
         while t < self.t_end - 1e-12:
@@ -215,6 +271,8 @@ class DAESolverInTime:
             prob.solution = d
             if self.observer:
                 self.observer(t_new, d)
+            self._checkpoint(t_new, aux={"velocity": v.concat(),
+                                         "acceleration": a.concat()})
             t = t_new
         self.velocity, self.acceleration = v, a
 

@@ -222,3 +222,49 @@ def test_adaptive_theta():
     err = np.abs(np.asarray(prob.solution[0]) - exact).max()
     assert err < 5e-4
     assert max(drv.dt_history) > 2 * 0.001  # controller increased dt
+
+
+def test_checkpoint_resume_exactness(tmp_path):
+    """Checkpoint at t=0.5, resume in a FRESH driver, and finish: the
+    resumed trajectory must match an uninterrupted run bit-for-bit (BDF2
+    history and Newmark v/a are part of the checkpoint)."""
+    import os
+
+    def make():
+        dom = Domain.structured(2, 4)
+        prob = Laplace(dom, parameter_list=_params(
+            **{"Preconditioner Type": "Jacobi", "Maximum Iterations": 4000,
+               "Convergence Tolerance": 1e-12}))
+        prob.assemble()
+        prob.add_bc(lambda x, t: 0.0, 1, 0)
+        prob.init_vectors()
+        return prob
+
+    def rhs(prob):
+        from feddlib_tpu.fe import ops
+        from feddlib_tpu.la.block import BlockVector
+
+        f = ops.assemble_rhs(prob.variables[0][0], lambda x: 1.0 + 0 * x[0])
+        return lambda t: BlockVector([f * min(t, 1.0)])
+
+    for scheme in ("bdf", "newmark", "theta"):
+        # uninterrupted reference run
+        p1 = make()
+        d1 = DAESolverInTime(TimeProblem(p1), 0.1, 1.0, theta=1.0,
+                             rhs_func=rhs(p1))
+        getattr(d1, f"advance_linear_{scheme}")()
+        ref = np.asarray(p1.solution[0])
+
+        # first half with checkpointing, then resume in a fresh driver
+        ck = os.path.join(tmp_path, f"{scheme}.npz")
+        p2 = make()
+        d2 = DAESolverInTime(TimeProblem(p2), 0.1, 0.5, theta=1.0,
+                             rhs_func=rhs(p2), checkpoint_path=ck)
+        getattr(d2, f"advance_linear_{scheme}")()
+        p3 = make()
+        d3 = DAESolverInTime(TimeProblem(p3), 0.1, 1.0, theta=1.0,
+                             rhs_func=rhs(p3), resume_from=ck)
+        getattr(d3, f"advance_linear_{scheme}")()
+        got = np.asarray(p3.solution[0])
+        np.testing.assert_allclose(got, ref, atol=1e-13,
+                                   err_msg=f"scheme {scheme}")
