@@ -38,11 +38,13 @@ from feddlib_tpu.la.map import IndexMap
 from feddlib_tpu.precond.schwarz import SchwarzPreconditioner
 
 
-def interface_components(node_part_sets: List[np.ndarray], n_nodes: int):
+def interface_components(node_part_sets: List[np.ndarray], n_nodes: int,
+                         return_sets: bool = False):
     """Group interface nodes by their touching-subdomain set.
 
     node_part_sets: per-part arrays of (repeated) node ids.
-    Returns (components: list of node-id arrays, interface_mask [n_nodes])."""
+    Returns (components: list of node-id arrays, interface_mask [n_nodes])
+    — and the touching sets themselves with return_sets=True."""
     # multiplicity + a hashable signature of the part set per node
     touch: List[list] = [[] for _ in range(n_nodes)]
     for p, nodes in enumerate(node_part_sets):
@@ -52,11 +54,52 @@ def interface_components(node_part_sets: List[np.ndarray], n_nodes: int):
     for g in range(n_nodes):
         if len(touch[g]) >= 2:
             sig.setdefault(tuple(touch[g]), []).append(g)
-    comps = [np.array(v, dtype=np.int64) for _, v in sorted(sig.items())]
+    items = sorted(sig.items())
+    comps = [np.array(v, dtype=np.int64) for _, v in items]
     mask = np.zeros(n_nodes, dtype=bool)
     for c in comps:
         mask[c] = True
+    if return_sets:
+        return comps, mask, [frozenset(k) for k, _ in items]
     return comps, mask
+
+
+def rgdsw_vertex_weights(comps: List[np.ndarray],
+                         sets: List[frozenset]) -> List[List[tuple]]:
+    """RGDSW Option 1 coarse-node selection + partition-of-unity weights
+    (FROSch RGDSWCoarseOperator / the IPOUHarmonic GDSW* family).
+
+    Coarse nodes = interface components whose touching-subdomain set is
+    MAXIMAL under inclusion (the subdomain 'vertices' — faces touch 2
+    parts, edges more, vertices the most).  Every other component
+    distributes its nullspace values equally among its coarse ancestors
+    {v : S_comp ⊆ S_v}; components with no ancestor become coarse nodes
+    themselves.  Returns, per coarse node, a list of (comp_index, weight)
+    — a partition of unity over the interface."""
+    n = len(comps)
+    is_coarse = [True] * n
+    for i in range(n):
+        for j in range(n):
+            if i != j and sets[i] < sets[j]:  # proper subset → not maximal
+                is_coarse[i] = False
+                break
+    # promote orphan components (no maximal superset) first, THEN resolve
+    # every component's ancestors against the final coarse set
+    for i in range(n):
+        if not is_coarse[i] and not any(
+                is_coarse[j] and sets[i] <= sets[j] for j in range(n)):
+            is_coarse[i] = True
+    coarse_ids = [i for i in range(n) if is_coarse[i]]
+    members: dict = {v: [] for v in coarse_ids}
+    for i in range(n):
+        if is_coarse[i]:
+            members[i].append((i, 1.0))
+            continue
+        anc = [j for j in coarse_ids if sets[i] <= sets[j]]
+        w = 1.0 / len(anc)
+        for v in anc:
+            members[v].append((i, w))
+    return [members[v] for v in coarse_ids]
 
 
 def build_null_space(kind: str, points: np.ndarray, dofs_per_node: int):
@@ -140,7 +183,11 @@ class GDSWCoarseOperator:
                  dofs_per_node: int = 1, null_space: str = "laplace",
                  dirichlet_mask: Optional[np.ndarray] = None,
                  dtype=jnp.float64, rap: str = "host",
-                 blocks: Optional[List[dict]] = None):
+                 blocks: Optional[List[dict]] = None,
+                 variant: str = "GDSW"):
+        if variant not in ("GDSW", "RGDSW"):
+            raise ValueError(f"unknown coarse variant {variant!r}")
+        self.variant = variant
         n = A.shape[0]
         if blocks is None:
             if points is None or node_part_sets is None:
@@ -163,8 +210,8 @@ class GDSWCoarseOperator:
             dpn = int(blk["dofs_per_node"])
             pts = blk["points"]
             n_nodes = pts.shape[0]
-            comps, iface_node = interface_components(blk["node_part_sets"],
-                                                     n_nodes)
+            comps, iface_node, csets = interface_components(
+                blk["node_part_sets"], n_nodes, return_sets=True)
             ns = build_null_space(blk.get("null_space", "laplace"), pts, dpn)
             k = ns.shape[2]
             blk_iface = np.repeat(iface_node, dpn)
@@ -172,18 +219,35 @@ class GDSWCoarseOperator:
                 blk_iface = blk_iface & ~dirichlet_mask[off:off + n_nodes * dpn]
             iface_dof[off:off + n_nodes * dpn] = blk_iface
 
-            # Φ_Γ: per component, the null-space restrictions ORTHONORMALIZED
-            # by QR with rank filtering — on small components rotations become
-            # linearly dependent on translations, which would make A₀ nearly
-            # singular and the coarse correction an amplifier (FROSch's
-            # partition-of-unity basis serves the same role)
-            for c in comps:
-                cdofs = (c[:, None] * dpn + np.arange(dpn)[None, :]).ravel()
-                keep = blk_iface[cdofs]
-                kept = cdofs[keep] + off
-                if len(kept) == 0:
+            # coarse groups: GDSW = one group per interface component with
+            # unit weights; RGDSW = one group per subdomain VERTEX with
+            # partition-of-unity weights over its descendant components
+            if variant == "RGDSW":
+                groups = rgdsw_vertex_weights(comps, csets)
+            else:
+                groups = [[(i, 1.0)] for i in range(len(comps))]
+
+            # Φ_Γ: per group, the (weighted) null-space restrictions
+            # ORTHONORMALIZED by QR with rank filtering — on small groups
+            # rotations become linearly dependent on translations, which
+            # would make A₀ nearly singular and the coarse correction an
+            # amplifier (FROSch's partition-of-unity basis serves the same
+            # role)
+            for grp in groups:
+                dof_l, V_l = [], []
+                for ci, w in grp:
+                    c = comps[ci]
+                    cdofs = (c[:, None] * dpn
+                             + np.arange(dpn)[None, :]).ravel()
+                    keep = blk_iface[cdofs]
+                    if not keep.any():
+                        continue
+                    dof_l.append(cdofs[keep] + off)
+                    V_l.append(w * ns[c].reshape(-1, k)[keep])
+                if not dof_l:
                     continue
-                V = ns[c].reshape(-1, k)[keep]  # [n_kept_dofs, k]
+                kept = np.concatenate(dof_l)
+                V = np.concatenate(V_l, axis=0)  # [n_kept_dofs, k]
                 if not np.abs(V).max() > 0:
                     continue
                 Q, Rm = np.linalg.qr(V)
@@ -295,13 +359,15 @@ class TwoLevelSchwarz:
                  dofs_per_node: int = 1, overlap: int = 1,
                  combine: str = "Restricted", null_space: str = "laplace",
                  dirichlet_mask: Optional[np.ndarray] = None,
-                 rap: str = "host", blocks: Optional[List[dict]] = None):
+                 rap: str = "host", blocks: Optional[List[dict]] = None,
+                 variant: str = "GDSW"):
         self.level1 = SchwarzPreconditioner(A, unique_map, overlap=overlap,
                                             combine=combine)
         try:
             self.coarse = GDSWCoarseOperator(
                 A, unique_map, node_part_sets, points, dofs_per_node,
-                null_space, dirichlet_mask, rap=rap, blocks=blocks)
+                null_space, dirichlet_mask, rap=rap, blocks=blocks,
+                variant=variant)
         except ValueError as e:
             # tiny problems can have a fully-Dirichlet interface → no coarse
             # functions; degrade gracefully to one level

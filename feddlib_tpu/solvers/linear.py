@@ -81,20 +81,22 @@ class Preconditioner:
 
             nsp = params.get("Null Space Type", "laplace").lower()
             nsp = "elasticity" if "elas" in nsp else "laplace"
+            variant = params.get("Coarse Space Variant", "GDSW")
             prob = self.problem
             if len(prob.variables) == 1:
                 prec = TwoLevelSchwarz(
                     matrix, dof_map, part.repeated_map.partition_indices,
                     dom0.mesh.points, prob.total_dofs_per_node(),
                     overlap=overlap, combine=combine, null_space=nsp,
-                    dirichlet_mask=prob.merged_dirichlet_mask())
+                    dirichlet_mask=prob.merged_dirichlet_mask(),
+                    variant=variant)
             else:
                 # monolithic block GDSW (FROSch monolithic fed per-block
                 # repeated maps + DofsPerNode, Preconditioner_def.hpp:295-383)
                 prec = TwoLevelSchwarz(
                     matrix, dof_map, overlap=overlap, combine=combine,
                     dirichlet_mask=prob.merged_dirichlet_mask(),
-                    blocks=self._block_specs(part, nsp))
+                    blocks=self._block_specs(part, nsp), variant=variant)
         else:  # "SchwarzOneLevel" / "Schwarz"
             from feddlib_tpu.precond.schwarz import SchwarzPreconditioner
 

@@ -62,6 +62,12 @@ def translate_prec(p: ParameterList, out: ParameterList) -> None:
             "Combine Values in Overlap", "Restricted")
     null_space = fr.get("Null Space Type", "Laplace")
     out["Null Space Type"] = null_space
+    # coarse-space family: GDSWCoarseOperator → classic GDSW;
+    # RGDSWCoarseOperator / IPOUHarmonicCoarseOperator (GDSW* partition of
+    # unity) → the reduced vertex-based space (precond/gdsw.py RGDSW)
+    cot = str(fr.get("CoarseOperator Type", "GDSWCoarseOperator"))
+    out["Coarse Space Variant"] = (
+        "RGDSW" if ("RGDSW" in cot or "IPOU" in cot) else "GDSW")
 
 
 def translate_problem(p: ParameterList, out: ParameterList) -> None:

