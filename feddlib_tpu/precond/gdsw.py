@@ -348,10 +348,27 @@ def _two_level_apply(ops, r):
     return z
 
 
+def _two_level_mult_apply(ops, r):
+    from feddlib_tpu.la.csr import ell_apply
+    from feddlib_tpu.precond.schwarz import schwarz_op_apply
+
+    l1_ops, coarse_ops, A_ops = ops
+    z = schwarz_op_apply(l1_ops, r)
+    if coarse_ops is not None:
+        phi_ops, phiT_ops, A0_inv = coarse_ops
+        r2 = r - ell_apply(A_ops, z)  # coarse acts on the UPDATED residual
+        rc = ell_apply(phiT_ops, r2)
+        z = z + ell_apply(phi_ops, A0_inv @ rc)
+    return z
+
+
 class TwoLevelSchwarz:
-    """Additive two-level Schwarz: one-level overlapping Schwarz + GDSW
-    coarse level (parametersPrec.xml: TwoLevel=true, Level Combination
-    Additive)."""
+    """Two-level Schwarz: one-level overlapping Schwarz + GDSW/RGDSW
+    coarse level (parametersPrec.xml: TwoLevel=true).  'Level Combination'
+    Additive (default) applies both levels to the same residual;
+    Multiplicative applies the coarse correction to the residual UPDATED by
+    the first level (one extra SpMV per apply, typically fewer Krylov
+    iterations — FROSch Level Combination)."""
 
     def __init__(self, A: CsrMatrix, unique_map: IndexMap,
                  node_part_sets: Optional[List[np.ndarray]] = None,
@@ -360,7 +377,13 @@ class TwoLevelSchwarz:
                  combine: str = "Restricted", null_space: str = "laplace",
                  dirichlet_mask: Optional[np.ndarray] = None,
                  rap: str = "host", blocks: Optional[List[dict]] = None,
-                 variant: str = "GDSW"):
+                 variant: str = "GDSW",
+                 level_combination: str = "Additive"):
+        if level_combination not in ("Additive", "Multiplicative"):
+            raise ValueError(f"unknown level combination "
+                             f"{level_combination!r}")
+        self.level_combination = level_combination
+        self.A = A
         self.level1 = SchwarzPreconditioner(A, unique_map, overlap=overlap,
                                             combine=combine)
         try:
@@ -380,6 +403,8 @@ class TwoLevelSchwarz:
     def apply(self, r: jnp.ndarray) -> jnp.ndarray:
         z = self.level1.apply(r)
         if self.coarse is not None:
+            if self.level_combination == "Multiplicative":
+                r = r - self.A.matvec(z)
             z = z + self.coarse.apply(r)
         return z
 
@@ -388,10 +413,16 @@ class TwoLevelSchwarz:
         from feddlib_tpu.precond.schwarz import schwarz_op_apply  # noqa: F401
 
         l1_ops = self.level1.operator()[1]
+        mult = self.level_combination == "Multiplicative"
         if self.coarse is None:
-            return _two_level_apply, (l1_ops, None)
-        co = self.coarse
-        coarse_ops = (co.phi.operator()[1], co.phiT.operator()[1], co.A0_inv)
+            coarse_ops = None
+        else:
+            co = self.coarse
+            coarse_ops = (co.phi.operator()[1], co.phiT.operator()[1],
+                          co.A0_inv)
+        if mult:
+            return _two_level_mult_apply, (l1_ops, coarse_ops,
+                                           self.A.operator()[1])
         return _two_level_apply, (l1_ops, coarse_ops)
 
 

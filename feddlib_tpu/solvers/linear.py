@@ -82,6 +82,7 @@ class Preconditioner:
             nsp = params.get("Null Space Type", "laplace").lower()
             nsp = "elasticity" if "elas" in nsp else "laplace"
             variant = params.get("Coarse Space Variant", "GDSW")
+            levels = params.get("Level Combination", "Additive")
             prob = self.problem
             if len(prob.variables) == 1:
                 prec = TwoLevelSchwarz(
@@ -89,14 +90,15 @@ class Preconditioner:
                     dom0.mesh.points, prob.total_dofs_per_node(),
                     overlap=overlap, combine=combine, null_space=nsp,
                     dirichlet_mask=prob.merged_dirichlet_mask(),
-                    variant=variant)
+                    variant=variant, level_combination=levels)
             else:
                 # monolithic block GDSW (FROSch monolithic fed per-block
                 # repeated maps + DofsPerNode, Preconditioner_def.hpp:295-383)
                 prec = TwoLevelSchwarz(
                     matrix, dof_map, overlap=overlap, combine=combine,
                     dirichlet_mask=prob.merged_dirichlet_mask(),
-                    blocks=self._block_specs(part, nsp), variant=variant)
+                    blocks=self._block_specs(part, nsp), variant=variant,
+                    level_combination=levels)
         else:  # "SchwarzOneLevel" / "Schwarz"
             from feddlib_tpu.precond.schwarz import SchwarzPreconditioner
 

@@ -68,6 +68,7 @@ def translate_prec(p: ParameterList, out: ParameterList) -> None:
     cot = str(fr.get("CoarseOperator Type", "GDSWCoarseOperator"))
     out["Coarse Space Variant"] = (
         "RGDSW" if ("RGDSW" in cot or "IPOU" in cot) else "GDSW")
+    out["Level Combination"] = fr.get("Level Combination", "Additive")
 
 
 def translate_problem(p: ParameterList, out: ParameterList) -> None:

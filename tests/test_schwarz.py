@@ -167,3 +167,79 @@ def test_rgdsw_xml_translation():
                  "parametersPrec.xml")
     assert "Coarse Space Variant" in pl
     assert pl["Coarse Space Variant"] in ("GDSW", "RGDSW")
+
+
+def test_multiplicative_level_combination():
+    """'Level Combination: Multiplicative' (FROSch): coarse correction on
+    the level-1-updated residual must converge in no more iterations than
+    additive, and the operator-protocol form must match .apply exactly."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from feddlib_tpu.bc import BCBuilder
+    from feddlib_tpu.fe import ops
+    from feddlib_tpu.fe.domain import Domain
+    from feddlib_tpu.mesh.partition import MeshPartition
+    from feddlib_tpu.precond.gdsw import TwoLevelSchwarz
+    from feddlib_tpu.solvers.krylov import gmres
+
+    dom = Domain.structured(2, 32)
+    K = ops.assemble_laplace(dom)
+    bcb = BCBuilder()
+    bcb.add_bc(lambda x, t: 0.0, 1, 0, dom, "Dirichlet", 1)
+    Kb, bb = bcb.apply_symmetric(
+        K, ops.assemble_rhs(dom, lambda x: 1.0 + 0 * x[0]), 0)
+    dmask = bcb.dirichlet_mask(0, dom.n_nodes)
+    part = MeshPartition(dom.mesh, 16)
+    its = {}
+    for lc in ("Additive", "Multiplicative"):
+        tl = TwoLevelSchwarz(Kb, part.unique_map,
+                             part.repeated_map.partition_indices,
+                             dom.mesh.points, 1, overlap=1,
+                             dirichlet_mask=dmask, level_combination=lc)
+        r = jnp.asarray(np.random.default_rng(7).standard_normal(Kb.shape[0]))
+        fn, ops_ = tl.operator()
+        np.testing.assert_allclose(np.asarray(fn(ops_, r)),
+                                   np.asarray(tl.apply(r)), atol=1e-12)
+        its[lc] = gmres(Kb.matvec, bb, M=tl.apply, tol=1e-8,
+                        maxiter=500).iters
+    assert its["Multiplicative"] <= its["Additive"], its
+
+
+def test_gdsw_elasticity_rotations():
+    """SURVEY M3 acceptance: 2D linear elasticity with the elasticity null
+    space (translations + rotation) — the coarse space carries 3 functions
+    per interface component and two-level beats one-level at 16
+    subdomains."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from feddlib_tpu.fe.domain import Domain
+    from feddlib_tpu.problems import LinElas
+    from feddlib_tpu.utils.config import ParameterList
+
+    def params(**kw):
+        p = ParameterList("p")
+        for k, v in kw.items():
+            p[k] = v
+        return p
+
+    its = {}
+    for prec in ("SchwarzOneLevel", "SchwarzTwoLevel"):
+        dom = Domain.structured(2, 24)
+        prob = LinElas(dom, parameter_list=params(
+            E=10.0, **{"Poisson Ratio": 0.3, "Preconditioner Type": prec,
+                       "Subdomains": 16, "Null Space Type": "Elasticity",
+                       "Maximum Iterations": 3000,
+                       "Convergence Tolerance": 1e-8}))
+        prob.assemble()
+        # clamp the left edge only → rigid-body modes matter
+        dom.mesh.point_flags = dom.mesh.point_flags.copy()
+        left = np.isclose(dom.mesh.points[:, 0], 0.0)
+        dom.mesh.point_flags[left] = 8
+        prob.add_bc(lambda x, t: jnp.zeros(2), 8, 0)
+        prob.assemble_source(lambda x: jnp.array([0.0, -1.0]))
+        prob.set_boundaries_rhs()
+        its[prec] = prob.solve()
+        assert prob.last_relres <= 1e-8
+    assert its["SchwarzTwoLevel"] < its["SchwarzOneLevel"], its
