@@ -431,7 +431,7 @@ def distributed_two_level(A: CsrMatrix, dmat, part, points: np.ndarray,
                           combine: str = "Restricted",
                           null_space: str = "laplace",
                           dirichlet_mask: Optional[np.ndarray] = None,
-                          coarse_ranks: int = 0):
+                          coarse_ranks: int = 0, variant: str = "GDSW"):
     """Two-level GDSW for the shard_map solver (DistributedSolver).
 
     Level 1 reuses `distributed_schwarz` (overlap-1, on-device subdomain
@@ -471,7 +471,7 @@ def distributed_two_level(A: CsrMatrix, dmat, part, points: np.ndarray,
                     "(build the unique map with with_free_parts)")
     coarse = GDSWCoarseOperator(
         A, umap, part.repeated_map.partition_indices, points,
-        dofs_per_node, null_space, dirichlet_mask)
+        dofs_per_node, null_space, dirichlet_mask, variant=variant)
     phi = coarse.phi.to_scipy()
     nc = coarse.n_coarse
     N_o = dmat.plan.N_o

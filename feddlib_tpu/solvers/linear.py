@@ -382,7 +382,8 @@ class LinearSolver:
                 build, arrs = distributed_two_level(
                     A, dmat, part, dom0.mesh.points,
                     problem.total_dofs_per_node(),
-                    dirichlet_mask=problem.merged_dirichlet_mask())
+                    dirichlet_mask=problem.merged_dirichlet_mask(),
+                    variant=params.get("Coarse Space Variant", "GDSW"))
             elif prec_type == "Jacobi":
                 build, arrs = "jacobi", None
             else:
