@@ -15,6 +15,8 @@ sys.path.insert(0, __file__.rsplit("/drivers/", 1)[0])
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mesh", default=None)
+    ap.add_argument("--dim", type=int, default=2, choices=[2, 3],
+                    help="3 uses the face-jump estimator + bisection")
     ap.add_argument("--n", type=int, default=6)
     ap.add_argument("--cycles", type=int, default=4)
     ap.add_argument("--theta", type=float, default=0.6)
@@ -42,11 +44,15 @@ def main():
     from feddlib_tpu.solvers.krylov import cg
 
     mesh = (read_mesh(args.mesh) if args.mesh
-            else build_structured_mesh(2, args.n))
+            else build_structured_mesh(args.dim, args.n))
+    if mesh.dim == 3 and args.method == "redgreen":
+        args.method = "bisection"  # 3D adaptive path
 
-    fj = lambda x: jnp.exp(-100 * ((x[0] - .5) ** 2 + (x[1] - .5) ** 2))
-    fnp = lambda x: float(np.exp(-100 * ((x[0] - .5) ** 2
-                                         + (x[1] - .5) ** 2)))
+    def r2(x):
+        return sum((x[d] - 0.5) ** 2 for d in range(mesh.dim))
+
+    fj = lambda x: jnp.exp(-100 * r2(x))
+    fnp = lambda x: float(np.exp(-100 * r2(x)))
 
     def solve_on(mesh):
         dom = Domain(mesh)
