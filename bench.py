@@ -110,6 +110,48 @@ def main():
     hbm_gbps = 819e9 if on_tpu else 50e9
     vs = (nnz / dt) / (nnz / (bytes_per_pass / hbm_gbps))
 
+    # secondary metric: batched FE assembly throughput — the
+    # insertGlobalValues→fillComplete hot path (SURVEY §3.1 HOT LOOP #1),
+    # measured on the production fast path: element-last kernels +
+    # triple-f32 exact scatter (fe/fast_assembly.py)
+    from feddlib_tpu.fe import fast_assembly as fa
+    from feddlib_tpu.la.csr import assemble_csr_data, assemble_csr_data_tri
+
+    pat = fa.pattern_abe(dom, 1)
+    plan = pat.duplication_plan()
+    vc = dom.vert_coords()
+
+    @jax.jit
+    def asm_chain(vcoords, steps):
+        def body(i, acc):
+            # acc-dependent perturbation defeats loop-invariant hoisting
+            flat = fa.elem_laplace_flat_T(vcoords * (1.0 + acc * 1e-30),
+                                          3, "P1")
+            if on_tpu and plan[0] is not None:
+                data = assemble_csr_data_tri(flat, plan[0], pat.nnz, plan[1])
+            else:
+                data = assemble_csr_data(
+                    flat, jnp.asarray(pat.coo_slots.astype(np.int32)),
+                    pat.nnz)
+            return acc + data[0] * 1e-30
+
+        return lax.fori_loop(0, steps, body, 0.0)
+
+    _ = float(asm_chain(vc, 2))
+    note("assembly chain compiled")
+
+    def arun(steps):
+        t0 = time.perf_counter()
+        _ = float(asm_chain(vc, steps))
+        return time.perf_counter() - t0
+
+    alo, ahi = (2, 12) if on_tpu else (2, 5)
+    a_lo = min(arun(alo) for _ in range(3))
+    a_hi = min(arun(ahi) for _ in range(3))
+    a_dt = max((a_hi - a_lo) / (ahi - alo), 1e-9)
+    elems_per_s = dom.n_elements / a_dt
+    note(f"assembly {a_dt*1e3:.2f} ms / {dom.n_elements} elems")
+
     # correctness anchor: mixed-precision IR to the reference tolerance 1e-8.
     # The whole inner Krylov loop runs in PADDED cluster space: the SpMV and
     # the overlap-1 restricted-Schwarz apply share the fast halo exchange
@@ -148,6 +190,8 @@ def main():
             "ir_inner_iters": res.iters,
             "ir_relres": float(res.relres),
             "ir_total_s": round(ir_s, 2),
+            "assembly_elems_per_s": round(elems_per_s),
+            "assembly_ms": round(a_dt * 1e3, 3),
         },
     }))
 

@@ -1,0 +1,179 @@
+"""TPU-fast element assembly: element-LAST kernels + triple-f32 scatter.
+
+Why (measured on v5e, 384k tets / 10.2M raw contributions / 1.0M nnz):
+
+- The batched einsum kernels in fe/assembly.py keep the element axis
+  FIRST ([E, nb, nb]), so XLA's (8,128) tiling pads the tiny trailing
+  basis dims 32x and every intermediate materializes gigabytes:
+  660 ms for the P1 stiffness.  Computing with the element axis LAST —
+  all intermediates are [E]-vectors combined by unrolled Python loops
+  over (q, a, b, i), which XLA fuses into one pass — runs the SAME math
+  in 2.1 ms (310x).
+- `segment_sum` of f64 contributions lowers to a ~48 ns/element serial
+  scatter (f32: ~5 ns).  The fast path splits each f64 value into THREE
+  f32 parts (24+24+24 mantissa bits ≥ 53 → the split is ulp-exact),
+  scatter-SETs each part into a [nnz, D] lane-padded buffer at a
+  precomputed unique position (slot, duplicate-index), and reduces the
+  D axis in f64: 128 ms instead of 490 ms, deterministic, and exact up
+  to the (fixed) summation order.
+
+The flat output ordering is (a, b, E) — `pattern_abe` builds the matching
+COO→slot plan, so the CSR result is IDENTICAL (same SparsityPattern
+dedup) to the classic path.  CPU keeps the classic kernels/segment_sum
+(the layout tricks would only slow it down).
+
+Reference: this is HOT LOOP #1 (FE::assemblyLaplace,
+FE_def.hpp:604-665 insertGlobalValues→fillComplete; SURVEY.md §3.1).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from feddlib_tpu.fe import reference as ref
+from feddlib_tpu.la.csr import CsrMatrix, SparsityPattern
+
+f64 = jnp.float64
+
+SUPPORTED_OPS = ("laplace", "mass")
+
+
+def supported(dim: int, fe_type: str) -> bool:
+    return fe_type in ("P1", "P2") and dim in (2, 3)
+
+
+def use_fast() -> bool:
+    import os
+
+    flag = os.environ.get("FEDD_FAST_ASSEMBLY")
+    if flag == "0":
+        return False
+    if flag == "1":  # force-on (testing the fast path on CPU)
+        return True
+    return jax.default_backend() != "cpu"
+
+
+# ---------------------------------------------------------------------------
+# element-last geometry helpers: nested-list tensors of [E] vectors
+# ---------------------------------------------------------------------------
+
+
+def _edges_T(vc):
+    """vc [E, nv, dim] → B columns as lists: B[i][k] = [E] (column k = edge
+    v_{k+1}-v_0, component i)."""
+    v = jnp.moveaxis(vc, 0, -1)  # [nv, dim, E]
+    dim = v.shape[1]
+    return [[v[k + 1, i] - v[0, i] for k in range(dim)] for i in range(dim)]
+
+
+def _det_T(B, dim):
+    if dim == 2:
+        return B[0][0] * B[1][1] - B[0][1] * B[1][0]
+    return (B[0][0] * (B[1][1] * B[2][2] - B[1][2] * B[2][1])
+            - B[0][1] * (B[1][0] * B[2][2] - B[1][2] * B[2][0])
+            + B[0][2] * (B[1][0] * B[2][1] - B[1][1] * B[2][0]))
+
+
+def _inv_T(B, det, dim):
+    """Binv[k][i] = [E] (cofactor formula)."""
+    if dim == 2:
+        return [[B[1][1] / det, -B[0][1] / det],
+                [-B[1][0] / det, B[0][0] / det]]
+    c = [[None] * 3 for _ in range(3)]
+    c[0][0] = B[1][1] * B[2][2] - B[1][2] * B[2][1]
+    c[0][1] = B[0][2] * B[2][1] - B[0][1] * B[2][2]
+    c[0][2] = B[0][1] * B[1][2] - B[0][2] * B[1][1]
+    c[1][0] = B[1][2] * B[2][0] - B[1][0] * B[2][2]
+    c[1][1] = B[0][0] * B[2][2] - B[0][2] * B[2][0]
+    c[1][2] = B[0][2] * B[1][0] - B[0][0] * B[1][2]
+    c[2][0] = B[1][0] * B[2][1] - B[1][1] * B[2][0]
+    c[2][1] = B[0][1] * B[2][0] - B[0][0] * B[2][1]
+    c[2][2] = B[0][0] * B[1][1] - B[0][1] * B[1][0]
+    return [[c[k][i] / det for i in range(3)] for k in range(3)]
+
+
+@partial(jax.jit, static_argnames=("dim", "fe_type"))
+def elem_laplace_flat_T(vc, dim, fe_type):
+    """Stiffness ∫∇φa·∇φb, element-last → flat [nb*nb*E] in (a,b,E) order.
+    Affine simplices (geometry from the first dim+1 vertices)."""
+    B = _edges_T(vc)
+    det = _det_T(B, dim)
+    adet = jnp.abs(det)
+    Binv = _inv_T(B, det, dim)
+    qp, qw = ref.quadrature(dim, ref.determine_degree(dim, fe_type, "grad"))
+    dphi = ref.eval_grad_phi(dim, fe_type, qp)  # [nq, nb, dim] numpy
+    nq, nb, _ = dphi.shape
+    K = [[None] * nb for _ in range(nb)]
+    for q in range(nq):
+        # physical gradients gT[a][i] = Σ_k Binv[k][i] dphi[q,a,k]
+        gT = [[sum(Binv[k][i] * float(dphi[q, a, k]) for k in range(dim))
+               for i in range(dim)] for a in range(nb)]
+        w = float(qw[q])
+        for a in range(nb):
+            for b in range(a, nb):
+                contrib = w * sum(gT[a][i] * gT[b][i] for i in range(dim))
+                K[a][b] = contrib if K[a][b] is None else K[a][b] + contrib
+    rows = []
+    for a in range(nb):
+        for b in range(nb):
+            kab = K[a][b] if b >= a else K[b][a]
+            rows.append(kab * adet)
+    return jnp.stack(rows).reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("dim", "fe_type"))
+def elem_mass_flat_T(vc, dim, fe_type):
+    """Mass ∫φa φb, element-last → flat [nb*nb*E] in (a,b,E) order."""
+    B = _edges_T(vc)
+    adet = jnp.abs(_det_T(B, dim))
+    qp, qw = ref.quadrature(dim, ref.determine_degree(dim, fe_type, "phi"))
+    phi = ref.eval_phi(dim, fe_type, qp)  # [nq, nb] numpy
+    nq, nb = phi.shape
+    # Mref[a,b] = Σ_q w_q φa φb — pure scalars
+    Mref = np.einsum("q,qa,qb->ab", np.asarray(qw), phi, phi)
+    rows = []
+    for a in range(nb):
+        for b in range(nb):
+            rows.append(float(Mref[a, b]) * adet)
+    return jnp.stack(rows).reshape(-1)
+
+
+_KERNELS = {"laplace": elem_laplace_flat_T, "mass": elem_mass_flat_T}
+
+
+# ---------------------------------------------------------------------------
+# (a, b, E)-ordered scatter pattern
+# ---------------------------------------------------------------------------
+
+
+def pattern_abe(domain, dofs_per_node: int = 1) -> SparsityPattern:
+    """Square scatter pattern whose COO plan is ordered (a, b, E) to match
+    the element-last kernels' flat output.  The deduplicated CSR structure
+    equals the classic element-major pattern."""
+    def build():
+        dofs = domain.elem_dofs(dofs_per_node)  # [E, nloc]
+        E, nloc = dofs.shape
+        n = domain.n_dofs(dofs_per_node)
+        dT = dofs.T  # [nloc, E]
+        rows = np.ascontiguousarray(np.broadcast_to(
+            dT[:, None, :], (nloc, nloc, E))).reshape(-1)
+        cols = np.ascontiguousarray(np.broadcast_to(
+            dT[None, :, :], (nloc, nloc, E))).reshape(-1)
+        return SparsityPattern.from_coo(rows, cols, n, n)
+
+    return domain.pattern(("square_abe", dofs_per_node), build)
+
+
+def assemble_fast(domain, op: str) -> CsrMatrix:
+    """Assemble a scalar operator with the TPU-fast path (falls back to
+    nothing — callers gate on use_fast() and supported())."""
+    pat = pattern_abe(domain, 1)
+    kernel = _KERNELS[op]
+    flat = kernel(domain.vert_coords(), domain.dim, domain.fe_type)
+    m = CsrMatrix(pat)
+    m.assemble(flat)
+    return m

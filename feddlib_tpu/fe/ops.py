@@ -72,7 +72,13 @@ def _square_pattern(domain: Domain, dofs_per_node: int):
 def assemble_laplace(domain: Domain) -> CsrMatrix:
     """Scalar Laplace stiffness (FE::assemblyLaplace, FE_def.hpp:604).
     Dispatches to the isoparametric quad/hex kernels for Q spaces
-    (FE::getPhi/getDPhi Q-branches, FE_def.hpp:6730/6846)."""
+    (FE::getPhi/getDPhi Q-branches, FE_def.hpp:6730/6846) and to the
+    element-last TPU fast path (fe/fast_assembly.py) on accelerators."""
+    from feddlib_tpu.fe import fast_assembly as fa
+
+    if (not domain.is_hex and fa.use_fast()
+            and fa.supported(domain.dim, domain.fe_type)):
+        return fa.assemble_fast(domain, "laplace")
     if domain.is_hex:
         from feddlib_tpu.fe.hex import hex_elem_laplace
 
@@ -104,6 +110,11 @@ def assemble_mass(domain: Domain, dofs_per_node: int = 1) -> CsrMatrix:
             return asm.vectorize_elem_mat(jnp.einsum("eab,ij->eabij", M, eye))
         return M
 
+    from feddlib_tpu.fe import fast_assembly as fa
+
+    if (dofs_per_node == 1 and not domain.is_hex and fa.use_fast()
+            and fa.supported(domain.dim, domain.fe_type)):
+        return fa.assemble_fast(domain, "mass")
     if domain.is_hex:
         from feddlib_tpu.fe.hex import hex_elem_mass
 

@@ -100,6 +100,32 @@ class SparsityPattern:
         return np.repeat(np.arange(self.n_rows, dtype=np.int64),
                          self.row_lengths())
 
+    def duplication_plan(self):
+        """(pos [n_raw] int32, Dp) — unique scatter target slot*Dp+dup for
+        each raw COO contribution (dup = index among same-slot entries,
+        Dp = max duplicates padded to 8 lanes).  Enables the exact
+        scatter-SET + dense-reduce assembly (see assemble_csr_data_tri);
+        None if the plan would overflow int32 or Dp is unreasonably wide."""
+        cached = getattr(self, "_dup_plan", None)
+        if cached is None:
+            slots = self.coo_slots
+            if slots is None:
+                return None
+            order = np.argsort(slots, kind="stable")
+            ss = slots[order]
+            starts = np.searchsorted(ss, np.arange(self.nnz))
+            dup = np.empty(len(slots), np.int64)
+            dup[order] = np.arange(len(slots)) - starts[ss]
+            D = int(dup.max()) + 1 if len(dup) else 1
+            Dp = 8 * ((D + 7) // 8)
+            if Dp > 64 or self.nnz * Dp >= 2 ** 31:
+                cached = (None, 0)
+            else:
+                pos = (slots * Dp + dup).astype(np.int32)
+                cached = (jnp.asarray(pos), Dp)
+            object.__setattr__(self, "_dup_plan", cached)
+        return cached
+
 
 class CsrMatrix:
     """Sparse matrix = static SparsityPattern + device value buffer.
@@ -145,15 +171,33 @@ class CsrMatrix:
     # -- assembly (numeric fillComplete) ------------------------------------
     def assemble(self, coo_vals: jnp.ndarray) -> None:
         """Sum raw COO contributions (in the order given to from_coo) into
-        the CSR value buffer.  Deterministic segment-sum scatter."""
+        the CSR value buffer.  Deterministic.
+
+        On accelerators with f64 values the scatter-add lowers to a ~48
+        ns/element serial path; the fast route splits each value into
+        three f32 parts (ulp-exact split), scatter-SETs them at unique
+        precomputed positions (f32 scatters run ~5 ns/element) and reduces
+        in f64 — ~4x faster, still deterministic (fixed summation order).
+        CPU keeps the plain segment-sum."""
         slots = self.pattern.coo_slots
         if slots is None:
             raise ValueError("pattern has no COO assembly plan")
+        vals = coo_vals.astype(self.dtype).ravel()
+        if (jnp.dtype(self.dtype) == jnp.float64
+                and jax.default_backend() != "cpu"):
+            plan = self.pattern.duplication_plan()
+            if plan is not None and plan[0] is not None:
+                pos, Dp = plan
+                self.data = assemble_csr_data_tri(vals, pos,
+                                                  self.pattern.nnz, Dp)
+                if _trace_state_clean():
+                    self._ell_plan()
+                return
         # int32 slot ids halve the upload over slow host→device links
         if self.pattern.nnz < 2 ** 31:
             slots = slots.astype(np.int32)
         self.data = assemble_csr_data(
-            coo_vals.astype(self.dtype), jnp.asarray(slots), self.pattern.nnz
+            vals, jnp.asarray(slots), self.pattern.nnz
         )
         if _trace_state_clean():
             # eagerly build + device-promote the ELL plan so a later matvec
@@ -280,6 +324,25 @@ class CsrMatrix:
 def assemble_csr_data(coo_vals, slots, nnz):
     return jax.ops.segment_sum(coo_vals.ravel(), slots,
                                num_segments=nnz, indices_are_sorted=False)
+
+
+@partial(jax.jit, static_argnames=("nnz", "Dp"))
+def assemble_csr_data_tri(coo_vals, pos, nnz, Dp):
+    """Exact f64 assembly via three f32 scatter-SETs + f64 dense reduce.
+    Split v = v1+v2+v3 (f32 parts) covers 72 mantissa bits ≥ f64's 53, so
+    the value transport is ulp-exact; only the (deterministic) reduction
+    order differs from segment_sum."""
+    v = coo_vals
+    v1 = v.astype(jnp.float32)
+    r1 = v - v1.astype(jnp.float64)
+    v2 = r1.astype(jnp.float32)
+    v3 = (r1 - v2.astype(jnp.float64)).astype(jnp.float32)
+    total = jnp.zeros(nnz, jnp.float64)
+    for p in (v1, v2, v3):
+        buf = jnp.zeros(nnz * Dp, jnp.float32).at[pos].set(
+            p, unique_indices=True)
+        total = total + buf.reshape(nnz, Dp).astype(jnp.float64).sum(axis=1)
+    return total
 
 
 @jax.jit

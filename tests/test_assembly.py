@@ -140,3 +140,51 @@ def test_mass_p2_total():
     M = ops.assemble_mass(dom, dofs_per_node=2)
     total = float(jnp.sum(M.data))
     assert np.isclose(total, 2.0, atol=1e-12)  # 2 components × area 1
+
+
+def test_fast_assembly_matches_classic():
+    """Element-last TPU kernels (fe/fast_assembly.py) produce the SAME CSR
+    matrix as the classic element-major einsum path, for P1/P2 in 2D/3D,
+    and the triple-f32 scatter equals segment_sum to summation-order
+    roundoff."""
+    import os
+
+    import jax.numpy as jnp
+
+    from feddlib_tpu.fe import fast_assembly as fa
+    from feddlib_tpu.fe import ops
+    from feddlib_tpu.fe.domain import Domain
+    from feddlib_tpu.la.csr import assemble_csr_data_tri
+
+    os.environ["FEDD_FAST_ASSEMBLY"] = "1"
+    try:
+        for dim, ft in [(2, "P1"), (2, "P2"), (3, "P1"), (3, "P2")]:
+            dom = (Domain.structured(dim, 5) if ft == "P1"
+                   else Domain.structured(dim, 5).p2_domain())
+            Kf = fa.assemble_fast(dom, "laplace")
+            Mf = fa.assemble_fast(dom, "mass")
+            os.environ["FEDD_FAST_ASSEMBLY"] = "0"
+            dom2 = (Domain.structured(dim, 5) if ft == "P1"
+                    else Domain.structured(dim, 5).p2_domain())
+            Kc = ops.assemble_laplace(dom2)
+            Mc = ops.assemble_mass(dom2)
+            os.environ["FEDD_FAST_ASSEMBLY"] = "1"
+            assert abs(Kf.to_scipy() - Kc.to_scipy()).max() < 1e-13
+            assert abs(Mf.to_scipy() - Mc.to_scipy()).max() < 1e-14
+    finally:
+        os.environ.pop("FEDD_FAST_ASSEMBLY", None)
+
+    # triple-f32 scatter correctness against segment_sum
+    dom = Domain.structured(3, 6)
+    pat = fa.pattern_abe(dom, 1)
+    pos, Dp = pat.duplication_plan()
+    assert pos is not None
+    rng = np.random.default_rng(0)
+    flat = jnp.asarray(rng.standard_normal(len(pat.coo_slots)))
+    a = np.asarray(assemble_csr_data_tri(flat, pos, pat.nnz, Dp))
+    import jax
+
+    b = np.asarray(jax.ops.segment_sum(
+        flat, jnp.asarray(pat.coo_slots.astype(np.int32)),
+        num_segments=pat.nnz))
+    np.testing.assert_allclose(a, b, atol=1e-12)
