@@ -30,6 +30,10 @@ import numpy as np
 
 _LANE = 8  # pad ELL width to a multiple of this
 
+# symbolic-union cache for CsrMatrix.add across reassemblies:
+# (id(patA), id(patB)) → (patA, patB, union pattern)
+_union_pattern_cache: dict = {}
+
 
 def _trace_state_clean() -> bool:
     try:
@@ -283,8 +287,10 @@ class CsrMatrix:
 
     def add(self, other: "CsrMatrix", alpha=1.0, beta=1.0) -> "CsrMatrix":
         """alpha*self + beta*other (reference: Matrix::addMatrix,
-        Matrix_decl.hpp:126).  Same pattern → pure device add; otherwise a
-        host symbolic union is built once."""
+        Matrix_decl.hpp:126).  Same pattern → pure device add; otherwise
+        the symbolic union is built on the host ONCE per pattern pair and
+        cached (Newton/time loops call add with the same two patterns every
+        reassembly — the numeric combine stays a pure device op)."""
         if other.pattern is self.pattern or (
             len(other.pattern.indices) == len(self.pattern.indices)
             and np.array_equal(other.pattern.indptr, self.pattern.indptr)
@@ -292,11 +298,19 @@ class CsrMatrix:
         ):
             return CsrMatrix(self.pattern,
                              alpha * self.data + beta * other.data, self.dtype)
-        rows = np.concatenate([self.pattern.rows_of_slots(),
-                               other.pattern.rows_of_slots()])
-        cols = np.concatenate([self.pattern.indices, other.pattern.indices])
-        pat = SparsityPattern.from_coo(rows, cols, *self.shape)
-        m = CsrMatrix(pat, dtype=self.dtype)
+        key = (id(self.pattern), id(other.pattern))
+        ent = _union_pattern_cache.get(key)
+        if (ent is None or ent[0] is not self.pattern
+                or ent[1] is not other.pattern):
+            rows = np.concatenate([self.pattern.rows_of_slots(),
+                                   other.pattern.rows_of_slots()])
+            cols = np.concatenate([self.pattern.indices,
+                                   other.pattern.indices])
+            pat = SparsityPattern.from_coo(rows, cols, *self.shape)
+            # hold the operand patterns so the id() key stays valid
+            ent = (self.pattern, other.pattern, pat)
+            _union_pattern_cache[key] = ent
+        m = CsrMatrix(ent[2], dtype=self.dtype)
         vals = jnp.concatenate([alpha * self.data, beta * other.data])
         m.assemble(vals)
         return m
