@@ -145,6 +145,137 @@ def elem_mass_flat_T(vc, dim, fe_type):
 _KERNELS = {"laplace": elem_laplace_flat_T, "mass": elem_mass_flat_T}
 
 
+@partial(jax.jit, static_argnames=("dim", "fe_type"))
+def elem_advection_flat_T(vc, ue, dim, fe_type):
+    """Convection N(u): ∫ φa (u·∇φb), expanded to vector dofs as N⊗I —
+    only the i==j dof entries are emitted, ordered (a, b, i, E) to match
+    pattern_vec_diag_abe.  ue [E, nb, dim] (repeated-form velocity)."""
+    B = _edges_T(vc)
+    det = _det_T(B, dim)
+    adet = jnp.abs(det)
+    Binv = _inv_T(B, det, dim)
+    qp, qw = ref.quadrature(dim, ref.determine_degree(dim, fe_type, "conv"))
+    phi = ref.eval_phi(dim, fe_type, qp)
+    dphi = ref.eval_grad_phi(dim, fe_type, qp)
+    nq, nb = phi.shape
+    u = jnp.moveaxis(ue, 0, -1)  # [nb, dim, E]
+    N = [[None] * nb for _ in range(nb)]
+    for q in range(nq):
+        uq = [sum(float(phi[q, c]) * u[c][i] for c in range(nb))
+              for i in range(dim)]
+        gT = [[sum(Binv[k][i] * float(dphi[q, b, k]) for k in range(dim))
+               for i in range(dim)] for b in range(nb)]
+        w = float(qw[q])
+        for a in range(nb):
+            pa = w * float(phi[q, a])
+            for b in range(nb):
+                c = pa * sum(uq[i] * gT[b][i] for i in range(dim))
+                N[a][b] = c if N[a][b] is None else N[a][b] + c
+    rows = []
+    for a in range(nb):
+        for b in range(nb):
+            v = N[a][b] * adet
+            for _i in range(dim):
+                rows.append(v)
+    return jnp.stack(rows).reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("dim", "fe_type"))
+def elem_advection_in_u_flat_T(vc, ue, dim, fe_type):
+    """Newton linearization W(u): ∫ φa φb ∂u_i/∂x_j — full dim×dim dof
+    blocks, ordered (a, b, i, j, E) to match pattern_vec_full_abe."""
+    B = _edges_T(vc)
+    det = _det_T(B, dim)
+    adet = jnp.abs(det)
+    Binv = _inv_T(B, det, dim)
+    qp, qw = ref.quadrature(dim, ref.determine_degree(dim, fe_type, "conv"))
+    phi = ref.eval_phi(dim, fe_type, qp)
+    dphi = ref.eval_grad_phi(dim, fe_type, qp)
+    nq, nb = phi.shape
+    u = jnp.moveaxis(ue, 0, -1)  # [nb, dim, E]
+    # W[a][b][i][j] = Σ_q w φa φb G[i][j](q),  G[i][j] = Σ_c u[c][i] gT_c[j]
+    W = [[[[None] * dim for _ in range(dim)]
+          for _ in range(nb)] for _ in range(nb)]
+    for q in range(nq):
+        gT = [[sum(Binv[k][j] * float(dphi[q, c, k]) for k in range(dim))
+               for j in range(dim)] for c in range(nb)]
+        G = [[sum(u[c][i] * gT[c][j] for c in range(nb))
+              for j in range(dim)] for i in range(dim)]
+        w = float(qw[q])
+        for a in range(nb):
+            for b in range(nb):
+                pab = w * float(phi[q, a]) * float(phi[q, b])
+                for i in range(dim):
+                    for j in range(dim):
+                        c = pab * G[i][j]
+                        cur = W[a][b][i][j]
+                        W[a][b][i][j] = c if cur is None else cur + c
+    rows = []
+    for a in range(nb):
+        for b in range(nb):
+            for i in range(dim):
+                for j in range(dim):
+                    rows.append(W[a][b][i][j] * adet)
+    return jnp.stack(rows).reshape(-1)
+
+
+def pattern_vec_diag_abe(domain, dim: int) -> SparsityPattern:
+    """Dof-level pattern for N⊗I: entries (dof(a,i), dof(b,i)) ordered
+    (a, b, i, E)."""
+    def build():
+        conn = domain.elem_nodes()
+        E, nb = conn.shape
+        n = domain.n_dofs(dim)
+        cT = conn.T  # [nb, E]
+        rows = np.empty((nb, nb, dim, E), np.int64)
+        cols = np.empty((nb, nb, dim, E), np.int64)
+        for i in range(dim):
+            rows[:, :, i, :] = (cT * dim + i)[:, None, :]
+            cols[:, :, i, :] = (cT * dim + i)[None, :, :]
+        return SparsityPattern.from_coo(rows.reshape(-1), cols.reshape(-1),
+                                        n, n)
+
+    return domain.pattern(("vec_diag_abe", dim), build)
+
+
+def pattern_vec_full_abe(domain, dim: int) -> SparsityPattern:
+    """Dof-level pattern for full dim×dim blocks: (dof(a,i), dof(b,j))
+    ordered (a, b, i, j, E)."""
+    def build():
+        conn = domain.elem_nodes()
+        E, nb = conn.shape
+        n = domain.n_dofs(dim)
+        cT = conn.T
+        rows = np.empty((nb, nb, dim, dim, E), np.int64)
+        cols = np.empty((nb, nb, dim, dim, E), np.int64)
+        for i in range(dim):
+            for j in range(dim):
+                rows[:, :, i, j, :] = (cT * dim + i)[:, None, :]
+                cols[:, :, i, j, :] = (cT * dim + j)[None, :, :]
+        return SparsityPattern.from_coo(rows.reshape(-1), cols.reshape(-1),
+                                        n, n)
+
+    return domain.pattern(("vec_full_abe", dim), build)
+
+
+def assemble_advection_fast(domain, ue) -> CsrMatrix:
+    pat = pattern_vec_diag_abe(domain, domain.dim)
+    flat = elem_advection_flat_T(domain.vert_coords(), ue, domain.dim,
+                                 domain.fe_type)
+    m = CsrMatrix(pat)
+    m.assemble(flat)
+    return m
+
+
+def assemble_advection_in_u_fast(domain, ue) -> CsrMatrix:
+    pat = pattern_vec_full_abe(domain, domain.dim)
+    flat = elem_advection_in_u_flat_T(domain.vert_coords(), ue, domain.dim,
+                                      domain.fe_type)
+    m = CsrMatrix(pat)
+    m.assemble(flat)
+    return m
+
+
 # ---------------------------------------------------------------------------
 # (a, b, E)-ordered scatter pattern
 # ---------------------------------------------------------------------------

@@ -167,7 +167,11 @@ def u_elem_values(domain: Domain, u: jnp.ndarray) -> jnp.ndarray:
 def assemble_advection(domain: Domain, u: jnp.ndarray) -> CsrMatrix:
     """N(u): (u·∇)u convection block, expanded to vector dofs
     (FE::assemblyAdvectionVecField, FE_def.hpp:1685)."""
+    from feddlib_tpu.fe import fast_assembly as fa
+
     ue = u_elem_values(domain, u)
+    if fa.use_fast() and fa.supported(domain.dim, domain.fe_type):
+        return fa.assemble_advection_fast(domain, ue)
     eye = jnp.eye(domain.dim, dtype=jnp.float64)
     return _assemble_chunked(
         _square_pattern(domain, domain.dim),
@@ -181,7 +185,11 @@ def assemble_advection(domain: Domain, u: jnp.ndarray) -> CsrMatrix:
 def assemble_advection_in_u(domain: Domain, u: jnp.ndarray) -> CsrMatrix:
     """W(u): Newton linearisation (∇u)·δu
     (FE::assemblyAdvectionInUVecField, FE_def.hpp:1839)."""
+    from feddlib_tpu.fe import fast_assembly as fa
+
     ue = u_elem_values(domain, u)
+    if fa.use_fast() and fa.supported(domain.dim, domain.fe_type):
+        return fa.assemble_advection_in_u_fast(domain, ue)
     return _assemble_chunked(
         _square_pattern(domain, domain.dim),
         ("advection_in_u", domain.dim, domain.fe_type),

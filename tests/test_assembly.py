@@ -188,3 +188,31 @@ def test_fast_assembly_matches_classic():
         flat, jnp.asarray(pat.coo_slots.astype(np.int32)),
         num_segments=pat.nnz))
     np.testing.assert_allclose(a, b, atol=1e-12)
+
+
+def test_fast_advection_matches_classic():
+    """Element-last N(u)/W(u) kernels (rebuilt every Newton/time iteration
+    — the hottest reassembly) equal the classic path."""
+    import os
+
+    import jax.numpy as jnp
+
+    from feddlib_tpu.fe import ops
+    from feddlib_tpu.fe.domain import Domain
+
+    os.environ["FEDD_FAST_ASSEMBLY"] = "1"
+    try:
+        for dim in (2, 3):
+            dom = Domain.structured(dim, 4).p2_domain()
+            u = jnp.asarray(np.random.default_rng(1).standard_normal(
+                dom.n_dofs(dim)))
+            Nf = ops.assemble_advection(dom, u)
+            Wf = ops.assemble_advection_in_u(dom, u)
+            os.environ["FEDD_FAST_ASSEMBLY"] = "0"
+            Nc = ops.assemble_advection(dom, u)
+            Wc = ops.assemble_advection_in_u(dom, u)
+            os.environ["FEDD_FAST_ASSEMBLY"] = "1"
+            assert abs(Nf.to_scipy() - Nc.to_scipy()).max() < 1e-13
+            assert abs(Wf.to_scipy() - Wc.to_scipy()).max() < 1e-13
+    finally:
+        os.environ.pop("FEDD_FAST_ASSEMBLY", None)
