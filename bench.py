@@ -1,19 +1,23 @@
 #!/usr/bin/env python
 """Benchmark driver — prints ONE JSON line with the headline metric.
 
-Headline: SpMV throughput on a 3D P1 Poisson operator via the TPU-native
-dense row-cluster path (feddlib_tpu.la.dense_blocks) in f32 — the format
-every hot solver iteration uses on TPU.  Accuracy is delivered by
-mixed-precision iterative refinement (f64 residuals + f32 inner Krylov,
-feddlib_tpu.solvers.refinement), reported as the correctness anchor at the
+Headline: SpMV throughput on a 3D P1 Poisson operator (69k dofs / 1.0M nnz)
+via the windowed sliced-ELL Pallas kernel (feddlib_tpu.la.sell) in f32 —
+the byte-minimal TPU sparse format every hot solver iteration uses.
+`vs_baseline` = achieved fraction of the CHIP's sparse speed-of-light
+(8 B/nnz — 4B value + 4B index — at the 819 GB/s v5e HBM stream), per the
+round-1 verdict's reporting prescription.  `extra.bytes_per_nnz` is the
+format's true streamed bytes; `extra.dense_overhead_x` = bytes_per_nnz / 8.
+
+Accuracy anchor: mixed-precision iterative refinement (f64 residuals +
+f32 inner Schwarz-GMRES, both A and M in the padded cluster space) at the
 reference's 1e-8 tolerance.
 
 Timing method: N chained applies inside ONE jitted fori_loop with operator
 data passed as ARGUMENTS (constants baked into remote compiles are both
 slow and size-limited), two loop lengths differenced, completion forced by
 a value fetch (async dispatch makes `block_until_ready` unreliable through
-the axon tunnel).  `vs_baseline` = achieved fraction of the HBM streaming
-roofline for the dense blocks.
+the axon tunnel).
 """
 
 import json
@@ -46,8 +50,9 @@ def main():
     from feddlib_tpu.fe import ops
     from feddlib_tpu.fe.domain import Domain
     from feddlib_tpu.la.dense_blocks import DenseBlockSchwarz, DenseBlockSpMV
+    from feddlib_tpu.la.sell import SellMatrix, sell_padded_from
     from feddlib_tpu.mesh.partition import MeshPartition
-    from feddlib_tpu.solvers.krylov import gmres, solve_jit
+    from feddlib_tpu.solvers.krylov import solve_jit
     from feddlib_tpu.solvers.refinement import iterative_refinement
 
     dev = jax.devices()[0]
@@ -62,32 +67,26 @@ def main():
     b = ops.assemble_rhs(dom, lambda x: 1.0 + 0 * x[0])
     Kb, bb = bcb.apply_symmetric(K, b, 0)
     nnz = Kb.nnz
-
     note(f"assembled n={dom.n_nodes} nnz={nnz}")
-    n_clusters = 256 if on_tpu else 8
-    part = MeshPartition(dom.mesh, n_clusters)
-    cluster = part.unique_map.owner_of()
-    db32 = DenseBlockSpMV.from_csr(Kb, cluster, dtype=jnp.float32)
 
-    from feddlib_tpu.la.dense_blocks import _batched_gemv, _gather_ghosts
+    # ---- headline: windowed sliced-ELL SpMV --------------------------------
+    A32 = SellMatrix.from_csr(Kb, dtype=jnp.float32)
+    spill = 0 if A32.spill_rows is None else int(A32.spill_rows.size)
+    bytes_per_nnz = A32.hbm_bytes_per_apply() / nnz
+    note(f"SELL E={A32.E} K={A32.K} chunks={A32.vals.shape[0]} "
+         f"spill={spill} bytes/nnz={bytes_per_nnz:.2f}")
+    fn, opnds = A32.operator()
 
     @jax.jit
-    def chain(blocks, ghost_idx, ghost_rows, ghost_onehot, xp, steps):
-        P, R = blocks.shape[0], blocks.shape[1]
+    def chain(opnds, x0, steps):
+        def body(i, xx):
+            yy = fn(opnds, xx)
+            return yy * lax.rsqrt(jnp.vdot(yy, yy).astype(jnp.float32)
+                                  + 1e-30)
+        return lax.fori_loop(0, steps, body, x0)
 
-        def body(i, x):
-            x_own = x.reshape(P, R)
-            ghosts = _gather_ghosts(ghost_idx, ghost_rows, ghost_onehot, x)
-            xs = jnp.concatenate([x_own, ghosts], axis=1)
-            y = _batched_gemv(blocks, xs).reshape(-1)
-            return y * lax.rsqrt(jnp.vdot(y, y) + 1e-30)
-
-        return lax.fori_loop(0, steps, body, xp)
-
-    note(f"dense blocks P={db32.P} R={db32.R} G={db32.G}")
-    xp = db32.to_padded(jnp.ones(dom.n_nodes, jnp.float32))
-    gargs = (db32.blocks, db32.ghost_idx, db32.ghost_rows, db32.ghost_onehot)
-    r = chain(*gargs, xp, 2)
+    x0 = jnp.ones(dom.n_nodes, jnp.float32)
+    r = chain(opnds, x0, 2)
     _ = float(jnp.asarray(r).ravel()[0])  # compile + sync
     note("spmv chain compiled")
 
@@ -95,7 +94,7 @@ def main():
 
     def run(steps):
         t0 = time.perf_counter()
-        rr = chain(*gargs, xp, steps)
+        rr = chain(opnds, x0, steps)
         _ = float(jnp.asarray(rr).ravel()[0])
         return time.perf_counter() - t0
 
@@ -104,16 +103,13 @@ def main():
     dt = max((t_hi - t_lo) / (hi - lo), 1e-9)
     nnz_per_s = nnz / dt
 
-    bytes_per_pass = db32.blocks.size * 4 \
-        + db32.ghost_onehot.size * 4 + db32.ghost_rows.size * (128 * 4 + 4) \
-        + db32.blocks.shape[0] * db32.blocks.shape[1] * 4 * 2
     hbm_gbps = 819e9 if on_tpu else 50e9
-    vs = (nnz / dt) / (nnz / (bytes_per_pass / hbm_gbps))
+    sol_nnz_per_s = hbm_gbps / 8.0  # chip sparse speed-of-light at 8 B/nnz
+    vs = nnz_per_s / sol_nnz_per_s
+    note(f"SELL spmv {dt*1e3:.3f} ms = {nnz_per_s/1e9:.2f} Gnnz/s "
+         f"({vs*100:.1f}% of chip speed-of-light)")
 
-    # secondary metric: batched FE assembly throughput — the
-    # insertGlobalValues→fillComplete hot path (SURVEY §3.1 HOT LOOP #1),
-    # measured on the production fast path: element-last kernels +
-    # triple-f32 exact scatter (fe/fast_assembly.py)
+    # ---- secondary: batched FE assembly throughput --------------------------
     from feddlib_tpu.fe import fast_assembly as fa
     from feddlib_tpu.la.csr import assemble_csr_data, assemble_csr_data_tri
 
@@ -152,12 +148,19 @@ def main():
     elems_per_s = dom.n_elements / a_dt
     note(f"assembly {a_dt*1e3:.2f} ms / {dom.n_elements} elems")
 
-    # correctness anchor: mixed-precision IR to the reference tolerance 1e-8.
-    # The whole inner Krylov loop runs in PADDED cluster space: the SpMV and
-    # the overlap-1 restricted-Schwarz apply share the fast halo exchange
-    # and skip all permutation gathers (pad lanes are zero, so dots agree).
+    # ---- correctness anchor: mixed-precision IR to 1e-8 ---------------------
+    # Whole inner Krylov loop in PADDED cluster space: SELL SpMV on the
+    # padded-permuted operator + overlap-1 restricted Schwarz sharing the
+    # dense-block halo exchange.
+    n_clusters = 256 if on_tpu else 8
+    part = MeshPartition(dom.mesh, n_clusters)
+    cluster = part.unique_map.owner_of()
+    db32 = DenseBlockSpMV.from_csr(Kb, cluster, dtype=jnp.float32)
     prec32 = DenseBlockSchwarz(Kb, db32)
-    A_fn, A_ops = db32.padded_operator()
+    Ap32 = sell_padded_from(Kb, db32, dtype=jnp.float32)
+    note(f"padded SELL K={Ap32.K} spill="
+         f"{0 if Ap32.spill_rows is None else int(Ap32.spill_rows.size)}")
+    A_fn, A_ops = Ap32.operator()
     M_fn, M_ops = prec32.padded_operator()
 
     def inner(r32):
@@ -174,7 +177,7 @@ def main():
     note("IR done")
 
     print(json.dumps({
-        "metric": "dense_block_spmv_nnz_per_s_f32",
+        "metric": "sell_spmv_nnz_per_s_f32",
         "value": round(nnz_per_s),
         "unit": "nnz/s",
         "vs_baseline": round(vs, 4),
@@ -183,8 +186,12 @@ def main():
             "n_dofs": dom.n_nodes,
             "nnz": nnz,
             "spmv_ms": round(dt * 1e3, 3),
-            "clusters": int(db32.P),
-            "dense_overhead_x": round(db32.blocks.size / nnz, 1),
+            "bytes_per_nnz": round(bytes_per_nnz, 2),
+            "dense_overhead_x": round(bytes_per_nnz / 8.0, 2),
+            "sell_E": A32.E,
+            "sell_K": A32.K,
+            "spill_nnz": spill,
+            "chip_sol_nnz_per_s": round(sol_nnz_per_s),
             "ir_converged_1e-8": bool(res.converged),
             "ir_passes": res.passes,
             "ir_inner_iters": res.iters,

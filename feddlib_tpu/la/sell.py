@@ -1,0 +1,374 @@
+"""Windowed sliced-ELL SpMV — the byte-minimal TPU sparse format.
+
+Fills the Tpetra CrsMatrix::apply role (reference:
+feddlib/core/LinearAlgebra/Matrix_decl.hpp:116-120) at HBM streaming
+speed.  The round-1 dense row-cluster format (la/dense_blocks.py) streams
+~80x the necessary bytes because it densifies each cluster's column
+support; this format stores the actual nonzeros (ELL slots) and performs
+the x-gather ON CHIP with Mosaic's in-register `take_along_axis`
+(lane-wise dynamic gather within a 128-wide window), so HBM traffic is
+~(4+2) B/nnz + one streaming read of x.
+
+Layout (all shapes static):
+  - rows are processed in CHUNKS of `rows_per_chunk = 8 * (128 // E)`
+    (E = padded ELL slots per row, power of two <= 128).  A chunk's slots
+    fill exactly one (8, 128) f32 VREG: sublane s, lane l <-> row
+    `chunk*RPC + s*(128//E) + l//E`, slot `l % E`.
+  - x is reshaped to x2d [ceil(n/128), 128] and kept RESIDENT IN VMEM
+    (n <= ~2M dofs per device; the distributed path shards rows, keeping
+    per-device n inside this budget).
+  - each chunk lists <= K window block ids `bids[chunk, k]` — the distinct
+    128-column-blocks its nonzeros touch.  Per slot we store the value
+    (f32) and a packed int16 `k*128 + lane` window-local index.
+  - kernel, per chunk: read the K window rows of x2d (dynamic sublane
+    index into VMEM), lane-gather each against the slot lane indices, and
+    select by the slot's window id; multiply by the values and
+    segment-sum lanes back to rows with a tiny constant matmul.
+
+Chunks whose nonzeros touch more than K distinct column blocks spill the
+excess entries to a COO tail applied by a plain XLA segment-sum (slow but
+O(spill)); with RCM/lexicographic row order the spill is empty or tiny.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+class SellMatrix:
+    """Windowed sliced-ELL operator for y = A @ x."""
+
+    def __init__(self, n_rows, n_cols, vals, pidx, bids, spill_rows,
+                 spill_cols, spill_vals, nnz, data_slots, data_spill,
+                 dtype, E, K, perm=None, iperm=None):
+        self.shape = (n_rows, n_cols)
+        self.vals = vals          # [nchunks, 8, 128] dtype
+        self.pidx = pidx          # [nchunks, 8, 128] int16 (k*128+lane)
+        self.bids = bids          # [nchunks, K] int32 rows of x2d
+        self.spill_rows = spill_rows  # [S] int32 (or None)
+        self.spill_cols = spill_cols  # [S] int32
+        self.spill_vals = spill_vals  # [S] dtype
+        self.nnz = nnz
+        self.data_slots = data_slots  # host plan: csr nnz -> flat slot (-1)
+        self.data_spill = data_spill  # host plan: csr nnz -> spill pos (-1)
+        self.dtype = dtype
+        self.E = E
+        self.K = K
+        self.perm = perm    # row/col permutation applied (None = identity)
+        self.iperm = iperm
+
+    # -- construction --------------------------------------------------------
+    @classmethod
+    def from_csr(cls, A, dtype=jnp.float32, E=None, K=None, order=None):
+        """Build from a CsrMatrix (feddlib_tpu.la.csr) or scipy CSR.
+
+        order: None (keep row order) or 'rcm' (bandwidth-reducing reverse
+        Cuthill-McKee on the symmetric pattern — use for unstructured
+        meshes whose natural order scatters column support).
+        """
+        is_fedd = hasattr(A, "to_scipy")
+        sp = A.to_scipy().tocsr() if is_fedd else A.tocsr()
+        n_rows, n_cols = sp.shape
+        perm = iperm = None
+        if order == "rcm":
+            from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+            if n_rows != n_cols:
+                raise ValueError("rcm ordering needs a square matrix")
+            perm = np.asarray(reverse_cuthill_mckee(sp, symmetric_mode=True))
+            iperm = np.empty_like(perm)
+            iperm[perm] = np.arange(n_rows)
+            sp = sp[perm][:, perm].tocsr()
+        sp.sort_indices()
+
+        row_nnz = np.diff(sp.indptr)
+        max_nnz = max(int(row_nnz.max()) if n_rows else 1, 1)
+        if E is None:
+            E = 8
+            while E < min(max_nnz, _LANES):
+                E *= 2
+        rpl = _LANES // E          # rows per sublane
+        rpc = 8 * rpl              # rows per chunk
+        nchunks = max(_round_up(n_rows, rpc) // rpc, 1)
+
+        indices = sp.indices
+        nz_row = np.repeat(np.arange(n_rows), row_nnz)
+        nz_chunk = nz_row // rpc
+        nz_block = (indices // _LANES).astype(np.int64)
+
+        # distinct blocks per chunk, ranked by frequency (top-K kept)
+        keys = nz_chunk.astype(np.int64) * (1 << 32) + nz_block
+        uk, inv, counts = np.unique(keys, return_inverse=True,
+                                    return_counts=True)
+        uc = (uk >> 32).astype(np.int64)
+        ub = (uk & 0xFFFFFFFF).astype(np.int64)
+        if K is None:
+            per = np.bincount(uc, minlength=nchunks)
+            K = int(min(max(per.max() if len(per) else 1, 1), 16))
+        order_idx = np.lexsort((-counts, uc))
+        rank_of = np.empty(len(uk), np.int64)
+        starts = np.searchsorted(uc[order_idx], np.arange(nchunks))
+        rank_of[order_idx] = np.arange(len(uk)) - starts[uc[order_idx]]
+        bids = np.zeros((nchunks, K), np.int32)
+        keep_blk = rank_of < K
+        bids[uc[keep_blk], rank_of[keep_blk]] = ub[keep_blk].astype(np.int32)
+        nz_k = np.where(rank_of[inv] < K, rank_of[inv], -1).astype(np.int32)
+
+        # slot position within each row over kept entries; >= E spills too
+        kept = nz_k >= 0
+        kept_idx = np.flatnonzero(kept)
+        kr = nz_row[kept_idx]
+        row_start = np.zeros(n_rows + 1, np.int64)
+        np.add.at(row_start[1:], kr, 1)
+        np.cumsum(row_start, out=row_start)
+        pos = np.arange(len(kr)) - row_start[kr]
+        over = pos >= E
+        kept[kept_idx[over]] = False
+        kept_idx = kept_idx[~over]
+        pos = pos[~over]
+
+        r = nz_row[kept_idx]
+        c = r // rpc
+        rloc = r - c * rpc
+        sublane = rloc // rpl
+        lane = (rloc % rpl) * E + pos
+        flat = c * (8 * _LANES) + sublane * _LANES + lane
+
+        pidx_flat = np.zeros(nchunks * 8 * _LANES, np.int16)
+        pidx_flat[flat] = (nz_k[kept_idx] * _LANES
+                           + (indices[kept_idx] % _LANES)).astype(np.int16)
+        data_slots = np.full(sp.nnz, -1, np.int64)
+        data_slots[kept_idx] = flat
+
+        spill = ~kept
+        n_spill = int(spill.sum())
+        data_spill = np.full(sp.nnz, -1, np.int64)
+        data_spill[np.flatnonzero(spill)] = np.arange(n_spill)
+        s_rows = (jnp.asarray(nz_row[spill].astype(np.int32))
+                  if n_spill else None)
+        s_cols = (jnp.asarray(indices[spill].astype(np.int32))
+                  if n_spill else None)
+
+        # device-side value fill: ship index plans, reuse device-resident
+        # CSR values (host->device bandwidth is the scarce resource)
+        if perm is None and is_fedd and isinstance(A.data, jnp.ndarray):
+            data_dev = A.data.astype(dtype)
+        else:
+            data_dev = jnp.asarray(sp.data, dtype)
+        vals = _fill_slots(data_dev, jnp.asarray(data_slots),
+                           nchunks * 8 * _LANES).reshape(nchunks, 8, _LANES)
+        s_vals = (data_dev[jnp.asarray(np.flatnonzero(spill))]
+                  if n_spill else None)
+
+        return cls(n_rows, n_cols, vals,
+                   jnp.asarray(pidx_flat).reshape(nchunks, 8, _LANES),
+                   jnp.asarray(bids), s_rows, s_cols, s_vals, sp.nnz,
+                   data_slots, data_spill, dtype, E, K,
+                   None if perm is None else jnp.asarray(perm),
+                   None if iperm is None else jnp.asarray(iperm))
+
+    def with_data(self, data: jnp.ndarray) -> "SellMatrix":
+        """Same pattern, new CSR value array (reassembly hot path)."""
+        if self.perm is not None:
+            raise NotImplementedError("with_data under rcm permutation")
+        d = data.astype(self.dtype)
+        vals = _fill_slots(d, jnp.asarray(self.data_slots),
+                           self.vals.size).reshape(self.vals.shape)
+        s_vals = (d[jnp.asarray(np.flatnonzero(self.data_spill >= 0))]
+                  if self.spill_rows is not None else None)
+        return SellMatrix(self.shape[0], self.shape[1], vals, self.pidx,
+                          self.bids, self.spill_rows, self.spill_cols,
+                          s_vals, self.nnz, self.data_slots, self.data_spill,
+                          self.dtype, self.E, self.K, self.perm, self.iperm)
+
+    # -- apply ---------------------------------------------------------------
+    def operands(self):
+        return (self.vals, self.pidx, self.bids, self.spill_rows,
+                self.spill_cols, self.spill_vals, self.perm, self.iperm)
+
+    def operator(self):
+        """(pure_fn, operands) protocol for jit-argument solver programs.
+
+        Static layout facts (shape, E) are CLOSED OVER — only arrays ride
+        as operands, so the fn can be jitted with operands as arguments."""
+        n_rows, n_cols, E = self.shape[0], self.shape[1], self.E
+
+        def fn(ops, x):
+            return _apply(*ops, x, n_rows, n_cols, E)
+
+        return fn, self.operands()
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        return _jit_apply(self.operands(), jnp.asarray(x),
+                          self.shape[0], self.shape[1], self.E)
+
+    def hbm_bytes_per_apply(self) -> int:
+        b = (self.vals.size * jnp.dtype(self.vals.dtype).itemsize
+             + self.pidx.size * 2 + self.bids.size * 4
+             + _round_up(self.shape[1], _LANES) * 4 + self.shape[0] * 4)
+        if self.spill_rows is not None:
+            b += int(self.spill_rows.size) * 16
+        return b
+
+
+@partial(jax.jit, static_argnames=("n_rows", "n_cols", "E"))
+def _jit_apply(packed, x, n_rows, n_cols, E):
+    return _apply(*packed, x, n_rows, n_cols, E)
+
+
+def _apply(vals, pidx, bids, s_rows, s_cols, s_vals, perm, iperm, x,
+           n_rows, n_cols, E):
+    out_dtype = x.dtype
+    if perm is not None:
+        x = x[perm]
+    nx2 = max(_round_up(n_cols, _LANES) // _LANES, 1)
+    x2d = jnp.zeros(nx2 * _LANES, vals.dtype).at[:n_cols].set(
+        x.astype(vals.dtype)).reshape(nx2, _LANES)
+    if use_pallas_sell(vals.dtype):
+        y = _sell_mv_pallas(vals, pidx, bids, x2d, E)[:n_rows]
+    else:
+        y = _sell_mv_xla(vals, pidx, bids, x2d, E)[:n_rows]
+    if s_rows is not None:
+        y = y + jax.ops.segment_sum(
+            s_vals * x2d.reshape(-1)[s_cols], s_rows, num_segments=n_rows)
+    if iperm is not None:
+        y = y[iperm]
+    return y.astype(out_dtype)
+
+
+def use_pallas_sell(dtype) -> bool:
+    import os
+
+    if os.environ.get("FEDD_NO_PALLAS") == "1":
+        return False
+    try:
+        return (jnp.dtype(dtype) == jnp.float32
+                and jax.default_backend() != "cpu")
+    except Exception:
+        return False
+
+
+def _sell_mv_xla(vals, pidx, bids, x2d, E):
+    """Reference/CPU path: plain XLA gathers (identical semantics)."""
+    nchunks = vals.shape[0]
+    rpl = _LANES // E
+    flat = pidx.astype(jnp.int32)  # k*128 + lane indexes win[c].reshape(-1)
+    win = x2d[bids].astype(vals.dtype)  # [nchunks, K, 128]
+    gathered = jnp.take_along_axis(
+        win.reshape(nchunks, 1, -1), flat.reshape(nchunks, 1, 8 * _LANES),
+        axis=2).reshape(nchunks, 8, _LANES)
+    contrib = vals * gathered
+    y = contrib.reshape(nchunks, 8, rpl, E).sum(-1)  # [nchunks, 8, rpl]
+    return y.reshape(-1)
+
+
+# -- Pallas kernel -----------------------------------------------------------
+
+def _make_kernel(K, C, E):
+    rpl = _LANES // E
+
+    def kernel(bids_ref, x_ref, vals_ref, pidx_ref, out_ref):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (_LANES, rpl), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (_LANES, rpl), 1)
+        seg = (lane // E == col).astype(jnp.float32)
+        g = pl.program_id(0)
+        pidx = pidx_ref[:].reshape(C * 8, _LANES).astype(jnp.int32)
+        k_idx = pidx >> 7
+        m_idx = pidx & 127
+        v = vals_ref[:].reshape(C * 8, _LANES)
+        acc = jnp.zeros((C * 8, _LANES), jnp.float32)
+        for k in range(K):  # one big gather per window slot, ALL chunks
+            rows = [jnp.broadcast_to(x_ref[bids_ref[g * C + c, k]],
+                                     (8, _LANES)) for c in range(C)]
+            src = jnp.concatenate(rows, axis=0)  # [C*8, 128]
+            gk = jnp.take_along_axis(src, m_idx, axis=1)
+            acc = jnp.where(k_idx == k, gk, acc)
+        contrib = v * acc
+        # precision=HIGHEST: the TPU default truncates the f32 operands
+        # to one bf16 pass (observed 1e-3 errors); with a 0/1 selection
+        # matrix the 3-pass product is exact in f32
+        y = jax.lax.dot_general(
+            contrib, seg, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        out_ref[:] = y.reshape(C, 8, rpl)
+
+    return kernel
+
+
+def _sell_mv_pallas(vals, pidx, bids, x2d, E, C=64):
+    nchunks = vals.shape[0]
+    K = bids.shape[1]
+    rpl = _LANES // E
+    ng = max(_round_up(nchunks, C) // C, 1)
+    padc = ng * C - nchunks
+    if padc:
+        vals = jnp.concatenate(
+            [vals, jnp.zeros((padc, 8, _LANES), vals.dtype)])
+        pidx = jnp.concatenate(
+            [pidx, jnp.zeros((padc, 8, _LANES), pidx.dtype)])
+        bids = jnp.concatenate([bids, jnp.zeros((padc, K), bids.dtype)])
+    kernel = _make_kernel(K, C, E)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ng,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x2d resident
+            pl.BlockSpec((C, 8, _LANES), lambda g, b: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 8, _LANES), lambda g, b: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((C, 8, rpl), lambda g, b: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    with jax.enable_x64(False):
+        y = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((ng * C, 8, rpl), jnp.float32),
+            grid_spec=grid_spec,
+        )(bids, x2d, vals, pidx)
+    return y.reshape(-1)[: nchunks * 8 * rpl].astype(vals.dtype)
+
+
+def sell_padded_from(A, db, dtype=jnp.float32, K=12):
+    """SELL operator on the PADDED-CLUSTERED row/column space of a
+    DenseBlockSpMV (la/dense_blocks.py): rows/cols are permuted by
+    `db.pad_of_old`, pad lanes are empty rows.  Lets whole Krylov loops run
+    in padded space next to the dense-block Schwarz preconditioner with no
+    per-iteration permutation gathers.
+
+    The cluster permutation scatters ghost-column support across more
+    128-blocks than the natural mesh order, so K defaults higher; the
+    remainder rides the exact COO spill path (~0.1% of nnz at K=12 on the
+    bench operator)."""
+    import scipy.sparse as sps
+
+    sp = A.to_scipy().tocoo()
+    pad_of_old = np.asarray(db.pad_of_old)
+    M = db.P * db.R
+    perm_sp = sps.csr_matrix(
+        (np.asarray(sp.data), (pad_of_old[sp.row], pad_of_old[sp.col])),
+        shape=(M, M))
+    return SellMatrix.from_csr(perm_sp, dtype=dtype, K=K)
+
+
+@partial(jax.jit, static_argnames=("size",))
+def _fill_slots(data, slots, size):
+    """vals[slots[i]] = data[i] for slots[i] >= 0 (setup-only scatter)."""
+    valid = slots >= 0
+    return jnp.zeros(size, data.dtype).at[
+        jnp.where(valid, slots, size)].set(
+        jnp.where(valid, data, 0), mode="drop")

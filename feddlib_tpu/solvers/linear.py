@@ -300,13 +300,14 @@ class LinearSolver:
     def _solve_mixed(self, problem, A, b: BlockVector, params, tol,
                      maxiter, restart):
         """Mixed-precision path ('Use Mixed Precision'): f64 residual
-        refinement around an f32 MXU inner Krylov on the dense row-cluster
-        operator with f32 Schwarz — the TPU production solver (f64 accuracy
-        at f32 speed; see solvers/refinement.py)."""
-        import jax
-
-        from feddlib_tpu.la.dense_blocks import DenseBlockSpMV
-        from feddlib_tpu.precond.schwarz import SchwarzPreconditioner
+        refinement around an f32 inner Krylov — SELL Pallas SpMV +
+        dense-block restricted Schwarz, the whole inner loop in PADDED
+        cluster space (no per-iteration permutation gathers) — the TPU
+        production solver (f64 accuracy at f32 speed; see
+        solvers/refinement.py)."""
+        from feddlib_tpu.la.dense_blocks import (DenseBlockSchwarz,
+                                                 DenseBlockSpMV)
+        from feddlib_tpu.la.sell import sell_padded_from
         from feddlib_tpu.solvers.krylov import solve_jit
         from feddlib_tpu.solvers.refinement import iterative_refinement
 
@@ -325,20 +326,23 @@ class LinearSolver:
             for p, ix in enumerate(dof_map.partition_indices):
                 cluster[ix] = p
             db32 = DenseBlockSpMV.from_csr(A, cluster, dtype=jnp.float32)
-            prec32 = SchwarzPreconditioner(
-                A, dof_map, overlap=int(params.get("Overlap", 1)),
-                dtype=jnp.float32)
+            prec32 = DenseBlockSchwarz(A, db32)
+            sell32 = sell_padded_from(A, db32, dtype=jnp.float32)
             cache = {"pattern": A.pattern, "db32": db32,
-                     "A_op": db32.operator(), "M_op": prec32.operator()}
+                     "A_op": sell32.operator(),
+                     "M_op": prec32.padded_operator()}
             problem._mixed_cache = cache
             problem._prec_stale = False
+        db32 = cache["db32"]
         A_fn, A_ops = cache["A_op"]
         M_fn, M_ops = cache["M_op"]
 
         def inner(r32):
-            return solve_jit("gmres", A_fn, A_ops, r32, M_fn=M_fn,
-                             M_ops=M_ops, tol=inner_tol, maxiter=maxiter,
-                             restart=restart)
+            res = solve_jit("gmres", A_fn, A_ops, db32.to_padded(r32),
+                            M_fn=M_fn, M_ops=M_ops, tol=inner_tol,
+                            maxiter=maxiter, restart=restart)
+            res.x = db32.from_padded(res.x)
+            return res
 
         res = iterative_refinement(A.matvec, inner, b.concat(), tol=tol)
         problem.last_relres = res.relres

@@ -1,0 +1,126 @@
+"""SellMatrix (windowed sliced-ELL SpMV) — format and apply correctness.
+
+The Pallas kernel itself is exercised in interpret mode here (the real
+Mosaic lowering is covered by bench.py on hardware); the XLA fallback path
+shares the exact format semantics.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sps
+import jax
+import jax.numpy as jnp
+
+from feddlib_tpu.la import sell
+from feddlib_tpu.la.sell import SellMatrix
+
+
+def _check(sp, **kw):
+    rng = np.random.default_rng(42)
+    A = SellMatrix.from_csr(sp, dtype=jnp.float32, **kw)
+    x = rng.standard_normal(sp.shape[1]).astype(np.float32)
+    y = np.asarray(A.matvec(jnp.asarray(x)))
+    yref = sp @ x
+    scale = np.abs(yref).max() + 1e-30
+    assert np.abs(y - yref).max() / scale < 2e-6
+    return A
+
+
+def test_banded():
+    rng = np.random.default_rng(0)
+    n = 1000
+    diags = [rng.standard_normal(n) for _ in range(7)]
+    sp = sps.diags(diags, [-300, -4, -1, 0, 1, 4, 300], (n, n)).tocsr()
+    A = _check(sp)
+    assert A.spill_rows is None
+    # byte-minimality: banded matrices must stream < 16 B/nnz
+    assert A.hbm_bytes_per_apply() / sp.nnz < 16
+
+
+def test_random_natural_and_rcm():
+    sp = sps.random(512, 512, density=0.02, random_state=1, format="csr")
+    sp = (sp + sps.eye(512)).tocsr()
+    _check(sp, K=4)          # K too small -> spill path exercised
+    _check(sp, order="rcm", K=4)
+
+
+def test_spill_is_exact():
+    """Force heavy spill (K=1) and verify exactness."""
+    sp = sps.random(256, 256, density=0.05, random_state=3, format="csr")
+    sp = (sp + sps.eye(256)).tocsr()
+    A = _check(sp, K=1)
+    assert A.spill_rows is not None and A.spill_rows.size > 0
+
+
+def test_rectangular():
+    sp = sps.random(300, 700, density=0.01, random_state=2, format="csr")
+    _check(sp)
+
+
+def test_with_data():
+    rng = np.random.default_rng(1)
+    sp = sps.random(400, 400, density=0.03, random_state=5, format="csr")
+    sp = (sp + sps.eye(400)).tocsr()
+    A = SellMatrix.from_csr(sp, dtype=jnp.float32, K=2)  # spill too
+    A2 = A.with_data(jnp.asarray(sp.data * -3.0))
+    x = rng.standard_normal(400).astype(np.float32)
+    yref = -3.0 * (sp @ x)
+    y = np.asarray(A2.matvec(jnp.asarray(x)))
+    assert np.abs(y - yref).max() / np.abs(yref).max() < 2e-6
+
+
+def test_operator_protocol_jit_args():
+    """operator() must be jittable with operands passed as arguments
+    (solver programs bake nothing in)."""
+    sp = sps.random(300, 300, density=0.02, random_state=7, format="csr")
+    sp = (sp + sps.eye(300)).tocsr()
+    A = SellMatrix.from_csr(sp, dtype=jnp.float32)
+    fn, ops = A.operator()
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(300), jnp.float32)
+
+    @jax.jit
+    def chain(ops, x):
+        def body(i, v):
+            return fn(ops, v) / (jnp.linalg.norm(fn(ops, v)) + 1.0)
+        return jax.lax.fori_loop(0, 3, body, x)
+
+    y = chain(ops, x)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_kernel_interpret_matches_xla():
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(0)
+    n = 1000
+    diags = [rng.standard_normal(n) for _ in range(7)]
+    sp = sps.diags(diags, [-300, -4, -1, 0, 1, 4, 300], (n, n)).tocsr()
+    A = SellMatrix.from_csr(sp, dtype=jnp.float32)
+    x = rng.standard_normal(n).astype(np.float32)
+    nx2 = (n + 127) // 128
+    x2d = jnp.zeros(nx2 * 128, jnp.float32).at[:n].set(
+        jnp.asarray(x)).reshape(nx2, 128)
+    y_xla = np.asarray(sell._sell_mv_xla(A.vals, A.pidx, A.bids, x2d, A.E))
+    with pltpu.force_tpu_interpret_mode():
+        y_pal = np.asarray(sell._sell_mv_pallas(A.vals, A.pidx, A.bids,
+                                                x2d, A.E))
+    n_out = len(y_pal)
+    scale = np.abs(y_xla).max()
+    assert np.abs(y_pal - y_xla[:n_out]).max() / scale < 2e-6
+
+
+def test_fem_matrix_bytes_per_nnz():
+    """The 2D structured P1 Poisson matrix must stream < 16 B/nnz and
+    produce exact applies (the bench-path guarantee at small scale)."""
+    from feddlib_tpu.bc import BCBuilder
+    from feddlib_tpu.fe import ops
+    from feddlib_tpu.fe.domain import Domain
+
+    dom = Domain.structured(2, 24)
+    K = ops.assemble_laplace(dom)
+    bcb = BCBuilder()
+    bcb.add_bc(lambda x, t: 0.0, 1, 0, dom, "Dirichlet", 1)
+    b = ops.assemble_rhs(dom, lambda x: 1.0 + 0 * x[0])
+    Kb, _ = bcb.apply_symmetric(K, b, 0)
+    A = _check(Kb.to_scipy().tocsr())
+    assert A.hbm_bytes_per_apply() / Kb.nnz < 16
