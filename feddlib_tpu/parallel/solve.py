@@ -58,24 +58,28 @@ class DistributedSolver:
         if key in self._cache:
             return self._cache[key]
         plan = self.dmat.plan
+        imp = plan.importer()
+        exp = plan.exporter()
 
-        def prog(b, x0, ell_data, ell_cols, send_idx, ghost_src, mask,
-                 recv_src, recv_dst, *prec_args):
+        def prog(b, x0, ell_data, ell_cols, halo_in, halo_out, mask,
+                 *prec_args):
             b, x0 = b[0], x0[0]
             ed, ec = ell_data[0], ell_cols[0]
-            si, gs = send_idx[0], ghost_src[0]
+            hi = jax.tree.map(lambda a: a[0], halo_in)
+            ho = jax.tree.map(lambda a: a[0], halo_out)
             mk = mask[0]
-            rs, rd = recv_src[0], recv_dst[0]
             local_prec = [a[0] for a in prec_args]
 
             def A(x):
-                x_col = import_ghosts(x, si, gs)
+                x_col = imp(x, hi)
                 return jnp.sum(ed * x_col[ec], axis=0)
 
             if prec_build is None:
                 M = lambda r: r
             else:
-                M = prec_build(local_prec, (ed, ec, si, gs, mk, rs, rd))
+                M = prec_build(local_prec,
+                               (ed, ec, mk, lambda x: imp(x, hi),
+                                lambda y: exp(y, ho)))
 
             if method == "cg":
                 x, it, rel = cg_loop(A, M, b, x0, tol, maxiter, axis_name=AXIS)
@@ -84,7 +88,9 @@ class DistributedSolver:
                                         axis_name=AXIS)
             return x[None], it, rel
 
-        in_specs = ([P(AXIS)] * 9) + [P(AXIS)] * n_prec_args
+        halo_spec = P(AXIS)  # pytree-prefix spec broadcast over the rounds
+        in_specs = ([P(AXIS)] * 4 + [halo_spec, halo_spec, P(AXIS)]
+                    + [P(AXIS)] * n_prec_args)
         out_specs = (P(AXIS), P(), P())
         f = jax.jit(_shard_map(self.axis, prog, tuple(in_specs), out_specs))
         self._cache[key] = f
@@ -107,9 +113,8 @@ class DistributedSolver:
         f = self._solve_fn(method, tol, maxiter, restart, build,
                            None, len(arrs))
         x, it, rel = f(b_dist, x0, dm.ell_data, dm.ell_cols,
-                       dm.plan.send_idx, dm.plan.ghost_src,
-                       dm.plan.owned_mask, dm.plan.recv_src,
-                       dm.plan.recv_dst, *arrs)
+                       dm.plan.import_arrays, dm.plan.export_arrays,
+                       dm.plan.owned_mask, *arrs)
         return x, int(it), float(rel)
 
 

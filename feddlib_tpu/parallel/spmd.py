@@ -5,11 +5,14 @@ the host precomputes *static* communication plans (the analog of Tpetra
 Import objects cached on vectors, MultiVector_decl.hpp:156-157), and jitted
 `shard_map` programs execute them with XLA collectives over ICI:
 
-- unique→repeated import (halo exchange): boundary values are all-gathered
-  (only the inter-partition boundary, not the full vector) and each device
-  gathers its ghosts from the buffer with a precomputed index plan;
-- repeated→unique export/add: ghost contributions are all-gathered and
-  segment-summed into owner rows (Tpetra Export with Add combine);
+- unique→repeated import (halo exchange): NEIGHBOR-WISE — the partition
+  neighbor graph is edge-colored host-side and each color becomes one
+  `lax.ppermute` round moving only that pair's boundary values, so per-
+  apply volume is O(local cut), independent of device count (the Tpetra
+  Import plan executed as point-to-point ICI sends).  The legacy
+  all_gather plan remains for one-shot setup paths;
+- repeated→unique export/add: the same rounds reversed, ghost
+  contributions scatter-added into owner rows (Tpetra Export, Add);
 - global reductions ride `lax.psum` (the dot-product allreduce of
   SURVEY.md §3.5).
 
@@ -154,6 +157,117 @@ class HaloPlan:
         # mask of real (non-pad) owned lanes
         self.owned_mask = jnp.asarray(
             (np.arange(self.N_o)[None, :] < self.n_owned[:, None]))
+
+        # ---- neighbor-wise ppermute schedule (SURVEY §2.9 backend) ---------
+        # The all_gather plans above move O(n_dev · B) per device; the
+        # production exchange is point-to-point: the partition neighbor
+        # graph is edge-colored greedily, each color becomes one
+        # `lax.ppermute` round moving only that pair's boundary, so
+        # per-apply communication is O(local cut) independent of n_dev.
+        pair_gids = {}  # (src q, dst p) -> gids owned by q ghosted on p
+        for p in range(n_dev):
+            gl = ghost_lists[p]
+            if not len(gl):
+                continue
+            own = owner[gl]
+            for q in np.unique(own):
+                pair_gids[(int(q), p)] = np.sort(gl[own == q])
+        edges = sorted({tuple(sorted((q, p))) for (q, p) in pair_gids})
+        color_of = {}
+        used = [set() for _ in range(n_dev)]
+        for e in edges:
+            c = 0
+            while c in used[e[0]] or c in used[e[1]]:
+                c += 1
+            color_of[e] = c
+            used[e[0]].add(c)
+            used[e[1]].add(c)
+        n_rounds = 1 + max(color_of.values()) if color_of else 0
+
+        self._round_meta = []   # [(perm, W_r)] — static, closed over
+        si_rounds, rev_rounds = [], []
+        base = 0
+        ghost_pos = {}  # (p, gid) -> flat recv index
+        for r in range(n_rounds):
+            perm = []
+            W = 1
+            members = {}
+            for e, c in color_of.items():
+                if c != r:
+                    continue
+                a, b = e
+                perm += [(a, b), (b, a)]
+                members[a] = b
+                members[b] = a
+                W = max(W,
+                        len(pair_gids.get((a, b), ())),
+                        len(pair_gids.get((b, a), ())))
+            si = np.zeros((n_dev, W), np.int64)    # owned positions to send
+            rev = np.full((n_dev, W), self.G, np.int64)  # ghost-section pos
+            for q, p in list(members.items()):
+                g = pair_gids.get((q, p))
+                if g is None:
+                    continue
+                si[q, : len(g)] = pos_in_owner[g]
+                # receiver p: where these land in its ghost section, and
+                # their flat position in the concatenated recv stream
+                gpos = np.searchsorted(ghost_lists[p], g)
+                rev[p, : len(g)] = gpos
+                for j, gid in enumerate(g):
+                    ghost_pos[(p, int(gid))] = base + j
+            self._round_meta.append((perm, W))
+            si_rounds.append(jnp.asarray(si.astype(np.int32)))
+            rev_rounds.append(jnp.asarray(rev.astype(np.int32)))
+            base += W
+        self._recv_total = base
+        gidx = np.full((n_dev, self.G), base, np.int64)  # pad -> zero slot
+        for p in range(n_dev):
+            for i, gid in enumerate(ghost_lists[p]):
+                gidx[p, i] = ghost_pos[(p, int(gid))]
+        self.import_arrays = (tuple(si_rounds),
+                              jnp.asarray(gidx.astype(np.int32)))
+        self.export_arrays = (tuple(rev_rounds), tuple(si_rounds))
+
+    def importer(self):
+        """f(x_own [N_o], import_arrays-locals) → x_col [N_o + G], for use
+        INSIDE shard_map.  Round perms are static (closed over)."""
+        meta = self._round_meta
+
+        def imp(x_own, arrs):
+            si_rounds, gidx = arrs
+            bufs = [jnp.zeros(0, x_own.dtype)]
+            for (perm, _W), si in zip(meta, si_rounds):
+                bufs.append(lax.ppermute(x_own[si], AXIS, perm))
+            bufs.append(jnp.zeros(1, x_own.dtype))  # pad-ghost zero slot
+            stream = jnp.concatenate(bufs)
+            return jnp.concatenate([x_own, stream[gidx]])
+
+        return imp
+
+    def exporter(self):
+        """f(y_col [N_o + G], export_arrays-locals) → y_own [N_o] with
+        remote ghost contributions summed into owners (Export/Add).  Each
+        round sends ghost contributions BACK along the reversed pairs."""
+        meta = self._round_meta
+        N_o = self.N_o
+
+        def exp(y_col, arrs):
+            rev_rounds, si_rounds = arrs
+            yg = jnp.concatenate([y_col[N_o:], jnp.zeros(1, y_col.dtype)])
+            y = y_col[:N_o]
+            for (perm, _W), rv, si in zip(meta, rev_rounds, si_rounds):
+                recv = lax.ppermute(yg[rv], AXIS, perm)
+                y = y.at[si].add(recv)
+            return y
+
+        return exp
+
+    def comm_stats(self) -> dict:
+        """Per-apply exchange volume (elements per device, worst case)."""
+        pp = sum(w for _, w in self._round_meta)
+        return {"rounds": len(self._round_meta),
+                "ppermute_elems": pp,
+                "allgather_elems": self.n_dev * int(self.B)}
 
 def import_ghosts(x_own, send_idx, ghost_src):
     """Inside shard_map: x_own [N_o] (local), send_idx [B], ghost_src [G]

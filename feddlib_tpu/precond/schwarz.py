@@ -213,7 +213,7 @@ def distributed_schwarz(A: CsrMatrix, dmat, combine: str = "Restricted"):
     """
     import jax.numpy as jnp
 
-    from feddlib_tpu.parallel.spmd import DistributedCsr, import_ghosts, export_add
+    from feddlib_tpu.parallel.spmd import DistributedCsr
 
     if combine not in ("Restricted", "Full", "Averaging"):
         raise ValueError(f"unknown combine mode {combine!r}")
@@ -280,10 +280,8 @@ def distributed_schwarz(A: CsrMatrix, dmat, combine: str = "Restricted"):
             scale_l.append(sc)
         arrays.append(jnp.asarray(np.stack(scale_l)))
 
-    recv_src, recv_dst = plan.recv_src, plan.recv_dst
-
     def build(prec_arrays, ctx):
-        ed, ec, si, gs, mask, rs, rd = ctx
+        ed, ec, mask, imp, exp = ctx
         if combine == "Averaging":
             inv_p, ov_col, keep, own_pos, scale = prec_arrays
         else:
@@ -291,7 +289,7 @@ def distributed_schwarz(A: CsrMatrix, dmat, combine: str = "Restricted"):
             scale = None
 
         def M(r):
-            r_col = import_ghosts(r, si, gs)  # [N_o + G]
+            r_col = imp(r)  # [N_o + G]
             r_ov = r_col[ov_col]  # [S]
             z_ov = (inv_p @ r_ov) * keep
             if combine == "Restricted":
@@ -301,7 +299,7 @@ def distributed_schwarz(A: CsrMatrix, dmat, combine: str = "Restricted"):
 
                 z_col = jax.ops.segment_sum(z_ov, ov_col,
                                             num_segments=N_o + G)
-                z = export_add(z_col, N_o, rs, rd) * mask
+                z = exp(z_col) * mask
                 if scale is not None:
                     z = z * scale
             return z

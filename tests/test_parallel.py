@@ -55,16 +55,18 @@ def test_distributed_matvec(poisson, n_parts):
 
     from jax.sharding import PartitionSpec as P
 
-    from feddlib_tpu.parallel.spmd import AXIS, import_ghosts
+    from feddlib_tpu.parallel.spmd import AXIS
 
-    def prog(x_own, ed, ec, si, gs):
-        x_own, ed, ec, si, gs = x_own[0], ed[0], ec[0], si[0], gs[0]
-        x_col = import_ghosts(x_own, si, gs)
+    imp = dmat.plan.importer()
+
+    def prog(x_own, ed, ec, halo):
+        x_own, ed, ec = x_own[0], ed[0], ec[0]
+        hi = jax.tree.map(lambda a: a[0], halo)
+        x_col = imp(x_own, hi)
         return jnp.sum(ed * x_col[ec], axis=0)[None]
 
-    f = jax.jit(axis.shard_map(prog, (P(AXIS),) * 5, P(AXIS)))
-    y = f(x_dist, dmat.ell_data, dmat.ell_cols,
-          dmat.plan.send_idx, dmat.plan.ghost_src)
+    f = jax.jit(axis.shard_map(prog, (P(AXIS),) * 4, P(AXIS)))
+    y = f(x_dist, dmat.ell_data, dmat.ell_cols, dmat.plan.import_arrays)
     y_ref = np.asarray(Kb.matvec(jnp.asarray(xg)))
     np.testing.assert_allclose(collect_vector(y, part.unique_map), y_ref,
                                atol=1e-12)
@@ -137,3 +139,24 @@ def test_multihost_single_process_fallback():
     assert axis.n_dev == 4
     lo, hi = multihost.process_local_slice(axis)
     assert (lo, hi) == (0, 4)  # all partitions are process-local
+
+
+def test_halo_exchange_is_neighbor_wise(poisson):
+    """The ppermute schedule moves O(local cut) elements per device, not
+    O(n_dev * boundary) as the all_gather fallback would (SURVEY §2.9:
+    neighbor-wise exchange).  On a 2D strip partition the neighbor graph
+    has bounded degree, so volume must not scale with device count."""
+    dom, Kb, bb, ref = poisson
+    stats = {}
+    for n_parts in (2, 8):
+        part = MeshPartition(dom.mesh, n_parts)
+        dmat = DistributedCsr(Kb, part.unique_map)
+        stats[n_parts] = dmat.plan.comm_stats()
+    # all_gather volume grows ~linearly with device count...
+    assert stats[8]["allgather_elems"] > 2.5 * stats[2]["allgather_elems"]
+    # ...the ppermute schedule stays bounded by the local cut
+    assert stats[8]["ppermute_elems"] < 2.0 * stats[2]["ppermute_elems"]
+    assert (stats[8]["ppermute_elems"]
+            < 0.5 * stats[8]["allgather_elems"])
+    # rounds = neighbor-graph edge coloring, bounded by max degree + 1
+    assert stats[8]["rounds"] <= 8
