@@ -1,0 +1,596 @@
+"""Device-resident distributed assembly→solve pipeline — no global matrix.
+
+The scalable analog of the reference's end-to-end flow (SURVEY.md §3.1):
+each rank assembles ITS elements into globally-indexed rows and an Export
+reduces off-rank contributions to owners (FE_def.hpp:637-665 + Tpetra
+Export); the global matrix never exists anywhere.  Here:
+
+- the HOST builds integer-only symbolic plans once per (mesh partition,
+  block structure): per-device owned-row CSR patterns (the union of every
+  device's contributions into those rows), send/recv exchange plans for
+  off-device element contributions, the per-device ELL layout with
+  column-map-local columns, and the SpMV halo plan;
+- the DEVICE program (one `shard_map` jit, reused across reassemblies)
+  computes batched element kernels for every block of the system,
+  segment-sums them into (local slots ++ send buffer), exchanges the send
+  buffers over ICI, and emits each device's owned-row ELL values directly —
+  a `DistributedCsr` is created with `from_parts`, values device-resident
+  from birth.
+
+Solution-dependent blocks (N(u), W(u)) gather their field through a
+dedicated repeated-node halo plan, so Newton reassembly is a pure device
+re-run of the same compiled program with the new solution shards.
+
+Supports multi-variable block systems (Stokes/Navier-Stokes: the FROSch
+MONOLITHIC system layout) with all variables discretised on one partitioned
+mesh (P1 base or its P2 child — mixed P2/P1 allowed).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from feddlib_tpu.fe import assembly as asm
+from feddlib_tpu.fe import reference as ref
+from feddlib_tpu.la.map import IndexMap
+from feddlib_tpu.mesh.partition import MeshPartition
+from feddlib_tpu.parallel.spmd import (
+    AXIS, DeviceAxis, DistributedCsr, HaloPlan, _pad_stack)
+
+f64 = jnp.float64
+
+
+# ---------------------------------------------------------------------------
+# merged dof map over one mesh partition (multi-block)
+# ---------------------------------------------------------------------------
+
+
+def p2_unique_map(part: MeshPartition, p2_mesh) -> IndexMap:
+    """Unique node map of the P2 child mesh from the P1 partition: midpoint
+    nodes are owned by the owner of their lower-numbered edge endpoint
+    (deterministic arbitration, the buildUniqueMap analog for P2-of-P1,
+    MeshUnstructured_def.hpp:129)."""
+    n_p1 = part.mesh.n_points
+    owner_p1 = part.unique_map.owner_of()
+    mid_owner = owner_p1[p2_mesh.p2_edges.min(axis=1)]
+    parts = []
+    for p in range(part.n_parts):
+        own_p1 = part.unique_map.partition_indices[p]
+        own_mid = n_p1 + np.nonzero(mid_owner == p)[0]
+        parts.append(np.sort(np.concatenate([own_p1, own_mid])))
+    return IndexMap(p2_mesh.n_points, parts)
+
+
+def merged_dof_map(part: MeshPartition, variables) -> Tuple[IndexMap, np.ndarray]:
+    """Unique dof map of the merged block system: per block, the node map
+    (P1 partition or its P2 child) × dofs_per_node (NodeWise), shifted by
+    the block offset (the data FEDDLib feeds FROSch's monolithic path:
+    per-block repeated maps + DofsPerNode, Preconditioner_def.hpp:295-383).
+    Returns (map, offsets[n_blocks+1])."""
+    sizes = [dom.n_dofs(dofs) for dom, dofs in variables]
+    offsets = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
+    n_parts = part.n_parts
+    parts = [[] for _ in range(n_parts)]
+    for b, (dom, dofs) in enumerate(variables):
+        if dom.mesh is part.mesh:
+            node_map = part.unique_map
+        elif dom.parent_p1 is not None and dom.parent_p1.mesh is part.mesh:
+            node_map = p2_unique_map(part, dom.mesh)
+        else:
+            raise ValueError("all pipeline variables must live on the "
+                             "partitioned mesh or its P2 child")
+        dmap = node_map.build_vec_field_map(dofs)
+        for p in range(n_parts):
+            parts[p].append(dmap.partition_indices[p] + offsets[b])
+    merged = [np.sort(np.concatenate(lst)) for lst in parts]
+    return IndexMap(int(offsets[-1]), merged), offsets
+
+
+# ---------------------------------------------------------------------------
+# block kernel registry
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _BlockDef:
+    i: int
+    j: int
+    kind: str
+    params: dict
+    row_dofs: np.ndarray  # [E, nr] merged-global row dof ids
+    col_dofs: np.ndarray  # [E, nc] merged-global col dof ids
+    needs_field: Optional[int] = None  # variable index of the field (u)
+
+
+def _block_eval(kind: str, dim: int, fe_r: str, fe_c: str, params: dict):
+    """Returns fn(vc[, u_elem]) → [E, nr, nc] element matrices, flattened
+    COO order (element, test, trial) row-major — matching the serial
+    fe/ops.py constructions bit-for-bit in exact arithmetic."""
+    if kind == "laplace":
+        return lambda vc: asm.elem_laplace(vc, dim, fe_r)
+    if kind == "laplace_vec":
+        visc = float(params.get("viscosity", 1.0))
+        return lambda vc: asm.vectorize_elem_mat(
+            asm.elem_laplace_vec(vc, dim, fe_r, visc))
+    if kind == "stress":
+        visc = float(params.get("viscosity", 1.0))
+        return lambda vc: asm.vectorize_elem_mat(
+            asm.elem_stress_sym(vc, dim, fe_r, visc))
+    if kind == "lin_elasticity":
+        mu = float(params.get("mu", 1.0))
+        lam = float(params.get("lam", 1.0))
+        return lambda vc: asm.vectorize_elem_mat(
+            asm.elem_lin_elasticity(vc, dim, fe_r, mu, lam))
+    if kind == "mass":
+        rho = float(params.get("coeff", 1.0))
+        dpn = int(params.get("dofs_per_node", 1))
+        eye = jnp.eye(dpn, dtype=f64)
+
+        def f(vc):
+            M = asm.elem_mass(vc, dim, fe_r) * rho
+            if dpn > 1:
+                return asm.vectorize_elem_mat(
+                    jnp.einsum("eab,ij->eabij", M, eye))
+            return M
+
+        return f
+    if kind == "divergence":  # rows = pressure (fe_r), cols = velocity
+        def f(vc):
+            B = asm.elem_divergence(vc, dim, fe_c, fe_r)  # [E, nbp, nbu, d]
+            return B.reshape(B.shape[0], B.shape[1], -1)
+
+        return f
+    if kind == "divergence_T":  # rows = velocity, cols = pressure (fe_c)
+        def f(vc):
+            B = asm.elem_divergence(vc, dim, fe_r, fe_c)
+            return B.transpose(0, 2, 3, 1).reshape(
+                B.shape[0], B.shape[2] * B.shape[3], B.shape[1])
+
+        return f
+    if kind == "bd_stab":
+        return lambda vc: asm.elem_bd_stabilization(vc, dim, fe_r)
+    if kind == "advection":  # N(u) expanded to vector dofs
+        eye = jnp.eye(dim, dtype=f64)
+
+        def f(vc, ue):
+            N = asm.elem_advection(vc, ue, dim, fe_r)
+            return asm.vectorize_elem_mat(jnp.einsum("eab,ij->eabij", N, eye))
+
+        return f
+    if kind == "advection_in_u":  # W(u) Newton linearisation
+        def f(vc, ue):
+            return asm.vectorize_elem_mat(
+                asm.elem_advection_in_u(vc, ue, dim, fe_r))
+
+        return f
+    raise ValueError(f"unknown block kind {kind!r}")
+
+
+# ---------------------------------------------------------------------------
+# the pipeline
+# ---------------------------------------------------------------------------
+
+
+class DistributedPipeline:
+    """Distributed block-system assembly over a MeshPartition.
+
+    Usage:
+        pipe = DistributedPipeline(part, [(dom_u, dim), (dom_p, 1)])
+        pipe.add_block(0, 0, "stress", viscosity=1.0)
+        pipe.add_block(0, 1, "divergence_T")
+        pipe.add_block(1, 0, "divergence")
+        pipe.finalize(axis)
+        dmat = pipe.assemble()            # DistributedCsr, device-resident
+        b    = pipe.assemble_rhs({0: f})  # [n_dev, N_o]
+        dmat, b = pipe.apply_dirichlet(dmat, b, mask, g)
+    """
+
+    def __init__(self, part: MeshPartition, variables):
+        self.part = part
+        self.variables = list(variables)  # [(Domain, dofs_per_node)]
+        self.n_dev = part.n_parts
+        self.dof_map, self.offsets = merged_dof_map(part, self.variables)
+        self.blocks: List[_BlockDef] = []
+        self._final = False
+        self._asm_fn = None
+        self.dim = part.mesh.dim
+
+    # -- registration --------------------------------------------------------
+    def add_block(self, i: int, j: int, kind: str, **params) -> None:
+        if self._final:
+            raise RuntimeError("pipeline already finalized")
+        dom_i, dofs_i = self.variables[i]
+        dom_j, dofs_j = self.variables[j]
+        rows = dom_i.elem_dofs(dofs_i) + self.offsets[i]
+        cols = dom_j.elem_dofs(dofs_j) + self.offsets[j]
+        needs = None
+        if kind in ("advection", "advection_in_u"):
+            needs = j  # velocity field lives in block j's variable space
+        self.blocks.append(_BlockDef(i, j, kind, params, rows, cols, needs))
+
+    # -- symbolic phase --------------------------------------------------------
+    def finalize(self, axis: Optional[DeviceAxis] = None) -> None:
+        if self._final:
+            return
+        part, n_dev = self.part, self.n_dev
+        mesh = part.mesh
+        owner = self.dof_map.owner_of()
+        n_total = self.dof_map.n_global
+        elem_part = part.elem_part
+        self.axis = axis or DeviceAxis.make(n_dev)
+
+        # ------- global symbolic COO (integers only; the host-side analog
+        # of every rank reading the whole mesh, MeshPartitioner_decl.hpp) ----
+        keys_per_block = []
+        for blk in self.blocks:
+            E, nr = blk.row_dofs.shape
+            nc = blk.col_dofs.shape[1]
+            r = np.broadcast_to(blk.row_dofs[:, :, None], (E, nr, nc))
+            c = np.broadcast_to(blk.col_dofs[:, None, :], (E, nr, nc))
+            keys_per_block.append((r.reshape(E, -1).astype(np.int64) * n_total
+                                   + c.reshape(E, -1)))
+
+        # ------- per-device owned-row local CSR patterns --------------------
+        # pattern of device p = unique (row, col) over ALL devices'
+        # contributions whose row is owned by p
+        all_keys = np.concatenate([k.reshape(-1) for k in keys_per_block])
+        all_rows = all_keys // n_total
+        key_owner = owner[all_rows]
+        loc_patterns = []  # per device: sorted unique keys (row-major order)
+        for p in range(n_dev):
+            loc_patterns.append(np.unique(all_keys[key_owner == p]))
+        del all_keys, all_rows, key_owner
+        self.L = max(max((len(k) for k in loc_patterns), default=0), 1)
+
+        # ------- send plans: device q's contributions to remote rows --------
+        # send list of q = sorted unique keys of q's remote contributions
+        send_keys: List[np.ndarray] = []
+        seg_l: List[np.ndarray] = []
+        E_max = int(part.element_map.local_sizes.max())
+        self.E_max = E_max
+        n_contrib = sum(k.shape[1] for k in keys_per_block)
+        for q in range(n_dev):
+            eids = part.elem_ids[q]
+            mine = np.concatenate([k[eids].reshape(-1)
+                                   for k in keys_per_block]) \
+                if len(eids) else np.zeros(0, np.int64)
+            rows_q = mine // n_total
+            remote = owner[rows_q] != q
+            sk = np.unique(mine[remote])
+            send_keys.append(sk)
+            # segment target per raw contribution: local slot or L + send slot
+            loc_slot = np.searchsorted(loc_patterns[q], mine)
+            snd_slot = np.searchsorted(sk, mine)
+            seg = np.where(remote, self.L + snd_slot, loc_slot)
+            seg_l.append(seg)
+        self.S = max(max((len(s) for s in send_keys), default=0), 1)
+
+        # stack seg plans [n_dev, E_max * n_contrib] — blocks concatenated in
+        # ELEMENT-MAJOR order per block: [blk0(E*nr*nc), blk1(...), ...].
+        # Pad elements (beyond E_q) scatter into the dump slot L + S.
+        dump = self.L + self.S
+        seg_stacked = np.full((n_dev, E_max * n_contrib), dump, np.int64)
+        for q in range(n_dev):
+            eids = part.elem_ids[q]
+            Eq = len(eids)
+            pos = 0
+            spos = 0
+            for blk, keys in zip(self.blocks, keys_per_block):
+                w = keys.shape[1]
+                seg_stacked[q, pos: pos + Eq * w] = \
+                    seg_l[q][spos: spos + Eq * w]
+                pos += E_max * w
+                spos += Eq * w
+        self.seg_ids = jnp.asarray(seg_stacked.astype(np.int32))
+
+        # ------- recv plans: owner p gathers from q's send buffers ----------
+        recv_src, recv_dst = [], []
+        for p in range(n_dev):
+            src_l, dst_l = [], []
+            for q in range(n_dev):
+                if q == p:
+                    continue
+                sk = send_keys[q]
+                if not len(sk):
+                    continue
+                sel = np.nonzero(owner[sk // n_total] == p)[0]
+                src_l.append(q * self.S + sel)
+                dst_l.append(np.searchsorted(loc_patterns[p], sk[sel]))
+            recv_src.append(np.concatenate(src_l) if src_l
+                            else np.zeros(0, np.int64))
+            recv_dst.append(np.concatenate(dst_l) if dst_l
+                            else np.zeros(0, np.int64))
+        self.Rx = max(max((len(s) for s in recv_src), default=0), 1)
+        self.recv_src = jnp.asarray(_pad_stack(recv_src, 0, self.Rx, np.int64)
+                                    .astype(np.int32))
+        self.recv_dst = jnp.asarray(_pad_stack(recv_dst, self.L, self.Rx,
+                                               np.int64).astype(np.int32))
+
+        # ------- ELL layout + halo plan --------------------------------------
+        N_o = self.dof_map.max_local_size
+        self.N_o = N_o
+        col_gids: List[np.ndarray] = []
+        K = 1
+        ell_src_l, ell_cols_l = [], []
+        csr_meta = []
+        for p in range(n_dev):
+            owned = self.dof_map.partition_indices[p]
+            keys = loc_patterns[p]
+            rows = keys // n_total
+            cols = keys % n_total
+            ghosts = np.setdiff1d(np.unique(cols), owned)
+            col_gids.append(np.concatenate([owned, ghosts]))
+            lookup = np.zeros(n_total, dtype=np.int64)
+            lookup[owned] = np.arange(len(owned))
+            lookup[ghosts] = N_o + np.arange(len(ghosts))
+            # owned-local row index per slot (keys sorted ⇒ rows ascending,
+            # but owned rows may have NO slots — map via searchsorted)
+            r_loc = np.searchsorted(owned, rows)
+            lens = np.bincount(r_loc, minlength=len(owned))
+            K = max(K, int(lens.max()) if len(lens) else 1)
+            csr_meta.append((r_loc, lookup[cols], lens))
+        self.K = K
+        for p in range(n_dev):
+            r_loc, c_loc, lens = csr_meta[p]
+            ec = np.zeros((K, N_o), dtype=np.int32)
+            es = np.full((K, N_o), self.L, dtype=np.int64)  # → zero slot
+            starts = np.concatenate([[0], np.cumsum(lens)])
+            kk = np.arange(len(r_loc)) - starts[r_loc]
+            ec[kk, r_loc] = c_loc
+            es[kk, r_loc] = np.arange(len(r_loc))
+            ell_cols_l.append(ec)
+            ell_src_l.append(es)
+        self.ell_cols = jnp.asarray(np.stack(ell_cols_l))
+        self.ell_src = jnp.asarray(np.stack(ell_src_l).astype(np.int32))
+        self.col_gids = col_gids
+        self.plan = HaloPlan(self.dof_map, col_gids)
+
+        # ------- geometry + field plans --------------------------------------
+        nv = mesh.vertices_per_element
+        vc = np.zeros((n_dev, E_max, nv, mesh.dim))
+        valid = np.zeros((n_dev, E_max))
+        for q in range(n_dev):
+            eids = part.elem_ids[q]
+            Eq = len(eids)
+            vc[q, :Eq] = mesh.points[mesh.elements[eids][:, :nv]]
+            vc[q, Eq:] = mesh.points[mesh.elements[0][:nv]]
+            valid[q, :Eq] = 1.0
+        self.vert_coords = jnp.asarray(vc)
+        self.valid = jnp.asarray(valid)
+
+        # field plans (one per distinct field variable among blocks)
+        self.field_plans: Dict[int, dict] = {}
+        for blk in self.blocks:
+            if blk.needs_field is not None:
+                self._build_field_plan(blk.needs_field)
+
+        self._final = True
+
+    def _build_field_plan(self, b: int) -> None:
+        """Halo plan delivering variable b's repeated-node values to each
+        device (the reference's u_rep_, NavierStokes_decl.hpp:102)."""
+        if b in self.field_plans:
+            return
+        part, n_dev = self.part, self.n_dev
+        dom, dofs = self.variables[b]
+        off = int(self.offsets[b])
+        # variable-b unique dof map (0-based within the block)
+        if dom.mesh is part.mesh:
+            node_map = part.unique_map
+        else:
+            node_map = p2_unique_map(part, dom.mesh)
+        bmap = node_map.build_vec_field_map(dofs)
+        # repeated dofs per device = dofs of nodes of local elements
+        rep_dofs, elem_idx_l = [], []
+        E_max = self.E_max
+        nb = dom.n_basis()
+        for q in range(n_dev):
+            eids = part.elem_ids[q]
+            nodes = np.unique(dom.mesh.elements[eids]) if len(eids) \
+                else np.zeros(0, np.int64)
+            rd = (nodes[:, None] * dofs + np.arange(dofs)[None, :]).reshape(-1)
+            owned = bmap.partition_indices[q]
+            ghosts = np.setdiff1d(rd, owned)
+            rep_dofs.append(np.concatenate([owned, ghosts]))
+        fplan = HaloPlan(bmap, rep_dofs)
+        N_ob = fplan.N_o
+        # per-device: positions of owned block-b dofs inside the merged
+        # owned list, and element-node gather indices into the field column
+        # vector [N_ob + G_b]
+        pos_l, eidx_l = [], []
+        for q in range(n_dev):
+            owned_merged = self.dof_map.partition_indices[q]
+            owned_b = bmap.partition_indices[q]
+            pos = np.searchsorted(owned_merged, owned_b + off)
+            pos_pad = np.zeros(N_ob, dtype=np.int64)
+            pos_pad[: len(pos)] = pos
+            pos_l.append(pos_pad)
+            # lookup: block-b dof gid → field col-map local
+            cg = rep_dofs[q]
+            owned_set, ghost_set = cg[: len(owned_b)], cg[len(owned_b):]
+            lk = np.zeros(bmap.n_global, dtype=np.int64)
+            lk[owned_set] = np.arange(len(owned_set))
+            lk[ghost_set] = N_ob + np.arange(len(ghost_set))
+            eids = self.part.elem_ids[q]
+            en = dom.mesh.elements[eids]  # [Eq, nb]
+            ed = (en[:, :, None] * dofs
+                  + np.arange(dofs)[None, None, :])  # [Eq, nb, dofs]
+            full = np.zeros((E_max, nb, dofs), dtype=np.int64)
+            if len(eids):
+                full[: len(eids)] = lk[ed]
+            eidx_l.append(full)
+        mask = (np.arange(N_ob)[None, :]
+                < bmap.local_sizes[:, None]).astype(np.float64)
+        self.field_plans[b] = dict(
+            plan=fplan,
+            pos=jnp.asarray(np.stack(pos_l).astype(np.int32)),
+            mask=jnp.asarray(mask),
+            elem_idx=jnp.asarray(np.stack(eidx_l).astype(np.int32)),
+            dofs=self.variables[b][1])
+
+    # -- numeric phase ---------------------------------------------------------
+    def _program(self):
+        """Build (once) the jitted shard_map assembly program."""
+        if self._asm_fn is not None:
+            return self._asm_fn
+        L, S, Rx, K, N_o = self.L, self.S, self.Rx, self.K, self.N_o
+        dim = self.dim
+        evals = []
+        for blk in self.blocks:
+            dom_i, _ = self.variables[blk.i]
+            dom_j, _ = self.variables[blk.j]
+            evals.append(_block_eval(blk.kind, dim, dom_i.fe_type,
+                                     dom_j.fe_type, blk.params))
+        blocks = self.blocks
+        field_ids = sorted(self.field_plans.keys())
+        fplans = [self.field_plans[b] for b in field_ids]
+        importers = [fp["plan"].importer() for fp in fplans]
+
+        def prog(vc, valid, seg, rsrc, rdst, ell_src, x, *field_arrs):
+            vc, valid, seg = vc[0], valid[0], seg[0]
+            rsrc, rdst, ell_src = rsrc[0], rdst[0], ell_src[0]
+            x = x[0]
+            # gather fields (repeated element values) through their halos
+            u_elems = {}
+            pos = 0
+            for fi, b in enumerate(field_ids):
+                pos_b, mask_b, eidx, himp = field_arrs[pos: pos + 4]
+                pos += 4
+                pos_b, mask_b, eidx = pos_b[0], mask_b[0], eidx[0]
+                himp = jax.tree.map(lambda a: a[0], himp)
+                u_own = x[pos_b] * mask_b
+                u_col = importers[fi](u_own, himp)
+                u_elems[b] = u_col[eidx]  # [E_max, nb, dofs]
+
+            vals = []
+            for blk, ev in zip(blocks, evals):
+                if blk.needs_field is None:
+                    v = ev(vc)
+                else:
+                    v = ev(vc, u_elems[blk.needs_field])
+                vals.append((v * valid[:, None, None]).reshape(-1))
+            flat = jnp.concatenate(vals)
+            acc = jax.ops.segment_sum(flat, seg, num_segments=L + S + 1)
+            local, send = acc[:L], acc[L: L + S]
+            buf = lax.all_gather(send, AXIS)  # [n_dev, S] (one-shot, setup)
+            add = jax.ops.segment_sum(buf.reshape(-1)[rsrc], rdst,
+                                      num_segments=L + 1)[:L]
+            data = jnp.concatenate([local + add, jnp.zeros(1, local.dtype)])
+            return data[ell_src.reshape(-1)].reshape(K, N_o)[None]
+
+        n_field_arrs = 4 * len(field_ids)
+        in_specs = tuple([P(AXIS)] * (7 + n_field_arrs))
+        self._asm_fn = jax.jit(self.axis.shard_map(prog, in_specs, P(AXIS)))
+        self._field_ids = field_ids
+        return self._asm_fn
+
+    def assemble(self, x: Optional[jnp.ndarray] = None) -> DistributedCsr:
+        """Run the device assembly program → DistributedCsr.  `x` is the
+        merged distributed solution [n_dev, N_o] (for N(u)/W(u) blocks);
+        zeros if omitted."""
+        if not self._final:
+            self.finalize()
+        f = self._program()
+        if x is None:
+            x = jnp.zeros((self.n_dev, self.N_o), f64)
+        field_arrs = []
+        for b in self._field_ids:
+            fp = self.field_plans[b]
+            field_arrs += [fp["pos"], fp["mask"], fp["elem_idx"],
+                           fp["plan"].import_arrays]
+        ell_data = f(self.vert_coords, self.valid, self.seg_ids,
+                     self.recv_src, self.recv_dst, self.ell_src, x,
+                     *field_arrs)
+        return DistributedCsr.from_parts(self.dof_map, self.col_gids,
+                                         self.ell_cols, ell_data, self.K,
+                                         plan=self.plan)
+
+    # -- RHS -------------------------------------------------------------------
+    def assemble_rhs(self, sources: Dict[int, Callable]) -> jnp.ndarray:
+        """Volume sources per block → merged distributed RHS [n_dev, N_o].
+        f(x) → scalar (dofs=1) or [dofs].  One-shot (jit per call)."""
+        if not self._final:
+            self.finalize()
+        part, n_dev = self.part, self.n_dev
+        owner = self.dof_map.owner_of()
+        out = np.zeros((n_dev, self.N_o))
+        for b, fsrc in sources.items():
+            dom, dofs = self.variables[b]
+            off = int(self.offsets[b])
+            for q in range(n_dev):
+                eids = part.elem_ids[q]
+                if not len(eids):
+                    continue
+                nv = part.mesh.vertices_per_element
+                vcq = jnp.asarray(
+                    part.mesh.points[part.mesh.elements[eids][:, :nv]])
+                vec = asm.elem_rhs(vcq, self.dim, dom.fe_type, fsrc,
+                                   n_comp=dofs)
+                en = dom.mesh.elements[eids]
+                if dofs > 1:
+                    ids = (en[:, :, None] * dofs
+                           + np.arange(dofs)[None, None, :]).reshape(-1)
+                else:
+                    ids = en.reshape(-1)
+                contrib = np.zeros(self.dof_map.n_global)
+                np.add.at(contrib, ids + off, np.asarray(vec).reshape(-1))
+                nzg = np.nonzero(contrib)[0]
+                # add into owner shards (host-side one-shot; RHS assembly is
+                # setup, not the hot loop)
+                for g in np.unique(owner[nzg]):
+                    sel = nzg[owner[nzg] == g]
+                    loc = np.searchsorted(self.dof_map.partition_indices[g],
+                                          sel)
+                    out[g, loc] += contrib[sel]
+        return jnp.asarray(out)
+
+    # -- boundary conditions -----------------------------------------------------
+    def dirichlet_arrays(self, mask_global: np.ndarray,
+                         g_global: Optional[np.ndarray] = None):
+        """Distribute a merged Dirichlet mask (+ values) to owner shards:
+        (mask [n_dev, N_o] f64 0/1, g [n_dev, N_o])."""
+        m = np.zeros((self.n_dev, self.N_o))
+        g = np.zeros((self.n_dev, self.N_o))
+        for p, ix in enumerate(self.dof_map.partition_indices):
+            m[p, : len(ix)] = mask_global[ix]
+            if g_global is not None:
+                g[p, : len(ix)] = np.asarray(g_global)[ix]
+        return jnp.asarray(m), jnp.asarray(g)
+
+    def apply_dirichlet(self, dmat: DistributedCsr, rhs: jnp.ndarray,
+                        mask_global: np.ndarray,
+                        g_global: Optional[np.ndarray] = None):
+        """Row elimination on the distributed matrix: Dirichlet rows become
+        unit-diagonal, RHS entries become g (BCBuilder::setDirichletBC,
+        BCBuilder_def.hpp:620 — zero rows + unit diag).  Returns a NEW
+        DistributedCsr sharing plans, and the modified RHS."""
+        m, g = self.dirichlet_arrays(mask_global, g_global)
+        is_diag = (dmat.ell_cols
+                   == jnp.arange(self.N_o)[None, None, :])  # [ndev,K,N_o]
+        has_entry = self.ell_src != self.L
+        is_diag = is_diag & has_entry
+        dm = m[:, None, :] > 0
+        data = jnp.where(dm, jnp.where(is_diag, 1.0, 0.0), dmat.ell_data)
+        new = DistributedCsr.from_parts(self.dof_map, self.col_gids,
+                                        dmat.ell_cols, data, self.K,
+                                        plan=dmat.plan)
+        rhs = jnp.where(m > 0, g, rhs)
+        return new, rhs
+
+    # -- host vector helpers -------------------------------------------------
+    def distribute(self, x_global) -> jnp.ndarray:
+        from feddlib_tpu.parallel.spmd import distribute_vector
+
+        return distribute_vector(np.asarray(x_global), self.dof_map, self.N_o)
+
+    def collect(self, x_dist) -> np.ndarray:
+        from feddlib_tpu.parallel.spmd import collect_vector
+
+        return collect_vector(x_dist, self.dof_map)

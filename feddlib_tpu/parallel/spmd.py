@@ -297,6 +297,30 @@ class DistributedCsr:
     and the column support of owned rows (ghosts), which defines the halo
     plan for SpMV."""
 
+    @classmethod
+    def from_parts(cls, unique_map: IndexMap, col_gids: List[np.ndarray],
+                   ell_cols: np.ndarray, ell_data, K: int,
+                   plan: Optional["HaloPlan"] = None) -> "DistributedCsr":
+        """Construct directly from per-device data — used by the
+        device-resident distributed assembly pipeline (parallel/pipeline.py):
+        no global matrix is ever formed (the reference never forms one
+        either; rank-local assembly + Export, FE_def.hpp:637-665).
+
+        col_gids[p]: owned gids ++ ghost gids (local column map);
+        ell_cols [n_dev, K, N_o]: column-map-local ELL plan;
+        ell_data [n_dev, K, N_o]: device array of values (may be updated
+        in place across reassemblies)."""
+        obj = cls.__new__(cls)
+        obj.n_global = unique_map.n_global
+        obj.unique_map = unique_map
+        obj.n_dev = unique_map.n_parts
+        obj.K = K
+        obj.plan = plan if plan is not None else HaloPlan(unique_map, col_gids)
+        obj.ell_cols = (ell_cols if isinstance(ell_cols, jnp.ndarray)
+                        else jnp.asarray(ell_cols))
+        obj.ell_data = ell_data
+        return obj
+
     def __init__(self, global_csr: CsrMatrix, unique_map: IndexMap,
                  dtype=jnp.float64):
         self.n_global = global_csr.shape[0]
