@@ -192,15 +192,27 @@ class DistributedPipeline:
         dmat, b = pipe.apply_dirichlet(dmat, b, mask, g)
     """
 
-    def __init__(self, part: MeshPartition, variables):
+    def __init__(self, part: MeshPartition, variables, n_free: int = 0):
+        """n_free > 0 appends that many element-less devices — the
+        reference's dedicated coarse-solver ranks ('Mpi Ranks Coarse',
+        Preconditioner_def.hpp:384-423): they own no matrix rows and serve
+        the coarse level only."""
         self.part = part
         self.variables = list(variables)  # [(Domain, dofs_per_node)]
-        self.n_dev = part.n_parts
+        self.n_free = n_free
+        self.n_dev = part.n_parts + n_free
         self.dof_map, self.offsets = merged_dof_map(part, self.variables)
+        if n_free:
+            self.dof_map = self.dof_map.with_free_parts(n_free)
         self.blocks: List[_BlockDef] = []
         self._final = False
         self._asm_fn = None
         self.dim = part.mesh.dim
+
+    def _eids(self, q: int) -> np.ndarray:
+        if q >= self.part.n_parts:
+            return np.zeros(0, np.int64)
+        return self.part.elem_ids[q]
 
     # -- registration --------------------------------------------------------
     def add_block(self, i: int, j: int, kind: str, **params) -> None:
@@ -257,7 +269,7 @@ class DistributedPipeline:
         self.E_max = E_max
         n_contrib = sum(k.shape[1] for k in keys_per_block)
         for q in range(n_dev):
-            eids = part.elem_ids[q]
+            eids = self._eids(q)
             mine = np.concatenate([k[eids].reshape(-1)
                                    for k in keys_per_block]) \
                 if len(eids) else np.zeros(0, np.int64)
@@ -278,7 +290,7 @@ class DistributedPipeline:
         dump = self.L + self.S
         seg_stacked = np.full((n_dev, E_max * n_contrib), dump, np.int64)
         for q in range(n_dev):
-            eids = part.elem_ids[q]
+            eids = self._eids(q)
             Eq = len(eids)
             pos = 0
             spos = 0
@@ -337,8 +349,10 @@ class DistributedPipeline:
             K = max(K, int(lens.max()) if len(lens) else 1)
             csr_meta.append((r_loc, lookup[cols], lens))
         self.K = K
+        self.row_lens = np.zeros((n_dev, N_o), dtype=np.int64)
         for p in range(n_dev):
             r_loc, c_loc, lens = csr_meta[p]
+            self.row_lens[p, : len(lens)] = lens
             ec = np.zeros((K, N_o), dtype=np.int32)
             es = np.full((K, N_o), self.L, dtype=np.int64)  # → zero slot
             starts = np.concatenate([[0], np.cumsum(lens)])
@@ -357,7 +371,7 @@ class DistributedPipeline:
         vc = np.zeros((n_dev, E_max, nv, mesh.dim))
         valid = np.zeros((n_dev, E_max))
         for q in range(n_dev):
-            eids = part.elem_ids[q]
+            eids = self._eids(q)
             Eq = len(eids)
             vc[q, :Eq] = mesh.points[mesh.elements[eids][:, :nv]]
             vc[q, Eq:] = mesh.points[mesh.elements[0][:nv]]
@@ -392,7 +406,7 @@ class DistributedPipeline:
         E_max = self.E_max
         nb = dom.n_basis()
         for q in range(n_dev):
-            eids = part.elem_ids[q]
+            eids = self._eids(q)
             nodes = np.unique(dom.mesh.elements[eids]) if len(eids) \
                 else np.zeros(0, np.int64)
             rd = (nodes[:, None] * dofs + np.arange(dofs)[None, :]).reshape(-1)
@@ -418,7 +432,7 @@ class DistributedPipeline:
             lk = np.zeros(bmap.n_global, dtype=np.int64)
             lk[owned_set] = np.arange(len(owned_set))
             lk[ghost_set] = N_ob + np.arange(len(ghost_set))
-            eids = self.part.elem_ids[q]
+            eids = self._eids(q)
             en = dom.mesh.elements[eids]  # [Eq, nb]
             ed = (en[:, :, None] * dofs
                   + np.arange(dofs)[None, None, :])  # [Eq, nb, dofs]
@@ -510,7 +524,8 @@ class DistributedPipeline:
                      *field_arrs)
         return DistributedCsr.from_parts(self.dof_map, self.col_gids,
                                          self.ell_cols, ell_data, self.K,
-                                         plan=self.plan)
+                                         plan=self.plan,
+                                         row_lens=self.row_lens)
 
     # -- RHS -------------------------------------------------------------------
     def assemble_rhs(self, sources: Dict[int, Callable]) -> jnp.ndarray:
@@ -525,7 +540,7 @@ class DistributedPipeline:
             dom, dofs = self.variables[b]
             off = int(self.offsets[b])
             for q in range(n_dev):
-                eids = part.elem_ids[q]
+                eids = self._eids(q)
                 if not len(eids):
                     continue
                 nv = part.mesh.vertices_per_element
@@ -580,9 +595,31 @@ class DistributedPipeline:
         data = jnp.where(dm, jnp.where(is_diag, 1.0, 0.0), dmat.ell_data)
         new = DistributedCsr.from_parts(self.dof_map, self.col_gids,
                                         dmat.ell_cols, data, self.K,
-                                        plan=dmat.plan)
+                                        plan=dmat.plan,
+                                        row_lens=self.row_lens)
         rhs = jnp.where(m > 0, g, rhs)
         return new, rhs
+
+    # -- preconditioner feed ----------------------------------------------------
+    def block_specs(self, null_space: str = "laplace") -> List[dict]:
+        """Per-block GDSW coarse specs (offset, repeated node sets, points,
+        DofsPerNode, null space) — what the reference feeds FROSch's
+        monolithic path (Preconditioner_def.hpp:295-383)."""
+        part = self.part
+        specs = []
+        for b, (dom, dofs) in enumerate(self.variables):
+            if dom.mesh is part.mesh:
+                rep_sets = part.repeated_map.partition_indices
+            else:  # P2 child: repeated nodes = nodes touched by my elements
+                rep_sets = [np.unique(dom.mesh.elements[part.elem_ids[p]])
+                            for p in range(part.n_parts)]
+            nsp = null_space if (dofs > 1 and null_space == "elasticity") \
+                else "laplace"
+            specs.append(dict(offset=int(self.offsets[b]),
+                              node_part_sets=rep_sets,
+                              points=dom.mesh.points,
+                              dofs_per_node=dofs, null_space=nsp))
+        return specs
 
     # -- host vector helpers -------------------------------------------------
     def distribute(self, x_global) -> jnp.ndarray:

@@ -300,7 +300,8 @@ class DistributedCsr:
     @classmethod
     def from_parts(cls, unique_map: IndexMap, col_gids: List[np.ndarray],
                    ell_cols: np.ndarray, ell_data, K: int,
-                   plan: Optional["HaloPlan"] = None) -> "DistributedCsr":
+                   plan: Optional["HaloPlan"] = None,
+                   row_lens: Optional[np.ndarray] = None) -> "DistributedCsr":
         """Construct directly from per-device data — used by the
         device-resident distributed assembly pipeline (parallel/pipeline.py):
         no global matrix is ever formed (the reference never forms one
@@ -309,17 +310,89 @@ class DistributedCsr:
         col_gids[p]: owned gids ++ ghost gids (local column map);
         ell_cols [n_dev, K, N_o]: column-map-local ELL plan;
         ell_data [n_dev, K, N_o]: device array of values (may be updated
-        in place across reassemblies)."""
+        in place across reassemblies);
+        row_lens [n_dev, N_o]: per-row nnz (identifies padding slots —
+        needed by the symbolic locator used for preconditioner setup)."""
         obj = cls.__new__(cls)
         obj.n_global = unique_map.n_global
         obj.unique_map = unique_map
         obj.n_dev = unique_map.n_parts
         obj.K = K
         obj.plan = plan if plan is not None else HaloPlan(unique_map, col_gids)
+        obj.col_gids = col_gids
         obj.ell_cols = (ell_cols if isinstance(ell_cols, jnp.ndarray)
                         else jnp.asarray(ell_cols))
         obj.ell_data = ell_data
+        obj.row_lens = row_lens
+        obj._locator = None
         return obj
+
+    def locator(self):
+        """Symbolic global pattern locator (host, integers only): a scipy
+        CSR over the GLOBAL index space whose .data are 1 + flat positions
+        into the stacked [n_dev, K, N_o] ELL value tensor.  Lets
+        preconditioner setup (overlap growth, subdomain extraction, GDSW)
+        address any matrix entry WITHOUT a global numeric matrix — the
+        values stay device-resident (or are pulled per-device)."""
+        if self._locator is not None:
+            return self._locator
+        import scipy.sparse as sps
+
+        if self.row_lens is None:
+            raise ValueError("locator requires row_lens metadata")
+        n_dev, K = self.n_dev, self.K
+        N_o = self.plan.N_o
+        ec = np.asarray(self.ell_cols)
+        rows_l, cols_l, pos_l = [], [], []
+        for p in range(n_dev):
+            owned = self.unique_map.partition_indices[p]
+            n_own = len(owned)
+            lens = self.row_lens[p][:n_own]
+            # global col gid from col-map-local id (owned padded to N_o,
+            # ghosts from N_o)
+            cmap = np.zeros(N_o + max(len(self.col_gids[p]) - n_own, 0) + 1,
+                            dtype=np.int64)
+            cmap[:n_own] = owned
+            cmap[N_o: N_o + len(self.col_gids[p]) - n_own] = \
+                self.col_gids[p][n_own:]
+            kk, ii = np.nonzero(np.arange(K)[:, None] < lens[None, :])
+            rows_l.append(owned[ii])
+            cols_l.append(cmap[ec[p, kk, ii]])
+            pos_l.append(1 + p * K * N_o + kk * N_o + ii)
+        self._locator = sps.csr_matrix(
+            (np.concatenate(pos_l),
+             (np.concatenate(rows_l), np.concatenate(cols_l))),
+            shape=(self.n_global, self.n_global))
+        return self._locator
+
+    def values_host(self) -> np.ndarray:
+        """Flat host copy of the stacked ELL values (per-device pulls; used
+        only at preconditioner SETUP — the f64 subdomain factorizations the
+        reference does on host via KLU, parametersPrec.xml Solver→KLU)."""
+        return np.asarray(self.ell_data).reshape(-1)
+
+    def local_rows(self, p: int):
+        """(owned_gids, scipy CSR [n_own, n_global]) of device p's owned
+        rows — the per-device row view preconditioner setup works from
+        (GDSW harmonic extensions, RAP) without a global matrix."""
+        import scipy.sparse as sps
+
+        if self.row_lens is None:
+            raise ValueError("local_rows requires row_lens metadata")
+        owned = self.unique_map.partition_indices[p]
+        n_own = len(owned)
+        N_o = self.plan.N_o
+        lens = self.row_lens[p][:n_own]
+        ec = np.asarray(self.ell_cols[p])
+        ed = np.asarray(self.ell_data[p])
+        cmap = np.zeros(N_o + max(len(self.col_gids[p]) - n_own, 0) + 1,
+                        dtype=np.int64)
+        cmap[:n_own] = owned
+        cmap[N_o: N_o + len(self.col_gids[p]) - n_own] = self.col_gids[p][n_own:]
+        kk, ii = np.nonzero(np.arange(self.K)[:, None] < lens[None, :])
+        return owned, sps.csr_matrix(
+            (ed[kk, ii], (ii, cmap[ec[kk, ii]])),
+            shape=(n_own, self.n_global))
 
     def __init__(self, global_csr: CsrMatrix, unique_map: IndexMap,
                  dtype=jnp.float64):
@@ -360,6 +433,7 @@ class DistributedCsr:
         assert self.plan.N_o == N_o
         G = self.plan.G
 
+        row_lens = np.zeros((n_dev, N_o), dtype=np.int64)
         for p in range(n_dev):
             sub, lookup, n_col = rows_info[p]
             n_own = sub.shape[0]
@@ -372,10 +446,14 @@ class DistributedCsr:
             pos = np.arange(sub.nnz) - np.repeat(sub.indptr[:-1], lens)
             ec[pos, r] = lookup[sub.indices]
             ed[pos, r] = sub.data
+            row_lens[p, :n_own] = lens
             ell_cols_l.append(ec)
             ell_data_l.append(ed)
         self.ell_cols = jnp.asarray(np.stack(ell_cols_l))  # [ndev, K, N_o]
         self.ell_data = jnp.asarray(np.stack(ell_data_l), dtype=dtype)
+        self.col_gids = col_gids
+        self.row_lens = row_lens
+        self._locator = None
 
     # device-side local matvec (inside shard_map)
     @staticmethod

@@ -135,6 +135,22 @@ def build_null_space(kind: str, points: np.ndarray, dofs_per_node: int):
     raise ValueError(f"unknown null space {kind!r}")
 
 
+def _robust_splu(A_csc):
+    """splu with a diagonal-shift fallback for (near-)singular interior
+    blocks — the KLU pivot-perturbation role (parametersPrec.xml Solver)."""
+    try:
+        return spla.splu(A_csc)
+    except RuntimeError:
+        scale = max(np.abs(A_csc.data).max(), 1.0) if A_csc.nnz else 1.0
+        eye = sps.identity(A_csc.shape[0], format="csc")
+        for eps in (1e-12, 1e-10, 1e-8):
+            try:
+                return spla.splu(A_csc + eps * scale * eye)
+            except RuntimeError:
+                continue
+        raise
+
+
 def rap_device(A: CsrMatrix, phi: sps.csr_matrix,
                chunk: int = 128) -> np.ndarray:
     """Galerkin product A₀ = Φᵀ A Φ computed ON DEVICE (the RAP/SpGEMM of
@@ -177,18 +193,18 @@ class GDSWCoarseOperator:
     spaces) while the energy-minimal extension and A₀ use the MERGED
     matrix."""
 
-    def __init__(self, A: CsrMatrix, unique_map: IndexMap,
+    def __init__(self, A: Optional[CsrMatrix], unique_map: IndexMap,
                  node_part_sets: Optional[List[np.ndarray]] = None,
                  points: Optional[np.ndarray] = None,
                  dofs_per_node: int = 1, null_space: str = "laplace",
                  dirichlet_mask: Optional[np.ndarray] = None,
                  dtype=jnp.float64, rap: str = "host",
                  blocks: Optional[List[dict]] = None,
-                 variant: str = "GDSW"):
+                 variant: str = "GDSW", row_source=None):
         if variant not in ("GDSW", "RGDSW"):
             raise ValueError(f"unknown coarse variant {variant!r}")
         self.variant = variant
-        n = A.shape[0]
+        n = unique_map.n_global if A is None else A.shape[0]
         if blocks is None:
             if points is None or node_part_sets is None:
                 raise ValueError("need node_part_sets+points or blocks")
@@ -197,7 +213,18 @@ class GDSWCoarseOperator:
             blocks = [dict(offset=0, node_part_sets=node_part_sets,
                            points=points, dofs_per_node=dofs_per_node,
                            null_space=null_space)]
-        sp = A.to_scipy().tocsr()
+        # All matrix access below is ROW-decomposed: row_source(p) yields
+        # (owned_gids, csr [n_own, n]) for part p — serial: rows of the
+        # global CSR; distributed: DistributedCsr.local_rows (per-device
+        # values, no global matrix ever assembled).
+        if row_source is None:
+            if A is None:
+                raise ValueError("need A or row_source")
+            sp_all = A.to_scipy().tocsr()
+
+            def row_source(p):
+                owned = unique_map.partition_indices[p]
+                return owned, sp_all[owned]
 
         # per-block interface classification + null-space restrictions;
         # dof-level interface mask over the MERGED index space.  Dirichlet
@@ -271,30 +298,43 @@ class GDSWCoarseOperator:
 
         # harmonic extension per subdomain: interior = owned, non-interface,
         # non-Dirichlet dofs (energy-minimal extension, reuses the subdomain
-        # solves FROSch would — here sparse LU at setup)
-        owner_parts = unique_map.partition_indices
+        # solves FROSch would — here sparse LU at setup).  Multi-block
+        # systems extend BLOCK-DIAGONALLY (each field through its own
+        # diagonal block — the FROSch monolithic construction): the merged
+        # interior matrix of a saddle-point system is singular, the field
+        # diagonal blocks are not.  A structurally empty diagonal block
+        # (P2/P1 pressure) gets the zero extension.
         interior_all = ~iface_dof
         if dirichlet_mask is not None:
             interior_all = interior_all & ~dirichlet_mask
+        block_ranges = [(int(blk["offset"]),
+                         int(blk["offset"]) + blk["points"].shape[0]
+                         * int(blk["dofs_per_node"])) for blk in blocks]
+        local_rows = [row_source(p) for p in range(unique_map.n_parts)]
         for p in range(unique_map.n_parts):
-            owned = owner_parts[p]
-            I = owned[interior_all[owned]]
-            if len(I) == 0:
-                continue
-            subI = sp[I]
-            A_II = subI[:, I].tocsc()
-            # boundary of the extension = interface dofs adjacent to I
-            Gcols = np.unique(subI.indices)
-            G = Gcols[iface_dof[Gcols]]
-            if len(G) == 0:
-                continue
-            rhs = -(subI[:, G] @ phi_gamma[G]).toarray()
-            lu = spla.splu(A_II)
-            X = lu.solve(rhs)
-            rr, cc = np.nonzero(np.abs(X) > 1e-14)
-            rows_t.append(I[rr])
-            cols_t.append(cc.astype(np.int64))
-            vals_t.append(X[rr, cc])
+            owned, R = local_rows[p]
+            for lo, hi in block_ranges:
+                in_blk = (owned >= lo) & (owned < hi)
+                I = owned[in_blk & interior_all[owned]]
+                if len(I) == 0:
+                    continue
+                subI = R[np.searchsorted(owned, I)]
+                A_II = subI[:, I].tocsc()
+                if A_II.nnz == 0:
+                    continue  # structurally empty diagonal block
+                # boundary of the extension = same-block interface dofs
+                # adjacent to I
+                Gcols = np.unique(subI.indices)
+                Gcols = Gcols[(Gcols >= lo) & (Gcols < hi)]
+                G = Gcols[iface_dof[Gcols]]
+                if len(G) == 0:
+                    continue
+                rhs = -(subI[:, G] @ phi_gamma[G]).toarray()
+                X = _robust_splu(A_II).solve(rhs)
+                rr, cc = np.nonzero(np.abs(X) > 1e-14)
+                rows_t.append(I[rr])
+                cols_t.append(cc.astype(np.int64))
+                vals_t.append(X[rr, cc])
         phi = sps.csr_matrix(
             (np.concatenate(vals_t),
              (np.concatenate(rows_t), np.concatenate(cols_t))),
@@ -303,7 +343,13 @@ class GDSWCoarseOperator:
         if rap == "device":
             A0 = rap_device(A, phi)
         else:
-            A0 = (phi.T @ sp @ phi).toarray()
+            # row-decomposed Galerkin product: ΦᵀAΦ = Σ_p Φ[rows_p]ᵀ A_p Φ
+            phi_csc = phi.tocsc()
+            A0 = np.zeros((nc, nc))
+            for p in range(unique_map.n_parts):
+                owned, R = local_rows[p]
+                if len(owned):
+                    A0 += (phi_csc[owned].T @ (R @ phi_csc)).toarray()
         # regularize exact zero diagonal (fully-Dirichlet components)
         d0 = np.abs(np.diag(A0))
         bad = d0 < 1e-14 * max(d0.max(), 1.0)
@@ -426,20 +472,29 @@ class TwoLevelSchwarz:
         return _two_level_apply, (l1_ops, coarse_ops)
 
 
-def distributed_two_level(A: CsrMatrix, dmat, part, points: np.ndarray,
+def distributed_two_level(dmat, part=None, points: Optional[np.ndarray] = None,
                           dofs_per_node: int = 1,
                           combine: str = "Restricted",
                           null_space: str = "laplace",
                           dirichlet_mask: Optional[np.ndarray] = None,
-                          coarse_ranks: int = 0, variant: str = "GDSW"):
-    """Two-level GDSW for the shard_map solver (DistributedSolver).
+                          coarse_ranks: int = 0, variant: str = "GDSW",
+                          overlap: int = 1,
+                          blocks: Optional[List[dict]] = None):
+    """Two-level GDSW for the shard_map solver (DistributedSolver), built
+    from the DistributedCsr ALONE — setup reads only per-device row views
+    (DistributedCsr.local_rows); no global matrix is assembled anywhere.
 
-    Level 1 reuses `distributed_schwarz` (overlap-1, on-device subdomain
+    Level 1 reuses `distributed_schwarz` (overlap-k, on-device subdomain
     solves).  The coarse level is fully SPMD: each device holds the dense
     restriction of Φ to its owned rows [N_o, nc]; a coarse residual is the
     psum over devices of Φ_ownᵀ r (one ICI all-reduce of nc numbers — the
     two-level analog of the reference's gathered coarse solve,
     SURVEY.md §3.5 step 3), solved against A₀⁻¹ and prolonged locally.
+
+    Single-variable problems pass (part, points, dofs_per_node); block
+    systems (Stokes/NS — the FROSch MONOLITHIC path) pass `blocks`, the
+    per-block specs of GDSWCoarseOperator (offset, node_part_sets, points,
+    dofs_per_node, null_space).
 
     coarse_ranks = 0: A₀⁻¹ replicated on every device (default).
     coarse_ranks = k > 0: dedicated coarse devices — the reference's
@@ -457,7 +512,8 @@ def distributed_two_level(A: CsrMatrix, dmat, part, points: np.ndarray,
     from feddlib_tpu.parallel.spmd import AXIS
     from feddlib_tpu.precond.schwarz import distributed_schwarz
 
-    build1, arrays1 = distributed_schwarz(A, dmat, combine=combine)
+    build1, arrays1 = distributed_schwarz(dmat, overlap=overlap,
+                                          combine=combine)
     n1 = len(arrays1)
     umap = dmat.unique_map
     n_dev = dmat.n_dev
@@ -470,8 +526,10 @@ def distributed_two_level(A: CsrMatrix, dmat, part, points: np.ndarray,
                     "dedicated coarse devices must own no matrix rows "
                     "(build the unique map with with_free_parts)")
     coarse = GDSWCoarseOperator(
-        A, umap, part.repeated_map.partition_indices, points,
-        dofs_per_node, null_space, dirichlet_mask, variant=variant)
+        None, umap,
+        part.repeated_map.partition_indices if part is not None else None,
+        points, dofs_per_node, null_space, dirichlet_mask, variant=variant,
+        blocks=blocks, row_source=dmat.local_rows)
     phi = coarse.phi.to_scipy()
     nc = coarse.n_coarse
     N_o = dmat.plan.N_o

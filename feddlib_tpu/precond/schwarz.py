@@ -199,111 +199,158 @@ def schwarz_op_apply(ops, r):
     return z * scale
 
 
-def distributed_schwarz(A: CsrMatrix, dmat, combine: str = "Restricted"):
-    """One-level overlap-1 Schwarz for the shard_map solver.
+def distributed_schwarz(dmat, overlap: int = 1, combine: str = "Restricted",
+                        factor: str = "host"):
+    """One-level overlapping Schwarz for the shard_map solver, built from
+    the DistributedCsr ALONE — no global matrix (the FROSch
+    AlgebraicOverlappingOperator: overlap grown `Overlap` layers through
+    the matrix graph, parametersPrec.xml:20).
 
     Returns (build_fn, arrays) for DistributedSolver.solve(precond=...).
 
-    Overlap is fixed at 1 layer: the overlap dof set of device p then equals
-    its SpMV column map (owned ∪ ghosts), so the residual restriction reuses
-    the SpMV halo import — no extra communication plan.  Per-device data:
-    subdomain inverse [S, S] (identity-padded), overlap→column-map gather
-    indices, owned-position gather for the Restricted combine, and the
-    multiplicity scale for Averaging.
-    """
+    The overlap-k dof set of each device gets its OWN halo plan (ppermute
+    rounds) for the residual restriction and — for the Full/Averaging
+    combine — the reverse export of overlap corrections; overlap-1 then
+    coincides with the SpMV column map, larger overlaps reach further.
+    Subdomain matrices are addressed through the symbolic locator and
+    factorized from per-device value pulls (host f64 — the KLU role) or on
+    device (factor="device", batched f32 LU)."""
+    import jax
     import jax.numpy as jnp
 
-    from feddlib_tpu.parallel.spmd import DistributedCsr
+    from feddlib_tpu.parallel.spmd import HaloPlan
 
     if combine not in ("Restricted", "Full", "Averaging"):
         raise ValueError(f"unknown combine mode {combine!r}")
+    if overlap < 1:
+        raise ValueError("overlap must be >= 1")
     unique_map = dmat.unique_map
-    plan = dmat.plan
-    n_dev, N_o, G = dmat.n_dev, plan.N_o, plan.G
-    sp = A.to_scipy()
+    n_dev, N_o = dmat.n_dev, dmat.plan.N_o
+    loc = dmat.locator()
     owner = unique_map.owner_of()
 
-    inv = np.zeros((n_dev, 0, 0))
-    ov_col_l, keep_l, own_pos_l, inv_l = [], [], [], []
-    mult = np.zeros(A.shape[0])
-    ov_sets = []
+    ov_sets, mult = [], np.zeros(dmat.n_global)
     for p in range(n_dev):
         owned = unique_map.partition_indices[p]
-        ov = grow_overlap(sp, owned, 1)
+        ov = grow_overlap(loc, owned, overlap) if len(owned) else owned
         ov_sets.append(ov)
         mult[ov] += 1.0
-    S = max(len(o) for o in ov_sets)
+    S = max(max(len(o) for o in ov_sets), 1)
+
+    # dedicated overlap halo plan: col map = owned ++ (ov \ owned)
+    ov_col_gids = []
     for p in range(n_dev):
         owned = unique_map.partition_indices[p]
+        extra = np.setdiff1d(ov_sets[p], owned)
+        ov_col_gids.append(np.concatenate([owned, extra]))
+    ovplan = HaloPlan(unique_map, ov_col_gids)
+    G_ov = ovplan.G
+
+    # subdomain blocks through the locator (+ identity padding)
+    vals_flat = None if factor == "device" else dmat.values_host()
+    inv_l, ov_col_l, keep_l, own_pos_l = [], [], [], []
+    gat_src, gat_dst = [], []  # device-factor gather plans
+    for p in range(n_dev):
+        owned = unique_map.partition_indices[p]
+        n_own = len(owned)
         ov = ov_sets[p]
         k = len(ov)
-        block = np.eye(S)
-        block[:k, :k] = sp[ov][:, ov].toarray()
-        inv_l.append(_robust_inverse(block))
-        # overlap gids → column-map local ids of device p
-        n_own = len(owned)
-        lookup = np.full(A.shape[0], 0, dtype=np.int64)
+        sub = loc[ov][:, ov].tocoo()
+        if factor == "device":
+            gat_src.append(sub.data.astype(np.int64) - 1)
+            gat_dst.append(p * S * S + sub.row.astype(np.int64) * S + sub.col)
+        else:
+            block = np.zeros((S, S))
+            block[np.arange(k, S), np.arange(k, S)] = 1.0  # identity padding
+            block[sub.row, sub.col] = vals_flat[sub.data.astype(np.int64) - 1]
+            inv_l.append(_robust_inverse(block))
+        # overlap gids → overlap-plan column-local ids
+        lookup = np.zeros(dmat.n_global, dtype=np.int64)
         lookup[owned] = np.arange(n_own)
-        ghosts = None
-        # reconstruct ghost list from the halo plan ordering: ghosts are the
-        # column support minus owned, sorted — same construction as
-        # DistributedCsr
-        cols_support = np.unique(sp[owned].indices)
-        ghosts = np.setdiff1d(cols_support, owned)
-        lookup[ghosts] = N_o + np.arange(len(ghosts))
-        if not np.all(np.isin(ov, np.concatenate([owned, ghosts]))):
-            raise ValueError("overlap exceeds the SpMV column map")
+        extra = ov_col_gids[p][n_own:]
+        lookup[extra] = N_o + np.arange(len(extra))
         oc = np.zeros(S, dtype=np.int32)
         oc[:k] = lookup[ov]
         ov_col_l.append(oc)
         keep = np.zeros(S)
         keep[:k] = (owner[ov] == p) if combine == "Restricted" else 1.0
         keep_l.append(keep)
-        # owned position within ov (owned ⊆ ov always)
         pos = np.searchsorted(ov, owned)
         op_ = np.zeros(N_o, dtype=np.int32)
         op_[:n_own] = pos
         own_pos_l.append(op_)
 
-    arrays = [
-        jnp.asarray(np.stack(inv_l)),              # [ndev, S, S]
-        jnp.asarray(np.stack(ov_col_l)),           # [ndev, S]
-        jnp.asarray(np.stack(keep_l)),             # [ndev, S]
-        jnp.asarray(np.stack(own_pos_l)),          # [ndev, N_o]
-    ]
-    if combine == "Averaging":
-        scale_l = []
-        for p in range(n_dev):
-            owned = unique_map.partition_indices[p]
-            sc = np.zeros(N_o)
-            sc[: len(owned)] = 1.0 / np.maximum(mult[owned], 1.0)
-            scale_l.append(sc)
-        arrays.append(jnp.asarray(np.stack(scale_l)))
+    if factor == "device":
+        src = _pad_like(gat_src, 0)
+        dst = _pad_like(gat_dst, n_dev * S * S)  # pad → extra dump slot
+        flat = dmat.ell_data.reshape(-1)
+        blocks = (jnp.zeros(n_dev * S * S + 1, flat.dtype)
+                  .at[jnp.asarray(dst)].set(flat[jnp.asarray(src)])
+                  [:-1].reshape(n_dev, S, S))
+        eye = jnp.eye(S, dtype=flat.dtype)
+        fill = jnp.asarray(
+            np.stack([(np.arange(S) >= len(o)).astype(np.float64)
+                      for o in ov_sets]))
+        blocks = blocks + eye[None] * fill[:, :, None]
+        # tiny diagonal shift guards exactly-singular saddle blocks (the
+        # KLU pivot-perturbation role; cf. SchwarzPreconditioner)
+        shift = 1e-6 if blocks.dtype == jnp.float32 else 1e-12
+        diag = jnp.arange(S)
+        blocks = blocks.at[:, diag, diag].add(shift * jnp.abs(blocks).max())
+        inv = jnp.linalg.inv(blocks)
+    else:
+        inv = jnp.asarray(np.stack(inv_l))
+
+    scale_l = []
+    for p in range(n_dev):
+        owned = unique_map.partition_indices[p]
+        sc = np.zeros(N_o)
+        sc[: len(owned)] = 1.0 / np.maximum(mult[owned], 1.0)
+        scale_l.append(sc)
+
+    imp_tree = ovplan.import_arrays
+    exp_tree = ovplan.export_arrays
+    imp_leaves, imp_def = jax.tree.flatten(imp_tree)
+    exp_leaves, exp_def = jax.tree.flatten(exp_tree)
+    n_imp, n_exp = len(imp_leaves), len(exp_leaves)
+    ov_imp = ovplan.importer()
+    ov_exp = ovplan.exporter()
+
+    arrays = [inv,
+              jnp.asarray(np.stack(ov_col_l)),
+              jnp.asarray(np.stack(keep_l)),
+              jnp.asarray(np.stack(own_pos_l)),
+              jnp.asarray(np.stack(scale_l))] + imp_leaves + exp_leaves
 
     def build(prec_arrays, ctx):
-        ed, ec, mask, imp, exp = ctx
-        if combine == "Averaging":
-            inv_p, ov_col, keep, own_pos, scale = prec_arrays
-        else:
-            inv_p, ov_col, keep, own_pos = prec_arrays
-            scale = None
+        _, _, mask, _, _ = ctx
+        inv_p, ov_col, keep, own_pos, scale = prec_arrays[:5]
+        ia = jax.tree.unflatten(imp_def, prec_arrays[5: 5 + n_imp])
+        ea = jax.tree.unflatten(exp_def,
+                                prec_arrays[5 + n_imp: 5 + n_imp + n_exp])
 
         def M(r):
-            r_col = imp(r)  # [N_o + G]
+            r_col = ov_imp(r, ia)  # [N_o + G_ov]
             r_ov = r_col[ov_col]  # [S]
             z_ov = (inv_p @ r_ov) * keep
             if combine == "Restricted":
                 z = z_ov[own_pos] * mask
             else:
-                import jax
-
                 z_col = jax.ops.segment_sum(z_ov, ov_col,
-                                            num_segments=N_o + G)
-                z = exp(z_col) * mask
-                if scale is not None:
+                                            num_segments=N_o + G_ov)
+                z = ov_exp(z_col, ea) * mask
+                if combine == "Averaging":
                     z = z * scale
             return z
 
         return M
 
     return build, arrays
+
+
+def _pad_like(arrs, pad):
+    w = max(max((len(a) for a in arrs), default=0), 1)
+    out = np.full((len(arrs), w), pad, dtype=np.int64)
+    for i, a in enumerate(arrs):
+        out[i, : len(a)] = a
+    return out

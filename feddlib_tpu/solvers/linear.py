@@ -377,25 +377,36 @@ class LinearSolver:
             dmat = DistributedCsr(A, dof_map)
             solver = DistributedSolver(dmat, DeviceAxis.make(n_dev))
             prec_type = params.get("Preconditioner Type", "SchwarzOneLevel")
+            overlap = int(params.get("Overlap", 1))
+            combine = params.get("Combine Values in Overlap", "Restricted")
             if prec_type in ("SchwarzTwoLevel", "GDSW", "TwoLevel"):
                 from feddlib_tpu.precond.gdsw import distributed_two_level
 
-                # node-level partition info comes from the base mesh; the
-                # GDSW build needs node sets and coordinates of the leading
-                # domain (single-variable scalar/vector problems)
-                build, arrs = distributed_two_level(
-                    A, dmat, part, dom0.mesh.points,
-                    problem.total_dofs_per_node(),
-                    dirichlet_mask=problem.merged_dirichlet_mask(),
-                    variant=params.get("Coarse Space Variant", "GDSW"))
+                nsp = params.get("Null Space Type", "laplace").lower()
+                nsp = "elasticity" if "elas" in nsp else "laplace"
+                if len(problem.variables) == 1:
+                    build, arrs = distributed_two_level(
+                        dmat, part, dom0.mesh.points,
+                        problem.total_dofs_per_node(),
+                        combine=combine, overlap=overlap, null_space=nsp,
+                        dirichlet_mask=problem.merged_dirichlet_mask(),
+                        variant=params.get("Coarse Space Variant", "GDSW"))
+                else:
+                    # monolithic block GDSW (the FROSch MONOLITHIC feed,
+                    # Preconditioner_def.hpp:295-383) — now available on
+                    # the distributed path too
+                    build, arrs = distributed_two_level(
+                        dmat, combine=combine, overlap=overlap,
+                        dirichlet_mask=problem.merged_dirichlet_mask(),
+                        variant=params.get("Coarse Space Variant", "GDSW"),
+                        blocks=problem.preconditioner._block_specs(part, nsp))
             elif prec_type == "Jacobi":
                 build, arrs = "jacobi", None
             else:
                 from feddlib_tpu.precond.schwarz import distributed_schwarz
 
                 build, arrs = distributed_schwarz(
-                    A, dmat, combine=params.get(
-                        "Combine Values in Overlap", "Restricted"))
+                    dmat, overlap=overlap, combine=combine)
             cache = {"pattern": A.pattern, "part": part, "dmat": dmat,
                      "solver": solver, "prec": (build, arrs),
                      "dof_map": dof_map}

@@ -140,7 +140,7 @@ def test_distributed_schwarz_matches_serial(combine):
     sp = SchwarzPreconditioner(Kb, part.unique_map, overlap=1,
                                combine=combine)
     ref = gmres(Kb.matvec, bb, M=sp.apply, tol=1e-8, maxiter=500)
-    build, arrs = distributed_schwarz(Kb, dmat, combine=combine)
+    build, arrs = distributed_schwarz(dmat, combine=combine)
     x, it, rel = solver.solve(b_dist, method="gmres", tol=1e-8, maxiter=500,
                               precond=(build, arrs))
     assert it == ref.iters  # distributed must reproduce serial exactly
@@ -206,7 +206,7 @@ def test_distributed_two_level_matches_serial():
     solver = DistributedSolver(dmat, DeviceAxis.make(8))
     b_dist = distribute_vector(np.asarray(bb), part.unique_map,
                                dmat.plan.N_o)
-    build, arrs = distributed_two_level(Kb, dmat, part, dom.mesh.points, 1,
+    build, arrs = distributed_two_level(dmat, part, dom.mesh.points, 1,
                                         dirichlet_mask=dmask)
     x, it, rel = solver.solve(b_dist, method="gmres", tol=1e-8, maxiter=500,
                               precond=(build, arrs))
@@ -313,7 +313,7 @@ def test_dedicated_coarse_ranks():
     dmat = DistributedCsr(Kb, umap8)
     solver = DistributedSolver(dmat, DeviceAxis.make(8))
     b_dist = distribute_vector(np.asarray(bb), umap8, dmat.plan.N_o)
-    build, arrs = distributed_two_level(Kb, dmat, part, dom.mesh.points, 1,
+    build, arrs = distributed_two_level(dmat, part, dom.mesh.points, 1,
                                         dirichlet_mask=dmask, coarse_ranks=2)
     x, it, rel = solver.solve(b_dist, method="gmres", tol=1e-8, maxiter=500,
                               precond=(build, arrs))
