@@ -1,0 +1,221 @@
+"""Batched sparse LU subdomain solves — the Amesos2/KLU role on TPU.
+
+Replaces the [P, S, S] dense explicit inverses of the Schwarz subdomain
+solves (reference: KLU factorization per subdomain,
+problems/tests/laplace/parametersPrec.xml Solver→KLU; SURVEY.md §2.8
+Amesos2 row).  Dense inverses cost O(S³) setup and O(P·S²) memory — fine at
+S≈500, catastrophic at reference-scale subdomains (10⁴–10⁵ dofs).  Here:
+
+- HOST setup: scipy `splu` per subdomain (COLAMD ordering, O(nnz·fill));
+  the sparse triangular factors L (unit lower) and U are LEVEL-SCHEDULED:
+  row i's level is 1 + max level of its in-factor dependencies, so all rows
+  of one level solve simultaneously.
+- DEVICE apply: a `lax.fori_loop` over levels; each step gathers one
+  level's dependency values (ELL-padded [R_max, K]), fused
+  multiply-accumulate, and scatters the solved rows — a data-parallel
+  wavefront triangular solve.  Rows are stored in level order so each step
+  is a `dynamic_slice`, not a gather of plans.
+- Batched over subdomains with `vmap` (levels/widths padded to the max).
+
+The solve is EXACT (same as the dense inverse up to roundoff), so Krylov
+iteration counts are unchanged — verified in tests/test_sparse_lu.py.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sps
+import scipy.sparse.linalg as spla
+
+from jax import lax
+
+
+def _tri_plan(F: sps.csr_matrix, lower: bool, S: int):
+    """Level-schedule one sparse triangular factor (size n ≤ S, padded).
+
+    Returns dict of numpy arrays in LEVEL-SEQUENTIAL row order:
+      seq [S+1]       row ids, level-major (pad → S = dump slot)
+      dep_cols [S, K] in-factor dependency columns (pad → S)
+      dep_vals [S, K]
+      diag_inv [S]    1/diag in seq order (1 for unit-diagonal L)
+      offs/lens [T]   per-level start/width in seq
+    """
+    n = F.shape[0]
+    F = F.tocsr()
+    F.sort_indices()
+    indptr, indices, data = F.indptr, F.indices, F.data
+    level = np.zeros(n, dtype=np.int64)
+    order = range(n) if lower else range(n - 1, -1, -1)
+    dep_sel = (lambda cols, i: cols < i) if lower else (lambda cols, i: cols > i)
+    K = 1
+    deps_of = []
+    diag = np.ones(n)
+    for i in order:
+        cols = indices[indptr[i]: indptr[i + 1]]
+        vals = data[indptr[i]: indptr[i + 1]]
+        sel = dep_sel(cols, i)
+        d = cols[sel]
+        deps_of.append((i, d, vals[sel]))
+        on_diag = cols == i
+        if on_diag.any():
+            diag[i] = vals[on_diag][0]
+        level[i] = 1 + (level[d].max() if len(d) else -1)
+        K = max(K, len(d))
+    T = int(level.max()) + 1 if n else 1
+    # level-major row sequence
+    seq_order = np.lexsort((np.arange(n), level))
+    seq = np.full(S + 1, S, dtype=np.int64)
+    seq[:n] = seq_order
+    lens = np.bincount(level, minlength=T)
+    offs = np.concatenate([[0], np.cumsum(lens)])[:-1]
+    dep_cols = np.full((S, K), S, dtype=np.int64)
+    dep_vals = np.zeros((S, K))
+    diag_inv = np.ones(S)
+    deps_map = {i: (d, v) for i, d, v in deps_of}
+    for k, i in enumerate(seq_order):
+        d, v = deps_map[i]
+        dep_cols[k, : len(d)] = d
+        dep_vals[k, : len(d)] = v
+        diag_inv[k] = 1.0 / diag[i]
+    return dict(seq=seq, dep_cols=dep_cols, dep_vals=dep_vals,
+                diag_inv=diag_inv, offs=offs.astype(np.int64),
+                lens=lens.astype(np.int64), T=T, K=K,
+                R=int(lens.max()) if len(lens) else 1)
+
+
+def _pad_plans(plans: List[dict], S: int):
+    """Stack per-subdomain factor plans to common (T, R, K)."""
+    P = len(plans)
+    T = max(p["T"] for p in plans)
+    R = max(p["R"] for p in plans)
+    K = max(p["K"] for p in plans)
+    seq = np.stack([p["seq"] for p in plans])
+    dep_cols = np.full((P, S, K), S, dtype=np.int64)
+    dep_vals = np.zeros((P, S, K))
+    diag_inv = np.ones((P, S))
+    offs = np.zeros((P, T), dtype=np.int64)
+    lens = np.zeros((P, T), dtype=np.int64)
+    for b, p in enumerate(plans):
+        dep_cols[b, :, : p["K"]] = p["dep_cols"]
+        dep_vals[b, :, : p["K"]] = p["dep_vals"]
+        diag_inv[b] = p["diag_inv"]
+        offs[b, : len(p["offs"])] = p["offs"]
+        lens[b, : len(p["lens"])] = p["lens"]
+    return dict(seq=jnp.asarray(seq.astype(np.int32)),
+                dep_cols=jnp.asarray(dep_cols.astype(np.int32)),
+                dep_vals=jnp.asarray(dep_vals),
+                diag_inv=jnp.asarray(diag_inv),
+                offs=jnp.asarray(offs.astype(np.int32)),
+                lens=jnp.asarray(lens.astype(np.int32))), T, R, K
+
+
+def tri_solve_seq(b_pad, seq, dep_cols, dep_vals, diag_inv, offs, lens,
+                  T: int, R: int):
+    """Wavefront solve of ONE factor for one subdomain (jittable).
+
+    b_pad [S+1] (last = dump slot), arrays in level-sequential order.
+    Returns x [S+1] with the dump slot zero."""
+    S = seq.shape[0] - 1
+    x = jnp.zeros(S + 1, b_pad.dtype)
+
+    def body(t, x):
+        off = offs[t]
+        idx = off + jnp.arange(R)
+        valid = jnp.arange(R) < lens[t]
+        idx = jnp.where(valid, idx, S)  # pad → dump positions
+        rows = seq[idx]                 # [R] row ids (pad → S)
+        dc = dep_cols[idx]              # [R, K]
+        dv = dep_vals[idx]
+        rhs = (b_pad[rows] - jnp.sum(dv * x[dc], axis=-1)) * diag_inv[idx]
+        return x.at[rows].set(jnp.where(valid, rhs, 0.0))
+
+    return lax.fori_loop(0, T, body, x)
+
+
+class BatchedSparseLU:
+    """Batched exact sparse subdomain solves: setup O(Σ nnz·fill) on host,
+    apply = two wavefront triangular sweeps per subdomain on device."""
+
+    def __init__(self, blocks: List[sps.spmatrix], S: Optional[int] = None,
+                 dtype=jnp.float64):
+        P = len(blocks)
+        sizes = [b.shape[0] for b in blocks]
+        S = S if S is not None else max(sizes)
+        self.P, self.S = P, S
+        perm_r = np.full((P, S), S, dtype=np.int64)
+        perm_c_inv = np.full((P, S), S, dtype=np.int64)
+        plans_L, plans_U = [], []
+        fill = 0
+        for b, A in enumerate(blocks):
+            n = A.shape[0]
+            lu = _robust_splu_local(A.tocsc())
+            fill += lu.L.nnz + lu.U.nnz
+            plans_L.append(_tri_plan(lu.L.tocsr(), True, S))
+            plans_U.append(_tri_plan(lu.U.tocsr(), False, S))
+            # scipy convention: A[argsort(perm_r)][:, argsort(perm_c)] = LU
+            # ⇒ w = U⁻¹ L⁻¹ b[argsort(perm_r)], x[argsort(perm_c)[j]] = w[j]
+            perm_r[b, :n] = np.argsort(lu.perm_r)
+            perm_c_inv[b, :n] = np.argsort(lu.perm_c)
+        self.nnz_factors = fill
+        L, self.T_L, self.R_L, _ = _pad_plans(plans_L, S)
+        U, self.T_U, self.R_U, _ = _pad_plans(plans_U, S)
+        self.L, self.U = L, U
+        # b_perm[i] = b[perm_r[i]]; out[perm_c[j]] = z[j]  (scatter form)
+        self.perm_r = jnp.asarray(perm_r.astype(np.int32))
+        self.perm_c = jnp.asarray(perm_c_inv.astype(np.int32))
+
+    def arrays(self):
+        """Flat operand tuple for jit-argument operator composition."""
+        L, U = self.L, self.U
+        return (self.perm_r, self.perm_c,
+                L["seq"], L["dep_cols"], L["dep_vals"], L["diag_inv"],
+                L["offs"], L["lens"],
+                U["seq"], U["dep_cols"], U["dep_vals"], U["diag_inv"],
+                U["offs"], U["lens"])
+
+    @property
+    def dims(self):
+        """Static wavefront dimensions (T_L, R_L, T_U, R_U)."""
+        return (self.T_L, self.R_L, self.T_U, self.R_U)
+
+    @staticmethod
+    def apply_ops(ops, r_pad, dims):
+        """Pure batched solve from the flat operand tuple:
+        r_pad [P, S] → x [P, S]."""
+        return jax.vmap(lambda *a: solve_one(a, dims))(r_pad, *ops)
+
+    def solve(self, r_pad: jnp.ndarray) -> jnp.ndarray:
+        """r_pad [P, S] stacked (padded) residuals → solutions [P, S]."""
+        return self.apply_ops(self.arrays(), r_pad, self.dims)
+
+
+def solve_one(args, dims):
+    """One subdomain's exact solve: (r [S], *flat-ops-without-batch-axis),
+    dims = (T_L, R_L, T_U, R_U) static."""
+    (r, pr1, pc1, ls, lc, lv, li, lo, ll,
+     us, uc, uv, ui, uo, ul) = args
+    T_L, R_L, T_U, R_U = dims
+    S = r.shape[0]
+    r_pad1 = jnp.concatenate([r, jnp.zeros(1, r.dtype)])
+    b = jnp.concatenate([r_pad1[pr1], jnp.zeros(1, r.dtype)])[: S + 1]
+    y = tri_solve_seq(b, ls, lc, lv, li, lo, ll, T_L, R_L)
+    z = tri_solve_seq(y, us, uc, uv, ui, uo, ul, T_U, R_U)
+    return jnp.zeros(S + 1, r.dtype).at[pc1].set(z[:S])[:S]
+
+
+def _robust_splu_local(A_csc):
+    try:
+        return spla.splu(A_csc)
+    except RuntimeError:
+        scale = max(np.abs(A_csc.data).max(), 1.0) if A_csc.nnz else 1.0
+        eye = sps.identity(A_csc.shape[0], format="csc")
+        for eps in (1e-12, 1e-10, 1e-8):
+            try:
+                return spla.splu(A_csc + eps * scale * eye)
+            except RuntimeError:
+                continue
+        raise

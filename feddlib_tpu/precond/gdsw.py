@@ -102,6 +102,62 @@ def rgdsw_vertex_weights(comps: List[np.ndarray],
     return [members[v] for v in coarse_ids]
 
 
+def classify_entities(comps: List[np.ndarray], sets: List[frozenset],
+                      dim: int) -> List[str]:
+    """FROSch entity classes per interface component: 'vertex' (single
+    node), 'face' (shared by exactly 2 subdomains, 3D), 'edge' (the rest;
+    in 2D two-subdomain components are edges) — the classification behind
+    IPOUHarmonic's Custom sublist (parametersPrec.xml:84-92:
+    Vertices/ShortEdges/StraightEdges/Edges/Faces)."""
+    cls = []
+    for c, s in zip(comps, sets):
+        if len(c) == 1:
+            cls.append("vertex")
+        elif len(s) == 2:
+            cls.append("face" if dim == 3 else "edge")
+        else:
+            cls.append("edge" if dim == 3 else "vertex")
+    return cls
+
+
+def ipou_groups(comps: List[np.ndarray], sets: List[frozenset], dim: int,
+                opts: Optional[dict] = None) -> List[List[tuple]]:
+    """Interface-partition-of-unity coarse groups — the FROSch
+    IPOUHarmonicCoarseOperator (parametersPrec.xml:63-120): entity classes
+    are individually toggleable, and the POU 'Type' selects between
+      'GDSW'      one characteristic function per (included) entity;
+      'GDSWStar' / 'RGDSW'  root-based partition of unity: roots are the
+        included vertex entities, every other included entity distributes
+        its interface values equally among its root ancestors
+        {v : S_comp ⊆ S_v} (orphans promoted to roots).
+    Returns per-group lists of (component index, weight)."""
+    opts = opts or {}
+    pou = str(opts.get("pou_type", "GDSWStar"))
+    include = {"vertex": bool(opts.get("vertices", True)),
+               "edge": bool(opts.get("edges", True)),
+               "face": bool(opts.get("faces", True))}
+    cls = classify_entities(comps, sets, dim)
+    keep = [i for i in range(len(comps)) if include[cls[i]]]
+    if pou == "GDSW":
+        return [[(i, 1.0)] for i in keep]
+    roots = [i for i in keep if cls[i] == "vertex"]
+    if not roots:  # no vertex entities (e.g. strip decompositions)
+        roots = [i for i in keep
+                 if not any(sets[i] < sets[j] for j in keep if j != i)]
+    members = {v: [(v, 1.0)] for v in roots}
+    for i in keep:
+        if i in members:
+            continue
+        anc = [v for v in roots if sets[i] <= sets[v]]
+        if not anc:
+            members[i] = [(i, 1.0)]  # orphan → own coarse function
+            continue
+        w = 1.0 / len(anc)
+        for v in anc:
+            members[v].append((i, w))
+    return [members[v] for v in sorted(members)]
+
+
 def build_null_space(kind: str, points: np.ndarray, dofs_per_node: int):
     """Null-space basis evaluated at nodes → [n_nodes, dofs_per_node, k].
 
@@ -200,10 +256,12 @@ class GDSWCoarseOperator:
                  dirichlet_mask: Optional[np.ndarray] = None,
                  dtype=jnp.float64, rap: str = "host",
                  blocks: Optional[List[dict]] = None,
-                 variant: str = "GDSW", row_source=None):
-        if variant not in ("GDSW", "RGDSW"):
+                 variant: str = "GDSW", row_source=None,
+                 ipou: Optional[dict] = None):
+        if variant not in ("GDSW", "RGDSW", "IPOUHarmonic"):
             raise ValueError(f"unknown coarse variant {variant!r}")
         self.variant = variant
+        self.ipou = ipou
         n = unique_map.n_global if A is None else A.shape[0]
         if blocks is None:
             if points is None or node_part_sets is None:
@@ -248,9 +306,12 @@ class GDSWCoarseOperator:
 
             # coarse groups: GDSW = one group per interface component with
             # unit weights; RGDSW = one group per subdomain VERTEX with
-            # partition-of-unity weights over its descendant components
+            # partition-of-unity weights over its descendant components;
+            # IPOUHarmonic = entity-class-filtered POU (ipou_groups)
             if variant == "RGDSW":
                 groups = rgdsw_vertex_weights(comps, csets)
+            elif variant == "IPOUHarmonic":
+                groups = ipou_groups(comps, csets, pts.shape[1], ipou)
             else:
                 groups = [[(i, 1.0)] for i in range(len(comps))]
 
@@ -424,19 +485,22 @@ class TwoLevelSchwarz:
                  dirichlet_mask: Optional[np.ndarray] = None,
                  rap: str = "host", blocks: Optional[List[dict]] = None,
                  variant: str = "GDSW",
-                 level_combination: str = "Additive"):
+                 level_combination: str = "Additive",
+                 subdomain_solver: str = "auto",
+                 ipou: Optional[dict] = None):
         if level_combination not in ("Additive", "Multiplicative"):
             raise ValueError(f"unknown level combination "
                              f"{level_combination!r}")
         self.level_combination = level_combination
         self.A = A
         self.level1 = SchwarzPreconditioner(A, unique_map, overlap=overlap,
-                                            combine=combine)
+                                            combine=combine,
+                                            solver=subdomain_solver)
         try:
             self.coarse = GDSWCoarseOperator(
                 A, unique_map, node_part_sets, points, dofs_per_node,
                 null_space, dirichlet_mask, rap=rap, blocks=blocks,
-                variant=variant)
+                variant=variant, ipou=ipou)
         except ValueError as e:
             # tiny problems can have a fully-Dirichlet interface → no coarse
             # functions; degrade gracefully to one level
@@ -456,9 +520,7 @@ class TwoLevelSchwarz:
 
     def operator(self):
         """(pure_fn, operands) for jit-argument solver programs."""
-        from feddlib_tpu.precond.schwarz import schwarz_op_apply  # noqa: F401
-
-        l1_ops = self.level1.operator()[1]
+        l1_fn, l1_ops = self.level1.operator()
         mult = self.level_combination == "Multiplicative"
         if self.coarse is None:
             coarse_ops = None
@@ -466,10 +528,39 @@ class TwoLevelSchwarz:
             co = self.coarse
             coarse_ops = (co.phi.operator()[1], co.phiT.operator()[1],
                           co.A0_inv)
+        from feddlib_tpu.precond.schwarz import schwarz_op_apply
+
+        if l1_fn is schwarz_op_apply:  # module-level fns → jit-cache reuse
+            if mult:
+                return _two_level_mult_apply, (l1_ops, coarse_ops,
+                                               self.A.operator()[1])
+            return _two_level_apply, (l1_ops, coarse_ops)
+        # sparse-LU level 1: compose through the instance's own apply fn
+        from feddlib_tpu.la.csr import ell_apply
+
         if mult:
-            return _two_level_mult_apply, (l1_ops, coarse_ops,
-                                           self.A.operator()[1])
-        return _two_level_apply, (l1_ops, coarse_ops)
+            A_ops = self.A.operator()[1]
+
+            def f_mult(ops, r):
+                l1_o, c_ops, A_o = ops
+                z = l1_fn(l1_o, r)
+                if c_ops is not None:
+                    phi_ops, phiT_ops, A0_inv = c_ops
+                    r2 = r - ell_apply(A_o, z)
+                    z = z + ell_apply(phi_ops, A0_inv @ ell_apply(phiT_ops, r2))
+                return z
+
+            return f_mult, (l1_ops, coarse_ops, A_ops)
+
+        def f_add(ops, r):
+            l1_o, c_ops = ops
+            z = l1_fn(l1_o, r)
+            if c_ops is not None:
+                phi_ops, phiT_ops, A0_inv = c_ops
+                z = z + ell_apply(phi_ops, A0_inv @ ell_apply(phiT_ops, r))
+            return z
+
+        return f_add, (l1_ops, coarse_ops)
 
 
 def distributed_two_level(dmat, part=None, points: Optional[np.ndarray] = None,
@@ -479,7 +570,9 @@ def distributed_two_level(dmat, part=None, points: Optional[np.ndarray] = None,
                           dirichlet_mask: Optional[np.ndarray] = None,
                           coarse_ranks: int = 0, variant: str = "GDSW",
                           overlap: int = 1,
-                          blocks: Optional[List[dict]] = None):
+                          blocks: Optional[List[dict]] = None,
+                          factor: str = "host",
+                          ipou: Optional[dict] = None):
     """Two-level GDSW for the shard_map solver (DistributedSolver), built
     from the DistributedCsr ALONE — setup reads only per-device row views
     (DistributedCsr.local_rows); no global matrix is assembled anywhere.
@@ -513,7 +606,7 @@ def distributed_two_level(dmat, part=None, points: Optional[np.ndarray] = None,
     from feddlib_tpu.precond.schwarz import distributed_schwarz
 
     build1, arrays1 = distributed_schwarz(dmat, overlap=overlap,
-                                          combine=combine)
+                                          combine=combine, factor=factor)
     n1 = len(arrays1)
     umap = dmat.unique_map
     n_dev = dmat.n_dev
@@ -529,7 +622,7 @@ def distributed_two_level(dmat, part=None, points: Optional[np.ndarray] = None,
         None, umap,
         part.repeated_map.partition_indices if part is not None else None,
         points, dofs_per_node, null_space, dirichlet_mask, variant=variant,
-        blocks=blocks, row_source=dmat.local_rows)
+        blocks=blocks, row_source=dmat.local_rows, ipou=ipou)
     phi = coarse.phi.to_scipy()
     nc = coarse.n_coarse
     N_o = dmat.plan.N_o

@@ -79,9 +79,16 @@ class SchwarzPreconditioner:
 
     def __init__(self, A: CsrMatrix, unique_map: IndexMap, overlap: int = 1,
                  combine: str = "Restricted", dtype=jnp.float64,
-                 device_factor: Optional[bool] = None):
+                 device_factor: Optional[bool] = None,
+                 solver: str = "auto"):
+        """solver: 'dense' ([P,S,S] explicit inverses — O(S³) setup),
+        'sparse' (batched sparse LU + wavefront triangular device applies,
+        setup O(nnz·fill) — the Amesos2/KLU role, la/sparse_lu.py), or
+        'auto' (sparse once subdomains exceed ~1k dofs)."""
         if combine not in ("Restricted", "Full", "Averaging"):
             raise ValueError(f"unknown combine mode {combine!r}")
+        if solver not in ("auto", "dense", "sparse"):
+            raise ValueError(f"unknown subdomain solver {solver!r}")
         self.combine = combine
         self.n = A.shape[0]
         self.n_parts = unique_map.n_parts
@@ -104,6 +111,9 @@ class SchwarzPreconditioner:
         S = max(len(o) for o in ov_sets)
         self.S = S
         P_ = self.n_parts
+        if solver == "auto":
+            solver = "sparse" if S >= 1024 else "dense"
+        self.solver = solver
 
         owner = unique_map.owner_of()
         ov_idx = np.full((P_, S), self.n, dtype=np.int64)  # pad → extra slot
@@ -119,7 +129,14 @@ class SchwarzPreconditioner:
                 keep[p, :k] = 1.0
                 mult[ov] += 1.0
 
-        if device_factor:
+        self.slu = None
+        if self.solver == "sparse":
+            from feddlib_tpu.la.sparse_lu import BatchedSparseLU
+
+            self.slu = BatchedSparseLU([sp[ov][:, ov].tocsc()
+                                        for ov in ov_sets], S, dtype=dtype)
+            self.inv = None
+        elif device_factor:
             # slot-carrying trick: a CSR copy whose values are the slot ids
             # survives scipy's submatrix extraction
             spi = sp.copy()
@@ -170,7 +187,10 @@ class SchwarzPreconditioner:
         """z = Σ_p R_pᵀ D_p A_p⁻¹ R_p r  (batched on one device)."""
         r_pad = jnp.concatenate([r, jnp.zeros(1, r.dtype)])
         r_ov = r_pad[self.ov_idx]  # [P, S]
-        z_ov = jnp.einsum("pij,pj->pi", self.inv, r_ov)  # batched dense solve
+        if self.slu is not None:
+            z_ov = self.slu.solve(r_ov)  # batched wavefront sparse solve
+        else:
+            z_ov = jnp.einsum("pij,pj->pi", self.inv, r_ov)
         z_ov = z_ov * self.keep
         z = jnp.zeros(self.n + 1, r.dtype).at[self.ov_idx.reshape(-1)].add(
             z_ov.reshape(-1))[: self.n]
@@ -183,8 +203,27 @@ class SchwarzPreconditioner:
 
     def operator(self):
         """(pure_fn, operands) form for jit-argument solver programs."""
+        dtype = self.keep.dtype
         scale = (self.avg_scale if self.avg_scale is not None
-                 else jnp.ones(self.n, self.inv.dtype))
+                 else jnp.ones(self.n, dtype))
+        if self.slu is not None:
+            dims = self.slu.dims
+
+            def sparse_apply(ops, r):
+                ov_idx, keep, scale = ops[:3]
+                slu_ops = ops[3:]
+                from feddlib_tpu.la.sparse_lu import BatchedSparseLU
+
+                n = r.shape[0]
+                r_pad = jnp.concatenate([r, jnp.zeros(1, r.dtype)])
+                r_ov = r_pad[ov_idx]
+                z_ov = BatchedSparseLU.apply_ops(slu_ops, r_ov, dims) * keep
+                z = jnp.zeros(n + 1, r.dtype).at[ov_idx.reshape(-1)].add(
+                    z_ov.reshape(-1))[:n]
+                return z * scale
+
+            return sparse_apply, (self.ov_idx, self.keep, scale,
+                                  *self.slu.arrays())
         return schwarz_op_apply, (self.ov_idx, self.keep, self.inv, scale)
 
 
@@ -247,8 +286,10 @@ def distributed_schwarz(dmat, overlap: int = 1, combine: str = "Restricted",
     G_ov = ovplan.G
 
     # subdomain blocks through the locator (+ identity padding)
+    import scipy.sparse as sps
+
     vals_flat = None if factor == "device" else dmat.values_host()
-    inv_l, ov_col_l, keep_l, own_pos_l = [], [], [], []
+    inv_l, ov_col_l, keep_l, own_pos_l, sub_l = [], [], [], [], []
     gat_src, gat_dst = [], []  # device-factor gather plans
     for p in range(n_dev):
         owned = unique_map.partition_indices[p]
@@ -259,6 +300,10 @@ def distributed_schwarz(dmat, overlap: int = 1, combine: str = "Restricted",
         if factor == "device":
             gat_src.append(sub.data.astype(np.int64) - 1)
             gat_dst.append(p * S * S + sub.row.astype(np.int64) * S + sub.col)
+        elif factor == "sparse":
+            vals = vals_flat[sub.data.astype(np.int64) - 1]
+            sub_l.append(sps.csr_matrix((vals, (sub.row, sub.col)),
+                                        shape=(max(k, 1), max(k, 1))))
         else:
             block = np.zeros((S, S))
             block[np.arange(k, S), np.arange(k, S)] = 1.0  # identity padding
@@ -280,6 +325,7 @@ def distributed_schwarz(dmat, overlap: int = 1, combine: str = "Restricted",
         op_[:n_own] = pos
         own_pos_l.append(op_)
 
+    slu = None
     if factor == "device":
         src = _pad_like(gat_src, 0)
         dst = _pad_like(gat_dst, n_dev * S * S)  # pad → extra dump slot
@@ -298,6 +344,11 @@ def distributed_schwarz(dmat, overlap: int = 1, combine: str = "Restricted",
         diag = jnp.arange(S)
         blocks = blocks.at[:, diag, diag].add(shift * jnp.abs(blocks).max())
         inv = jnp.linalg.inv(blocks)
+    elif factor == "sparse":
+        from feddlib_tpu.la.sparse_lu import BatchedSparseLU
+
+        slu = BatchedSparseLU(sub_l, S)
+        inv = None
     else:
         inv = jnp.asarray(np.stack(inv_l))
 
@@ -316,23 +367,42 @@ def distributed_schwarz(dmat, overlap: int = 1, combine: str = "Restricted",
     ov_imp = ovplan.importer()
     ov_exp = ovplan.exporter()
 
-    arrays = [inv,
-              jnp.asarray(np.stack(ov_col_l)),
-              jnp.asarray(np.stack(keep_l)),
-              jnp.asarray(np.stack(own_pos_l)),
-              jnp.asarray(np.stack(scale_l))] + imp_leaves + exp_leaves
+    head = [jnp.asarray(np.stack(ov_col_l)),
+            jnp.asarray(np.stack(keep_l)),
+            jnp.asarray(np.stack(own_pos_l)),
+            jnp.asarray(np.stack(scale_l))]
+    if slu is not None:
+        head = head + list(slu.arrays())
+        dims = slu.dims
+    else:
+        head = [inv] + head
+    n_head = len(head)
+    arrays = head + imp_leaves + exp_leaves
 
     def build(prec_arrays, ctx):
         _, _, mask, _, _ = ctx
-        inv_p, ov_col, keep, own_pos, scale = prec_arrays[:5]
-        ia = jax.tree.unflatten(imp_def, prec_arrays[5: 5 + n_imp])
-        ea = jax.tree.unflatten(exp_def,
-                                prec_arrays[5 + n_imp: 5 + n_imp + n_exp])
+        if slu is not None:
+            ov_col, keep, own_pos, scale = prec_arrays[:4]
+            slu_ops = prec_arrays[4:n_head]
+
+            def solve_sub(r_ov):
+                from feddlib_tpu.la.sparse_lu import solve_one
+
+                return solve_one((r_ov, *slu_ops), dims)
+        else:
+            inv_p, ov_col, keep, own_pos, scale = prec_arrays[:5]
+
+            def solve_sub(r_ov):
+                return inv_p @ r_ov
+        ia = jax.tree.unflatten(imp_def,
+                                prec_arrays[n_head: n_head + n_imp])
+        ea = jax.tree.unflatten(
+            exp_def, prec_arrays[n_head + n_imp: n_head + n_imp + n_exp])
 
         def M(r):
             r_col = ov_imp(r, ia)  # [N_o + G_ov]
             r_ov = r_col[ov_col]  # [S]
-            z_ov = (inv_p @ r_ov) * keep
+            z_ov = solve_sub(r_ov) * keep
             if combine == "Restricted":
                 z = z_ov[own_pos] * mask
             else:

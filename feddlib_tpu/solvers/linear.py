@@ -68,6 +68,10 @@ class Preconditioner:
         n_sub = int(params.get("Subdomains", 4))
         overlap = int(params.get("Overlap", 1))
         combine = params.get("Combine Values in Overlap", "Restricted")
+        # 'Subdomain Solver': auto | dense | sparse — the Amesos2/KLU role
+        # (dense [P,S,S] explicit inverses vs batched sparse LU with
+        # wavefront device applies, la/sparse_lu.py)
+        sub_solver = params.get("Subdomain Solver", "auto")
         dom0 = self.problem.domains[0]
         # partition the P1 parent mesh when the leading space is P2, so all
         # blocks (e.g. Stokes u-P2 / p-P1) share one element partition
@@ -83,6 +87,12 @@ class Preconditioner:
             nsp = "elasticity" if "elas" in nsp else "laplace"
             variant = params.get("Coarse Space Variant", "GDSW")
             levels = params.get("Level Combination", "Additive")
+            ipou = None
+            if variant == "IPOUHarmonic":
+                ipou = dict(pou_type=params.get("IPOU Type", "GDSWStar"),
+                            vertices=bool(params.get("IPOU Vertices", True)),
+                            edges=bool(params.get("IPOU Edges", True)),
+                            faces=bool(params.get("IPOU Faces", True)))
             prob = self.problem
             if len(prob.variables) == 1:
                 prec = TwoLevelSchwarz(
@@ -90,7 +100,8 @@ class Preconditioner:
                     dom0.mesh.points, prob.total_dofs_per_node(),
                     overlap=overlap, combine=combine, null_space=nsp,
                     dirichlet_mask=prob.merged_dirichlet_mask(),
-                    variant=variant, level_combination=levels)
+                    variant=variant, level_combination=levels,
+                    subdomain_solver=sub_solver, ipou=ipou)
             else:
                 # monolithic block GDSW (FROSch monolithic fed per-block
                 # repeated maps + DofsPerNode, Preconditioner_def.hpp:295-383)
@@ -98,12 +109,13 @@ class Preconditioner:
                     matrix, dof_map, overlap=overlap, combine=combine,
                     dirichlet_mask=prob.merged_dirichlet_mask(),
                     blocks=self._block_specs(part, nsp), variant=variant,
-                    level_combination=levels)
+                    level_combination=levels, subdomain_solver=sub_solver,
+                    ipou=ipou)
         else:  # "SchwarzOneLevel" / "Schwarz"
             from feddlib_tpu.precond.schwarz import SchwarzPreconditioner
 
             prec = SchwarzPreconditioner(matrix, dof_map, overlap=overlap,
-                                         combine=combine)
+                                         combine=combine, solver=sub_solver)
         self._apply = prec.apply
         if hasattr(prec, "operator"):
             self._op = prec.operator()
@@ -384,13 +396,21 @@ class LinearSolver:
 
                 nsp = params.get("Null Space Type", "laplace").lower()
                 nsp = "elasticity" if "elas" in nsp else "laplace"
+                variant = params.get("Coarse Space Variant", "GDSW")
+                ipou = None
+                if variant == "IPOUHarmonic":
+                    ipou = dict(
+                        pou_type=params.get("IPOU Type", "GDSWStar"),
+                        vertices=bool(params.get("IPOU Vertices", True)),
+                        edges=bool(params.get("IPOU Edges", True)),
+                        faces=bool(params.get("IPOU Faces", True)))
                 if len(problem.variables) == 1:
                     build, arrs = distributed_two_level(
                         dmat, part, dom0.mesh.points,
                         problem.total_dofs_per_node(),
                         combine=combine, overlap=overlap, null_space=nsp,
                         dirichlet_mask=problem.merged_dirichlet_mask(),
-                        variant=params.get("Coarse Space Variant", "GDSW"))
+                        variant=variant, ipou=ipou)
                 else:
                     # monolithic block GDSW (the FROSch MONOLITHIC feed,
                     # Preconditioner_def.hpp:295-383) — now available on
@@ -398,7 +418,7 @@ class LinearSolver:
                     build, arrs = distributed_two_level(
                         dmat, combine=combine, overlap=overlap,
                         dirichlet_mask=problem.merged_dirichlet_mask(),
-                        variant=params.get("Coarse Space Variant", "GDSW"),
+                        variant=variant, ipou=ipou,
                         blocks=problem.preconditioner._block_specs(part, nsp))
             elif prec_type == "Jacobi":
                 build, arrs = "jacobi", None

@@ -1,0 +1,118 @@
+"""Batched sparse-LU subdomain solves (the Amesos2/KLU role,
+la/sparse_lu.py): exactness, Schwarz iterate-parity with the dense-inverse
+path, and setup scalability."""
+
+import time
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sps
+
+from feddlib_tpu.bc import BCBuilder
+from feddlib_tpu.fe import ops
+from feddlib_tpu.fe.domain import Domain
+from feddlib_tpu.la.sparse_lu import BatchedSparseLU
+from feddlib_tpu.mesh.partition import MeshPartition
+from feddlib_tpu.precond.schwarz import SchwarzPreconditioner
+from feddlib_tpu.solvers.krylov import gmres
+
+
+def _poisson(n):
+    dom = Domain.structured(2, n)
+    K = ops.assemble_laplace(dom)
+    bcb = BCBuilder()
+    bcb.add_bc(lambda x, t: 0.0, 1, 0, dom, "Dirichlet", 1)
+    b = ops.assemble_rhs(dom, lambda x: 1.0 + 0 * x[0])
+    Kb, bb = bcb.apply_symmetric(K, b, 0)
+    return dom, Kb, bb
+
+
+def test_batched_sparse_lu_exact():
+    rng = np.random.default_rng(0)
+    blocks = []
+    for n in (40, 57, 64):
+        A = sps.random(n, n, density=0.08,
+                       random_state=rng.integers(1 << 30), format="csr")
+        blocks.append((A + A.T + 10 * sps.identity(n)).tocsr())
+    S = max(b.shape[0] for b in blocks)
+    slu = BatchedSparseLU(blocks, S)
+    r = np.zeros((len(blocks), S))
+    for i, b in enumerate(blocks):
+        r[i, : b.shape[0]] = rng.standard_normal(b.shape[0])
+    x = np.asarray(slu.solve(jnp.asarray(r)))
+    for i, A in enumerate(blocks):
+        n = A.shape[0]
+        xe = sps.linalg.spsolve(A.tocsc(), r[i, :n])
+        assert np.abs(x[i, :n] - xe).max() < 1e-10
+        if n < S:  # padding lanes must stay zero
+            assert np.abs(x[i, n:]).max() == 0.0
+
+
+@pytest.mark.parametrize("combine", ["Restricted", "Averaging"])
+def test_schwarz_sparse_matches_dense(combine):
+    """'Subdomain Solver: sparse' must reproduce the dense-inverse Schwarz
+    iteration-for-iteration (both are exact subdomain solves)."""
+    dom, Kb, bb = _poisson(16)
+    part = MeshPartition(dom.mesh, 8)
+    pd = SchwarzPreconditioner(Kb, part.unique_map, overlap=1,
+                               combine=combine, solver="dense")
+    ps = SchwarzPreconditioner(Kb, part.unique_map, overlap=1,
+                               combine=combine, solver="sparse")
+    rng = np.random.default_rng(1)
+    r = jnp.asarray(rng.standard_normal(Kb.shape[0]))
+    np.testing.assert_allclose(np.asarray(ps.apply(r)),
+                               np.asarray(pd.apply(r)), atol=1e-10)
+    ref = gmres(Kb.matvec, bb, M=pd.apply, tol=1e-8, maxiter=300)
+    res = gmres(Kb.matvec, bb, M=ps.apply, tol=1e-8, maxiter=300)
+    assert res.iters == ref.iters
+    # the jit-argument operator path too
+    fn, ops_ = ps.operator()
+    np.testing.assert_allclose(np.asarray(fn(ops_, r)),
+                               np.asarray(pd.apply(r)), atol=1e-10)
+
+
+def test_distributed_schwarz_sparse_matches_dense():
+    from feddlib_tpu.parallel.solve import DistributedSolver
+    from feddlib_tpu.parallel.spmd import (DeviceAxis, DistributedCsr,
+                                           distribute_vector)
+    from feddlib_tpu.precond.schwarz import distributed_schwarz
+
+    dom, Kb, bb = _poisson(16)
+    part = MeshPartition(dom.mesh, 8)
+    dmat = DistributedCsr(Kb, part.unique_map)
+    solver = DistributedSolver(dmat, DeviceAxis.make(8))
+    b_dist = distribute_vector(np.asarray(bb), part.unique_map,
+                               dmat.plan.N_o)
+    its = {}
+    for factor in ("host", "sparse"):
+        build, arrs = distributed_schwarz(dmat, overlap=2, factor=factor)
+        _, it, rel = solver.solve(b_dist, method="gmres", tol=1e-8,
+                                  maxiter=300, precond=(build, arrs))
+        assert rel < 1e-8
+        its[factor] = it
+    assert its["sparse"] == its["host"]
+
+
+@pytest.mark.slow
+def test_sparse_setup_beats_dense():
+    """At reference-scale subdomains the sparse factorization must be
+    memory O(nnz·fill) and much faster to set up than [P,S,S] inverses
+    (VERDICT round-1 item 3: >= 5x)."""
+    dom, Kb, bb = _poisson(96)  # 9409 dofs, 4 subdomains of ~2.4k
+    part = MeshPartition(dom.mesh, 4)
+    t0 = time.perf_counter()
+    ps = SchwarzPreconditioner(Kb, part.unique_map, solver="sparse")
+    jnp.asarray(ps.slu.L["dep_vals"]).block_until_ready()
+    t_sparse = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    pd = SchwarzPreconditioner(Kb, part.unique_map, solver="dense")
+    pd.inv.block_until_ready()
+    t_dense = time.perf_counter() - t0
+    mem_sparse = ps.slu.nnz_factors * 8 * 2  # vals+cols per factor entry
+    mem_dense = pd.inv.size * 8
+    assert t_dense / t_sparse >= 5.0, (t_dense, t_sparse)
+    assert mem_sparse < 0.25 * mem_dense
+    ref = gmres(Kb.matvec, bb, M=pd.apply, tol=1e-8, maxiter=300)
+    res = gmres(Kb.matvec, bb, M=ps.apply, tol=1e-8, maxiter=300)
+    assert res.iters == ref.iters
