@@ -157,6 +157,23 @@ def elem_advection(vert_coords, u_elem, dim, fe_type):
 
 
 @partial(jax.jit, static_argnames=("dim", "fe_type"))
+def elem_ale_divergence(vert_coords, w_elem, dim, fe_type):
+    """ALE additional convection ∫ (∇·w) φa φb with w the discrete mesh
+    velocity on the same space (reference FE::assemblyAdditionalConvection,
+    FE_def.hpp:3044 — the scalar value is expanded to the identity over
+    velocity components, and the caller scales by −density as FSI does,
+    FSI_def.hpp:500,661,712).  w_elem [E, nb, dim] nodal mesh-velocity
+    values; returns [E, nb, nb]."""
+    _, qw, phi, dphi = _tables(dim, fe_type,
+                               ref.determine_degree(dim, fe_type, "conv"))
+    Binv, adet = element_transforms(vert_coords, dim)
+    g = _phys_grads(Binv, dphi)  # [E,nq,nb,dim]
+    div_w = jnp.einsum("ebd,eqbd->eq", w_elem, g)  # Σ_b w_b·∇φb (trace)
+    D = jnp.einsum("q,eq,qa,qb->eab", qw, div_w, phi, phi)
+    return D * adet[:, None, None]
+
+
+@partial(jax.jit, static_argnames=("dim", "fe_type"))
 def elem_advection_in_u(vert_coords, u_elem, dim, fe_type):
     """Newton linearisation W(u): ∫ (φb ∂u/∂x) φa — the (∇u)·δu term, a
     dim×dim block per (a,b) (reference FE::assemblyAdvectionInUVecField,

@@ -182,6 +182,23 @@ def assemble_advection(domain: Domain, u: jnp.ndarray) -> CsrMatrix:
             jnp.einsum("eab,ij->eabij", N, eye)))
 
 
+def assemble_ale_divergence(domain: Domain, w: jnp.ndarray) -> CsrMatrix:
+    """ALE additional convection ∫ (∇·w) u·v with w the discrete mesh
+    velocity (FE::assemblyAdditionalConvection, FE_def.hpp:3044).  The
+    caller scales by −density, as the reference's FSI does
+    (FSI_def.hpp:500-504: P_->scale(density); P_->scale(-1.0))."""
+    we = u_elem_values(domain, w)
+    eye = jnp.eye(domain.dim, dtype=jnp.float64)
+    return _assemble_chunked(
+        _square_pattern(domain, domain.dim),
+        ("ale_div", domain.dim, domain.fe_type),
+        lambda vc, wc: asm.elem_ale_divergence(vc, wc, domain.dim,
+                                               domain.fe_type),
+        domain.vert_coords(), we,
+        post=lambda D: asm.vectorize_elem_mat(
+            jnp.einsum("eab,ij->eabij", D, eye)))
+
+
 def assemble_advection_in_u(domain: Domain, u: jnp.ndarray) -> CsrMatrix:
     """W(u): Newton linearisation (∇u)·δu
     (FE::assemblyAdvectionInUVecField, FE_def.hpp:1839)."""

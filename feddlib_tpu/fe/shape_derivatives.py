@@ -61,9 +61,15 @@ def _fluid_elem_residual(dim, fe_u, fe_p, mu, rho, dt, mass_coef):
         div_u = jnp.trace(grad_u, axis1=1, axis2=2)
 
         conv = jnp.einsum("qk,qik->qi", u_q - w_q, grad_u) * rho
-        # momentum: μ ∇u:∇φ + ρ((u−w)·∇u)·φ − p div φ + mass_coef ρ(u−uold)·φ
+        # ALE additional convection −ρ(∇·w) u·φ (the reference's P block,
+        # FE::assemblyAdditionalConvection FE_def.hpp:3044, scaled −density
+        # in FSI_def.hpp:500-504)
+        div_w = jnp.einsum("bi,qbi->q", w_e, gu)
+        # momentum: μ ∇u:∇φ + ρ((u−w)·∇u)·φ − ρ(∇·w)u·φ − p div φ
+        #           + mass_coef ρ(u−uold)·φ
         Ru = (mu * jnp.einsum("q,qik,qak->ai", qw, grad_u, gu)
               + jnp.einsum("q,qi,qa->ai", qw, conv, phi_u)
+              - rho * jnp.einsum("q,q,qi,qa->ai", qw, div_w, u_q, phi_u)
               - jnp.einsum("q,q,qai->ai", qw, p_q, gu)
               + mass_coef * rho * jnp.einsum("q,qi,qa->ai", qw,
                                              u_q - uold_q, phi_u))

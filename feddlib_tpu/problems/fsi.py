@@ -77,6 +77,15 @@ class FSI(NonLinearProblem):
         self.mu_s, self.lam_s = mu, lam_
         self.newmark_beta = float(pl.get("beta", 0.25))
         self.newmark_gamma = float(pl.get("gamma", 0.5))
+        # 'Material Model': linear | Neo-Hooke | Mooney-Rivlin | StVK — the
+        # reference's FSI materialModel_ switch (FSI_def.hpp:73,181,307)
+        self.material = pl.get("Material Model", "linear")
+        if self.material == "Mooney-Rivlin":
+            self.params_s = (float(pl.get("C1", mu / 4.0)),
+                             float(pl.get("C2", mu / 4.0)),
+                             float(pl.get("Kappa", lam_ + 2 * mu / 3.0)))
+        else:
+            self.params_s = (mu, lam_)
 
         # geometry (mesh motion) sub-problem on the fluid mesh; the outer
         # fluid boundary held fixed during mesh motion is flag 1 by default
@@ -141,17 +150,51 @@ class FSI(NonLinearProblem):
         self.Bf, self.BfT = ops.assemble_divergence(dom_u, dom_p)
         self.Mf = ops.assemble_mass(dom_u, self.dim).scale(self.density_f)
 
+    def _solid_forces_tangent(self, d: jnp.ndarray):
+        """Hyperelastic internal forces + consistent tangent at d
+        (fe/hyperelastic autodiff — the AceGen nh3d/mr3d/stvk3d role wired
+        into FSI's materialModel_ switch, FSI_def.hpp:73,181,307)."""
+        from feddlib_tpu.fe import assembly as asm
+        from feddlib_tpu.fe.hyperelastic import elem_hyper_residual_tangent
+
+        dom_d = self.variables[2][0]
+        dim = self.dim
+        de = d.reshape(dom_d.n_nodes, dim)[dom_d.elem_nodes()]
+        R, K = elem_hyper_residual_tangent(dom_d.vert_coords(), de, dim,
+                                           dom_d.fe_type, self.material,
+                                           self.params_s)
+        n = dom_d.n_dofs(dim)
+        F = asm.assemble_vector(dom_d.elem_dofs(dim),
+                                R.reshape(R.shape[0], -1), n)
+        pat = dom_d.pattern(("square", dim), lambda: asm.scatter_pattern(
+            dom_d.elem_dofs(dim), dom_d.elem_dofs(dim), n, n))
+        KT = CsrMatrix(pat)
+        KT.assemble(K.reshape(-1))
+        return F, KT
+
+    def _solid_internal(self, d: jnp.ndarray) -> jnp.ndarray:
+        if self.material == "linear":
+            return self.Ks.matvec(d)
+        return self._solid_forces_tangent(d)[0]
+
     def _build_system(self, mode: str, w: jnp.ndarray, beta0_dt: float,
-                      newmark_m: float) -> None:
+                      newmark_m: float,
+                      P: Optional[CsrMatrix] = None) -> None:
         dom_u = self.variables[0][0]
         u = self.solution[0]
         adv = (u - w) * self.density_f
         N = ops.assemble_advection(dom_u, adv)
         Auu = self.Mf.scale(beta0_dt).add(self.Af).add(N)
+        if P is not None:  # ALE additional convection −ρ(∇·w)u·v
+            Auu = Auu.add(P)
         if mode == "Newton":
             W = ops.assemble_advection_in_u(dom_u, u * self.density_f)
             Auu = Auu.add(W)
-        Add = self.Ms.scale(newmark_m).add(self.Ks)
+        if self.material == "linear":
+            Add = self.Ms.scale(newmark_m).add(self.Ks)
+        else:
+            _, KT = self._solid_forces_tangent(self.solution[2])
+            Add = self.Ms.scale(newmark_m).add(KT)
         sizes = self.block_sizes()
         S = BlockMatrix(sizes)
         S.add_block(0, 0, Auu)
@@ -199,6 +242,10 @@ class FSI(NonLinearProblem):
             self._assemble_fluid_constant()
             w = jnp.asarray((g - self.g_prev).ravel() / dt)
             self.g_prev = g
+            # ALE additional convection P = −ρ ∫(∇·w) u·v — constant within
+            # the step for GE (w fixed); reference FSI_def.hpp:500-504
+            Pmat = ops.assemble_ale_divergence(dom_u, w).scale(
+                -self.density_f)
 
             # 3) histories
             d_old = self.solution[2]
@@ -225,11 +272,11 @@ class FSI(NonLinearProblem):
                 adv = (u - w) * prob.density_f
                 Nmat = ops.assemble_advection(dom_u, adv)
                 Fu = (prob.Mf.matvec(u) * (1.0 / dt) + prob.Af.matvec(u)
-                      + Nmat.matvec(u) + prob.BfT.matvec(p)
+                      + Nmat.matvec(u) + Pmat.matvec(u) + prob.BfT.matvec(p)
                       + prob.C1T.matvec(lam) - fluid_hist - fsrc)
                 Fp = prob.Bf.matvec(u)
-                Fd = (prob.Ms.matvec(d) * newmark_m + prob.Ks.matvec(d)
-                      - solid_hist)
+                Fd = (prob.Ms.matvec(d) * newmark_m
+                      + prob._solid_internal(d) - solid_hist)
                 Fd = Fd.at[jnp.asarray(prob._ds_cols)].add(
                     -lam[jnp.asarray(prob._iface_rows)])
                 Fl = (u[jnp.asarray(prob._uf_cols)]
@@ -242,7 +289,7 @@ class FSI(NonLinearProblem):
                     r, prob.solution, tt)
 
             def reassemble(mode="Newton"):
-                prob._build_system(mode, w, 1.0 / dt, newmark_m)
+                prob._build_system(mode, w, 1.0 / dt, newmark_m, P=Pmat)
 
             base_res, base_rea = self.calculate_residual, self.reassemble
             self.calculate_residual = residual
@@ -358,8 +405,8 @@ class FSI(NonLinearProblem):
                 u, p, d, lam, g = (prob.solution[i] for i in range(5))
                 Fu, Fp = fluid_residual(u, p, g, gp_vec, u_old)
                 Fu = Fu + prob.C1T.matvec(lam)
-                Fd = (prob.Ms.matvec(d) * newmark_m + prob.Ks.matvec(d)
-                      - solid_hist)
+                Fd = (prob.Ms.matvec(d) * newmark_m
+                      + prob._solid_internal(d) - solid_hist)
                 Fd = Fd.at[jnp.asarray(prob._ds_cols)].add(
                     -lam[jnp.asarray(prob._iface_rows)])
                 Fl = (u[jnp.asarray(prob._uf_cols)]
@@ -380,7 +427,9 @@ class FSI(NonLinearProblem):
                 dom_u.invalidate_geometry()
                 prob._assemble_fluid_constant()
                 w = (g - gp_vec) / dt
-                prob._build_system("Newton", w, 1.0 / dt, newmark_m)
+                Pmat = ops.assemble_ale_divergence(dom_u, w).scale(
+                    -prob.density_f)
+                prob._build_system("Newton", w, 1.0 / dt, newmark_m, P=Pmat)
                 sizes = prob.block_sizes()
                 Dug, Dpg = assemble_shape_derivative_blocks(
                     dom_u, dom_p, u, p, g, gp_vec, u_old,

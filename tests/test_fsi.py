@@ -271,3 +271,55 @@ def test_fsi_mesh_rank_ranges():
             assert len(fluid) == 0
             assert len(solid) > 0
     assert dmap.is_unique()
+
+
+def test_ale_divergence_kernel():
+    """∫(∇·w)u·v (FE::assemblyAdditionalConvection, FE_def.hpp:3044): for w
+    with constant divergence c the operator equals c·(vector mass)."""
+    from feddlib_tpu.fe import ops
+
+    for dim, fe in ((2, "P1"), (2, "P2"), (3, "P1")):
+        dom = Domain.structured(dim, 3, fe_type=fe)
+        coef = np.array([2.0, 3.0, 4.0][:dim])
+        w = (dom.mesh.points * coef).ravel()
+        D = ops.assemble_ale_divergence(dom, jnp.asarray(w))
+        M = ops.assemble_mass(dom, dim)
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal(dom.n_dofs(dim)))
+        np.testing.assert_allclose(np.asarray(D.matvec(x)),
+                                   coef.sum() * np.asarray(M.matvec(x)),
+                                   atol=1e-10)
+
+
+def test_fsi_nonlinear_solid():
+    """FSI with a hyperelastic solid ('Material Model': Neo-Hooke — the
+    reference's materialModel_ switch, FSI_def.hpp:73,181,307).  At small
+    strains the Neo-Hooke response must track the linear-elastic one."""
+    from feddlib_tpu.problems.fsi import FSI
+
+    tips = {}
+    for mat in ("linear", "Neo-Hooke"):
+        dom_u, dom_p, dom_d = _two_box_domains(3)
+        pl = _params(Viscosity=0.1, E=50.0, dt=0.02,
+                     **{"Poisson Ratio": 0.3, "Density Fluid": 1.0,
+                        "Density Solid": 1.0, "Material Model": mat,
+                        "Preconditioner Type": "Jacobi",
+                        "Maximum Iterations": 8000,
+                        "Convergence Tolerance": 1e-9,
+                        "relNonLinTol": 1e-6, "MaxNonLinIts": 15})
+        prob = FSI(dom_u, dom_p, dom_d, [IFACE], parameter_list=pl)
+        prob.assemble()
+
+        def lid(x, t):
+            on_lid = jnp.isclose(x[1], 1.0)
+            return jnp.where(on_lid, jnp.array([0.5, 0.0]), jnp.zeros(2))
+
+        prob.add_bc(lid, 1, 0)
+        prob.add_bc(lambda x, t: jnp.zeros(2), 1, 2)
+        prob.advance(t_end=0.04)
+        d = np.asarray(prob.solution[2])
+        assert np.isfinite(d).all()
+        tips[mat] = prob.tip_displacement([0.5, 0.5])
+    # small-strain agreement: same direction and magnitude within ~20%
+    tl, tn = tips["linear"], tips["Neo-Hooke"]
+    assert np.linalg.norm(tn - tl) <= 0.2 * max(np.linalg.norm(tl), 1e-8)
