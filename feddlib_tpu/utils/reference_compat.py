@@ -63,11 +63,29 @@ def translate_prec(p: ParameterList, out: ParameterList) -> None:
     null_space = fr.get("Null Space Type", "Laplace")
     out["Null Space Type"] = null_space
     # coarse-space family: GDSWCoarseOperator → classic GDSW;
-    # RGDSWCoarseOperator / IPOUHarmonicCoarseOperator (GDSW* partition of
-    # unity) → the reduced vertex-based space (precond/gdsw.py RGDSW)
+    # RGDSWCoarseOperator → reduced vertex-based space;
+    # IPOUHarmonicCoarseOperator → its own operator (precond/gdsw.py
+    # ipou_groups) driven by the InterfacePartitionOfUnity sublist
+    # (parametersPrec.xml:63-120): POU Type (GDSW | GDSWStar | RGDSW) and
+    # the Custom entity toggles (Vertices / Edges / Faces; ShortEdges and
+    # StraightEdges fold into Edges — the repo's algebraic classification
+    # does not subdivide edge types)
     cot = str(fr.get("CoarseOperator Type", "GDSWCoarseOperator"))
-    out["Coarse Space Variant"] = (
-        "RGDSW" if ("RGDSW" in cot or "IPOU" in cot) else "GDSW")
+    if "IPOU" in cot:
+        out["Coarse Space Variant"] = "IPOUHarmonic"
+        ip = _find(fr, "IPOUHarmonicCoarseOperator", "Blocks", "1",
+                   "InterfacePartitionOfUnity")
+        if isinstance(ip, ParameterList):
+            out["IPOU Type"] = str(ip.get("Type", "GDSWStar"))
+            custom = _find(ip, "GDSW", "Custom")
+            if isinstance(custom, ParameterList):
+                out["IPOU Vertices"] = bool(custom.get("Vertices", True))
+                out["IPOU Edges"] = bool(custom.get("Edges", True)) or \
+                    bool(custom.get("ShortEdges", False)) or \
+                    bool(custom.get("StraightEdges", False))
+                out["IPOU Faces"] = bool(custom.get("Faces", True))
+    else:
+        out["Coarse Space Variant"] = "RGDSW" if "RGDSW" in cot else "GDSW"
     out["Level Combination"] = fr.get("Level Combination", "Additive")
 
 
