@@ -152,6 +152,96 @@ def _error_estimate_p1_3d(mesh: Mesh, u: np.ndarray,
     return np.sqrt(eta2)
 
 
+def error_estimate_p2(mesh: Mesh, u: np.ndarray,
+                      f: Optional[Callable] = None) -> np.ndarray:
+    """Residual estimator for a 2D P2 scalar solution of −Δu = f:
+    η_T² = h_T² ‖f + Δu_h‖²_T + ½ Σ_e h_e ‖[∂u_h/∂n]‖²_e with Δu_h
+    constant and ∂u_h/∂n linear per edge (2-point Gauss) — the P2 branch
+    of the reference's errorEstimation (MeshUnstructuredRefinement_def.hpp
+    :229; round-1 VERDICT item 9).  Returns η per element of the P2 mesh
+    (same ordering as its P1 parent, so marks transfer directly)."""
+    from feddlib_tpu.fe import reference as fe_ref
+
+    if mesh.dim != 2 or mesh.fe_type != "P2":
+        raise NotImplementedError("error_estimate_p2: 2D P2 meshes")
+    pts = mesh.points
+    elems = mesh.elements  # [E, 6]
+    E = len(elems)
+    v = pts[elems[:, :3]]
+    B = np.swapaxes(v[:, 1:] - v[:, :1], 1, 2)
+    detB = B[:, 0, 0] * B[:, 1, 1] - B[:, 0, 1] * B[:, 1, 0]
+    area = np.abs(detB) / 2
+    h_T = np.sqrt(area)
+    inv_det = 1.0 / detB
+    Binv = np.empty_like(B)
+    Binv[:, 0, 0] = B[:, 1, 1] * inv_det
+    Binv[:, 0, 1] = -B[:, 0, 1] * inv_det
+    Binv[:, 1, 0] = -B[:, 1, 0] * inv_det
+    Binv[:, 1, 1] = B[:, 0, 0] * inv_det
+
+    ue = u[elems]  # [E, 6]
+    # constant reference Hessians of the P2 basis: φ = [(1−ξ−ηc)(1−2ξ−2ηc),
+    # ξ(2ξ−1), ηc(2ηc−1), 4ξ(1−ξ−ηc), 4ξηc, 4ηc(1−ξ−ηc)]
+    H_ref = np.array([  # [6, 2, 2]
+        [[4, 4], [4, 4]], [[4, 0], [0, 0]], [[0, 0], [0, 4]],
+        [[-8, -4], [-4, 0]], [[0, 4], [4, 0]], [[0, -4], [-4, -8]],
+    ], dtype=float)
+    Hxi = np.einsum("ea,aij->eij", ue, H_ref)  # [E,2,2]
+    # H_x = Binvᵀ Hξ Binv  (∇x = Binvᵀ ∇ξ)
+    Hx = np.einsum("edi,edk,ekj->eij", Binv, Hxi, Binv)
+    lap = Hx[:, 0, 0] + Hx[:, 1, 1]
+
+    if f is not None:
+        cent = v.mean(axis=1)
+        fc = np.array([f(c) for c in cent], dtype=float)
+    else:
+        fc = np.zeros(E)
+    eta2 = h_T ** 2 * area * (fc + lap) ** 2
+
+    # edge jumps over the P1 parent edge graph (vertex pairs)
+    from feddlib_tpu.mesh.mesh import Mesh as _M
+
+    parent = _M(2, "P1", pts[: mesh.n_points], mesh.point_flags,
+                elems[:, :3], mesh.element_flags)
+    edges, elem_edge = parent.unique_edges()
+    owner = np.full((len(edges), 2), -1, dtype=np.int64)
+    side = np.full((len(edges), 2), -1, dtype=np.int64)
+    for e in range(E):
+        for le in range(3):
+            g = elem_edge[e, le]
+            s = 0 if owner[g, 0] < 0 else 1
+            owner[g, s] = e
+            side[g, s] = le
+    interior = owner[:, 1] >= 0
+    ie = np.nonzero(interior)[0]
+    tang = pts[edges[ie, 1]] - pts[edges[ie, 0]]
+    h_e = np.linalg.norm(tang, axis=1)
+    normal = np.stack([tang[:, 1], -tang[:, 0]], axis=1) / h_e[:, None]
+    # 2-point Gauss on the edge
+    gs = np.array([0.5 - 0.5 / np.sqrt(3.0), 0.5 + 0.5 / np.sqrt(3.0)])
+    jump2 = np.zeros(len(ie))
+    for s in gs:
+        xg = (1 - s) * pts[edges[ie, 0]] + s * pts[edges[ie, 1]]  # [I,2]
+        grads = []
+        for k in (0, 1):
+            el = owner[ie, k]
+            p0 = pts[elems[el, 0]]
+            xi = np.einsum("eij,ej->ei", np.linalg.inv(
+                np.swapaxes(pts[elems[el, 1:3]]
+                            - pts[elems[el, :1]], 1, 2)), xg - p0)
+            gref = fe_ref.eval_grad_phi(2, "P2", xi)  # [I? — per point]
+            # eval_grad_phi is per quad point; xi rows are points
+            ge = np.einsum("pad,pa->pd", gref, u[elems[el]])
+            gx = np.einsum("edk,ed->ek", Binv[el], ge)
+            grads.append(gx)
+        jn = np.einsum("ek,ek->e", grads[0] - grads[1], normal)
+        jump2 += 0.5 * jn ** 2  # Gauss weights 1/2 each on [0,1]
+    contrib = 0.5 * h_e * (jump2 * h_e)  # ∫_e [∂n u]² ds = h_e·mean(jump²)
+    np.add.at(eta2, owner[ie, 0], contrib)
+    np.add.at(eta2, owner[ie, 1], contrib)
+    return np.sqrt(eta2)
+
+
 def mark_elements(eta: np.ndarray, strategy: str = "Doerfler",
                   theta: float = 0.5) -> np.ndarray:
     """Boolean mark array (reference marking strategies :468/:477)."""
@@ -174,8 +264,12 @@ def mark_elements(eta: np.ndarray, strategy: str = "Doerfler",
 # refinement
 # ---------------------------------------------------------------------------
 
-def refine_mesh_2d(mesh: Mesh, marked: np.ndarray) -> Mesh:
-    """Red/green refinement of marked triangles."""
+def refine_mesh_2d(mesh: Mesh, marked: np.ndarray, blue: bool = True) -> Mesh:
+    """Red/green/blue refinement of marked triangles (reference
+    MeshUnstructuredRefinement: refineRegular 'red' :2467, refineGreen
+    :2122, refineBlue :1905).  blue=True handles two-marked-edge elements
+    with the 3-child blue pattern (no propagation); blue=False promotes
+    them to red and iterates the closure (the pre-blue behavior)."""
     if mesh.dim != 2 or mesh.fe_type != "P1":
         raise NotImplementedError("red/green refinement: 2D P1 meshes")
     elems = mesh.elements
@@ -185,15 +279,16 @@ def refine_mesh_2d(mesh: Mesh, marked: np.ndarray) -> Mesh:
 
     edge_marked = np.zeros(n_edges, dtype=bool)
     edge_marked[elem_edge[marked].ravel()] = True
-    # closure: ≥2 marked edges → red (mark all 3); iterate
-    while True:
-        cnt = edge_marked[elem_edge].sum(axis=1)
-        promote = cnt >= 2
-        new_marks = elem_edge[promote].ravel()
-        before = edge_marked.sum()
-        edge_marked[new_marks] = True
-        if edge_marked.sum() == before:
-            break
+    if not blue:
+        # closure: ≥2 marked edges → red (mark all 3); iterate
+        while True:
+            cnt = edge_marked[elem_edge].sum(axis=1)
+            promote = cnt >= 2
+            new_marks = elem_edge[promote].ravel()
+            before = edge_marked.sum()
+            edge_marked[new_marks] = True
+            if edge_marked.sum() == before:
+                break
     cnt = edge_marked[elem_edge].sum(axis=1)
 
     # new midpoint nodes for marked edges
@@ -216,6 +311,11 @@ def refine_mesh_2d(mesh: Mesh, marked: np.ndarray) -> Mesh:
 
     new_elems = []
     new_flags = []
+
+    def _coord(nid):
+        return (mesh.points[nid] if nid < mesh.n_points
+                else midpoints[nid - mesh.n_points])
+
     # local edges in P2 order: (0,1),(1,2),(0,2)
     pair = P2_EDGE_ORDER[2]
     for e in range(E):
@@ -231,6 +331,26 @@ def refine_mesh_2d(mesh: Mesh, marked: np.ndarray) -> Mesh:
             new_elems += [[vv[0], m01, m02], [m01, vv[1], m12],
                           [m02, m12, vv[2]], [m01, m12, m02]]
             new_flags += [fl] * 4
+        elif cnt[e] == 2:  # blue: 3 children (refineBlue :1905)
+            # marked edges share vertex b; quad (a, m_ab, m_bc, c) is split
+            # along its SHORTER diagonal (deterministic)
+            l1, l2 = np.nonzero(mk)[0]
+            (i1, j1), (i2, j2) = pair[l1], pair[l2]
+            common = set((i1, j1)) & set((i2, j2))
+            b_l = common.pop()
+            a_l = i1 + j1 - b_l
+            c_l = i2 + j2 - b_l
+            a, b_, c = vv[a_l], vv[b_l], vv[c_l]
+            m_ab = mid_id[ee[l1]]
+            m_bc = mid_id[ee[l2]]
+            d1 = np.sum((_coord(m_ab) - mesh.points[c]) ** 2)
+            d2 = np.sum((_coord(m_bc) - mesh.points[a]) ** 2)
+            new_elems.append([m_ab, b_, m_bc])
+            if d1 <= d2:  # diagonal (m_ab, c)
+                new_elems += [[a, m_ab, c], [m_ab, m_bc, c]]
+            else:         # diagonal (a, m_bc)
+                new_elems += [[a, m_ab, m_bc], [a, m_bc, c]]
+            new_flags += [fl] * 3
         else:  # green: bisect through the single marked edge
             le = int(np.nonzero(mk)[0][0])
             i, j = pair[le]
@@ -241,6 +361,15 @@ def refine_mesh_2d(mesh: Mesh, marked: np.ndarray) -> Mesh:
 
     points = np.concatenate([mesh.points, midpoints])
     pflags = np.concatenate([mesh.point_flags, mid_flags])
+
+    # orientation fix (blue children may invert the relabeled order)
+    ne = np.array(new_elems, dtype=np.int64)
+    p = points[ne]
+    d = ((p[:, 1, 0] - p[:, 0, 0]) * (p[:, 2, 1] - p[:, 0, 1])
+         - (p[:, 1, 1] - p[:, 0, 1]) * (p[:, 2, 0] - p[:, 0, 0]))
+    neg = d < 0
+    ne[neg, 1], ne[neg, 2] = ne[neg, 2].copy(), ne[neg, 1].copy()
+    new_elems = ne.tolist()
 
     # rebuild boundary surfaces: split flagged edges that got midpoints
     new_surf, new_sflags = [], []
@@ -340,6 +469,146 @@ def refine_uniform(mesh: Mesh) -> Mesh:
     pflags = np.concatenate([mesh.point_flags, mid_flags])
     out = Mesh(3, "P1", points, pflags, new_elems, new_flags)
     # regenerate boundary surfaces from facet counts
+    from feddlib_tpu.mesh.structured import _boundary_tris_3d
+
+    out.surfaces, out.surface_flags = _boundary_tris_3d(out)
+    return out
+
+
+def refine_mesh_3d(mesh: Mesh, marked: np.ndarray) -> Mesh:
+    """3D red-green refinement: marked tets are red-refined (8 children
+    over all 6 edge midpoints, shortest-diagonal octahedron split), and
+    neighbor tets with hanging midpoints get a GREEN closure — successive
+    multisection through their existing midpoints only (no new points, so
+    no propagation; the reference's 3D tagged-edge closure role,
+    MeshUnstructuredRefinement_decl.hpp:78-99)."""
+    if mesh.dim != 3 or mesh.fe_type != "P1":
+        raise NotImplementedError("refine_mesh_3d: 3D P1 meshes")
+    elems = mesh.elements[:, :4]
+    E = len(elems)
+    edges, elem_edge = mesh.unique_edges()
+    n_p = mesh.n_points
+
+    # red set closure (Bey-style): a fully-marked face against a red
+    # neighbor is handled by the GREEN-FACE 4-child pattern (matching the
+    # red side's midpoint-triangle face split) — but only when that face's
+    # 3 midpoints are the tet's ONLY hanging midpoints; any tet with a
+    # fully-marked face PLUS further midpoints is promoted to red and the
+    # closure iterates.  (Local faces opposite vertices 0..3 expressed in
+    # the P2 edge order (0,1),(1,2),(0,2),(0,3),(1,3),(2,3).)
+    face_edges = np.array([[1, 5, 4], [2, 5, 3], [0, 4, 3], [0, 1, 2]])
+    red = marked.copy()
+    edge_marked = np.zeros(len(edges), dtype=bool)
+    while True:
+        edge_marked[elem_edge[red].ravel()] = True
+        em = edge_marked[elem_edge]  # [E, 6]
+        n_full = em[:, face_edges].all(axis=2).sum(axis=1)
+        promote = (((n_full == 1) & (em.sum(axis=1) > 3)) | (n_full > 1)) \
+            & ~red
+        if not promote.any():
+            break
+        red |= promote
+    marked = red
+    em = edge_marked[elem_edge]
+    full_face = em[:, face_edges].all(axis=2)  # [E, 4]
+    m_edges = np.nonzero(edge_marked)[0]
+    mid_of = np.full(len(edges), -1, dtype=np.int64)
+    mid_of[m_edges] = n_p + np.arange(len(m_edges))
+    midpoints = 0.5 * (mesh.points[edges[m_edges, 0]]
+                       + mesh.points[edges[m_edges, 1]])
+    points = np.concatenate([mesh.points, midpoints])
+    mid_lookup = {}  # sorted vertex pair → node id
+    for ge in m_edges:
+        mid_lookup[(int(edges[ge, 0]), int(edges[ge, 1]))] = int(mid_of[ge])
+
+    new_elems, new_flags = [], []
+    for e in range(E):
+        vv = elems[e]
+        fl = mesh.element_flags[e]
+        if marked[e]:
+            mid = mid_of[elem_edge[e]]  # 6 global midpoint ids
+            m01, m12, m02, m03, m13, m23 = (int(m) for m in mid)
+            corners = [[vv[0], m01, m02, m03], [vv[1], m01, m12, m13],
+                       [vv[2], m02, m12, m23], [vv[3], m03, m13, m23]]
+            # octahedron: shortest diagonal of (m01,m23),(m02,m13),(m03,m12)
+            diags = [(m01, m23), (m02, m13), (m03, m12)]
+            rings = [(m02, m03, m13, m12), (m01, m03, m23, m12),
+                     (m01, m02, m23, m13)]
+            dlen = [np.sum((points[a] - points[b]) ** 2) for a, b in diags]
+            k = int(np.argmin(dlen))
+            a, b = diags[k]
+            c1, c2, c3, c4 = rings[k]
+            octa = [[a, b, c1, c2], [a, b, c2, c3],
+                    [a, b, c3, c4], [a, b, c4, c1]]
+            new_elems += corners + octa
+            new_flags += [fl] * 8
+        elif full_face[e].any():
+            # green-face: the 3 midpoints of ONE fully-marked face → 4
+            # children matching the red neighbor's face triangulation
+            ff = int(np.nonzero(full_face[e])[0][0])
+            local_faces = [(1, 2, 3), (0, 2, 3), (0, 1, 3), (0, 1, 2)]
+            fa, fb, fc = (vv[k] for k in local_faces[ff])
+            d_v = vv[ff]  # opposite vertex
+            m_ab = mid_lookup[(min(fa, fb), max(fa, fb))]
+            m_bc = mid_lookup[(min(fb, fc), max(fb, fc))]
+            m_ac = mid_lookup[(min(fa, fc), max(fa, fc))]
+            new_elems += [[fa, m_ab, m_ac, d_v], [fb, m_ab, m_bc, d_v],
+                          [fc, m_ac, m_bc, d_v], [m_ab, m_bc, m_ac, d_v]]
+            new_flags += [fl] * 4
+        else:
+            # green closure: multisect through existing midpoints only
+            queue = [list(vv)]
+            while queue:
+                tet = queue.pop()
+                hang = []
+                for i in range(4):
+                    for j in range(i + 1, 4):
+                        key = (min(tet[i], tet[j]), max(tet[i], tet[j]))
+                        m = mid_lookup.get(key)
+                        if m is not None:
+                            d2 = np.sum((points[tet[i]]
+                                         - points[tet[j]]) ** 2)
+                            hang.append((d2, i, j, m))
+                if not hang:
+                    new_elems.append(tet)
+                    new_flags.append(fl)
+                    continue
+                # deterministic ACROSS NEIGHBORS: longest hanging edge
+                # first, ties broken by GLOBAL vertex ids — both tets
+                # sharing a 2-midpoint face then induce the same face
+                # triangulation
+                hang.sort(key=lambda t: (-t[0],
+                                         min(tet[t[1]], tet[t[2]]),
+                                         max(tet[t[1]], tet[t[2]])))
+                _, i, j, m = hang[0]
+                rest = [tet[k2] for k2 in range(4) if k2 not in (i, j)]
+                queue.append([tet[i], m] + rest)
+                queue.append([m, tet[j]] + rest)
+
+    elements = np.array(new_elems, dtype=np.int64)
+    p = points[elements]
+    d = np.linalg.det(p[:, 1:] - p[:, :1])
+    neg = d < 0
+    elements[neg, 2], elements[neg, 3] = (elements[neg, 3].copy(),
+                                          elements[neg, 2].copy())
+
+    # midpoint flags: inherit from flagged boundary triangles (as in
+    # refine_uniform); then regenerate the boundary surface list
+    mid_flags = np.zeros(len(m_edges), dtype=np.int32)
+    if mesh.surfaces is not None and len(mesh.surfaces):
+        surf_edge = {}
+        sv = np.sort(mesh.surfaces, axis=1)
+        for s, fl in zip(sv, mesh.surface_flags):
+            for pr in ((0, 1), (1, 2), (0, 2)):
+                key = (int(s[pr[0]]), int(s[pr[1]]))
+                surf_edge[key] = min(surf_edge.get(key, 1 << 30), int(fl))
+        for i, ge in enumerate(m_edges):
+            key = (int(edges[ge, 0]), int(edges[ge, 1]))
+            if key in surf_edge:
+                mid_flags[i] = surf_edge[key]
+    pflags = np.concatenate([mesh.point_flags, mid_flags])
+    out = Mesh(3, "P1", points, pflags, elements,
+               np.array(new_flags, dtype=np.int32))
     from feddlib_tpu.mesh.structured import _boundary_tris_3d
 
     out.surfaces, out.surface_flags = _boundary_tris_3d(out)
@@ -465,9 +734,12 @@ def adapt(mesh: Mesh, u: np.ndarray, f: Optional[Callable] = None,
           strategy: str = "Doerfler", theta: float = 0.5,
           method: str = "redgreen") -> Tuple[Mesh, np.ndarray]:
     """One AMR cycle: estimate → mark → refine.  Returns (new mesh, η).
-    method: 'redgreen' (2D) or 'bisection' (2D/3D)."""
+    method: 'redgreen' (2D red/green/blue; 3D red + green closure) or
+    'bisection' (2D/3D longest-edge)."""
     eta = error_estimate_p1(mesh, u, f)
     marked = mark_elements(eta, strategy, theta)
     if method == "bisection":
         return refine_bisection(mesh, marked), eta
+    if mesh.dim == 3:
+        return refine_mesh_3d(mesh, marked), eta
     return refine_mesh_2d(mesh, marked), eta

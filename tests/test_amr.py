@@ -194,3 +194,126 @@ def test_3d_estimator_and_adaptive_cycle():
         assert marked_mesh.n_elements > mesh.n_elements
         mesh = marked_mesh
     assert etas[1] < etas[0], etas
+
+
+def test_blue_refinement_conforming_and_leaner():
+    """Blue handles two-marked-edge triangles with 3 children; without it
+    they are promoted to red (more elements).  Both must be conforming
+    (reference refineBlue, MeshUnstructuredRefinement_def.hpp:1905)."""
+    from feddlib_tpu.mesh.refine import refine_mesh_2d
+
+    m = build_structured_mesh(2, 6)
+    rng = np.random.default_rng(0)
+    marked = np.zeros(m.n_elements, dtype=bool)
+    marked[rng.choice(m.n_elements, 12, replace=False)] = True
+    r_blue = refine_mesh_2d(m, marked, blue=True)
+    r_red = refine_mesh_2d(m, marked, blue=False)
+    _check_conforming(r_blue)
+    _check_conforming(r_red)
+    assert np.isclose(_areas(r_blue).sum(), 1.0)
+    assert r_blue.n_elements <= r_red.n_elements
+    # positive orientation everywhere
+    p = r_blue.points[r_blue.elements]
+    det = ((p[:, 1, 0] - p[:, 0, 0]) * (p[:, 2, 1] - p[:, 0, 1])
+           - (p[:, 1, 1] - p[:, 0, 1]) * (p[:, 2, 0] - p[:, 0, 0]))
+    assert (det > 0).all()
+
+
+def _check_conforming_3d(mesh):
+    """Interior faces shared by exactly 2 tets; single faces lie on the
+    unit-cube boundary; volumes sum to 1."""
+    elems = mesh.elements[:, :4]
+    local = [(1, 2, 3), (0, 2, 3), (0, 1, 3), (0, 1, 2)]
+    faces = np.concatenate([np.sort(elems[:, list(lf)], axis=1)
+                            for lf in local])
+    uniq, counts = np.unique(faces, axis=0, return_counts=True)
+    assert counts.max() <= 2
+    single = uniq[counts == 1]
+    cent = mesh.points[single].mean(axis=1)
+    on_b = np.zeros(len(cent), dtype=bool)
+    for d in range(3):
+        on_b |= np.isclose(cent[:, d], 0) | np.isclose(cent[:, d], 1)
+    assert on_b.all(), "hanging interior face"
+    p = mesh.points[elems]
+    vols = np.abs(np.linalg.det(p[:, 1:] - p[:, :1])) / 6
+    assert np.isclose(vols.sum(), 1.0)
+
+
+def test_redgreen_3d_conforming():
+    """3D red-green: marked tets red-refined, neighbors green-closed by
+    midpoint multisection — conforming, volume-preserving, deterministic."""
+    from feddlib_tpu.mesh.refine import refine_mesh_3d
+
+    m = build_structured_mesh(3, 3)
+    rng = np.random.default_rng(1)
+    marked = np.zeros(m.n_elements, dtype=bool)
+    marked[rng.choice(m.n_elements, 8, replace=False)] = True
+    r = refine_mesh_3d(m, marked)
+    assert r.n_elements > m.n_elements
+    _check_conforming_3d(r)
+    # determinism
+    r2 = refine_mesh_3d(m, marked)
+    np.testing.assert_array_equal(r.elements, r2.elements)
+    # second cycle stays conforming
+    marked2 = np.zeros(r.n_elements, dtype=bool)
+    marked2[rng.choice(r.n_elements, 10, replace=False)] = True
+    _check_conforming_3d(refine_mesh_3d(r, marked2))
+
+
+def test_p2_estimator_exact_quadratic_and_singularity():
+    from feddlib_tpu.fe.domain import Domain
+    from feddlib_tpu.mesh.refine import error_estimate_p2
+
+    dom = Domain.structured(2, 6, fe_type="P2")
+    pts = dom.mesh.points
+    # u = x² + y² is exactly representable: f = −Δu = −4 ⇒ η ≈ 0
+    u = pts[:, 0] ** 2 + pts[:, 1] ** 2
+    eta = error_estimate_p2(dom.mesh, u, lambda x: -4.0)
+    assert np.abs(eta).max() < 1e-10
+    # kinked solution: estimator concentrates near the kink
+    u2 = np.sqrt((pts[:, 0] - 0.5) ** 2 + (pts[:, 1] - 0.5) ** 2 + 1e-12)
+    eta2 = error_estimate_p2(dom.mesh, u2)
+    cent = pts[dom.mesh.elements[:, :3]].mean(axis=1)
+    r = np.linalg.norm(cent - 0.5, axis=1)
+    assert eta2[r < 0.2].mean() > 2 * eta2[r > 0.4].mean()
+
+
+def test_amr_3d_beats_uniform():
+    """Adaptive 3D red-green reaches a lower total estimated error than
+    uniform refinement at comparable (or fewer) elements (VERDICT item 9
+    acceptance)."""
+    import jax.numpy as jnp
+
+    from feddlib_tpu.bc import BCBuilder
+    from feddlib_tpu.fe import ops
+    from feddlib_tpu.fe.domain import Domain
+    from feddlib_tpu.mesh.refine import (error_estimate_p1, mark_elements,
+                                         refine_mesh_3d, refine_uniform)
+    from feddlib_tpu.solvers.krylov import cg
+
+    def solve_on(mesh):
+        dom = Domain(mesh)
+        K = ops.assemble_laplace(dom)
+        f = lambda x: jnp.exp(-60 * jnp.sum((x - 0.3) ** 2))
+        b = ops.assemble_rhs(dom, f, degree=4)
+        bcb = BCBuilder()
+        bcb.add_bc(lambda x, t: 0.0, 1, 0, dom, "Dirichlet", 1)
+        Kb, bb = bcb.apply_symmetric(K, b, 0)
+        return np.asarray(cg(Kb.matvec, bb, tol=1e-10, maxiter=3000).x)
+
+    fnp = lambda x: float(np.exp(-60 * np.sum((x - 0.3) ** 2)))
+    mesh = build_structured_mesh(3, 4)
+    # two adaptive cycles
+    cur = mesh
+    for _ in range(2):
+        u = solve_on(cur)
+        eta = error_estimate_p1(cur, u, fnp)
+        cur = refine_mesh_3d(cur, mark_elements(eta, "Doerfler", 0.6))
+    u_ad = solve_on(cur)
+    eta_ad = np.sqrt((error_estimate_p1(cur, u_ad, fnp) ** 2).sum())
+    # one uniform cycle (8x elements)
+    uni = refine_uniform(mesh)
+    u_un = solve_on(uni)
+    eta_un = np.sqrt((error_estimate_p1(uni, u_un, fnp) ** 2).sum())
+    assert cur.n_elements < uni.n_elements
+    assert eta_ad < eta_un, (eta_ad, eta_un, cur.n_elements, uni.n_elements)
