@@ -234,6 +234,53 @@ def hex_elem_rhs(corner_coords, dim, fe_type, f, nq_axis=None):
     return jnp.einsum("q,eq,eq,qa->ea", qw_j, jnp.abs(detJ), fq, phi_j)
 
 
+# ---------------------------------------------------------------------------
+# P1-disc: discontinuous per-element linear pressure (the reference's
+# Q2/P1-disc pairing, FE_def.hpp:1967-1969; MeshStructured P1-disc variants)
+# ---------------------------------------------------------------------------
+
+
+def p1disc_phi(dim: int, pts: np.ndarray) -> np.ndarray:
+    """Modal P1-disc basis on [0,1]^dim: {1, ξ−½, η−½(, ζ−½)} →
+    [nq, dim+1].  Dofs are ELEMENT-LOCAL (no inter-element continuity):
+    pressure dof (e, a) has global id e·(dim+1)+a."""
+    pts = np.atleast_2d(np.asarray(pts, dtype=np.float64))
+    cols = [np.ones(len(pts))] + [pts[:, d] - 0.5 for d in range(dim)]
+    return np.stack(cols, axis=1)
+
+
+def p1disc_n_dofs(n_elements: int, dim: int) -> int:
+    return n_elements * (dim + 1)
+
+
+@partial(jax.jit, static_argnames=("dim", "fe_u", "nq_axis"))
+def hex_elem_divergence_p1disc(corner_coords, dim, fe_u="Q2", nq_axis=None):
+    """Mixed divergence B[a,(b,j)] = −∫ ψa ∂j φb with ψ the P1-disc
+    pressure basis and φ the Qk velocity basis (the reference's
+    Q2/P1-disc Stokes element, FE::assemblyDivAndDivT P1-disc branch,
+    FE_def.hpp:1967-1969).  Returns [E, dim+1, nb_u, dim]."""
+    nq_axis = nq_axis or (_default_nq(fe_u) + 1)
+    qp, qw, _, dphi, dphi_geo = _tables(fe_u, dim, nq_axis)
+    psi = jnp.asarray(p1disc_phi(dim, qp), f64)  # [nq, dim+1]
+    qw = jnp.asarray(qw, f64)
+    dphi = jnp.asarray(dphi, f64)
+    _, detJ, Jinv = _geometry(corner_coords, jnp.asarray(dphi_geo, f64))
+    g = jnp.einsum("eqki,qbk->eqbi", Jinv, dphi)  # phys grads of φ
+    return -jnp.einsum("q,eq,qa,eqbj->eabj", qw, jnp.abs(detJ), psi, g)
+
+
+@partial(jax.jit, static_argnames=("dim", "nq_axis"))
+def hex_elem_mass_p1disc(corner_coords, dim, nq_axis=2):
+    """P1-disc pressure mass ∫ ψa ψb → [E, dim+1, dim+1] (block-diagonal
+    globally — P1-disc dofs are element-local)."""
+    qp, qw = hex_quadrature(dim, nq_axis)
+    psi = jnp.asarray(p1disc_phi(dim, qp), f64)
+    qw_j = jnp.asarray(qw, f64)
+    dphi_geo = jnp.asarray(hex_grad_phi("Q1", dim, qp), f64)
+    _, detJ, _ = _geometry(corner_coords, dphi_geo)
+    return jnp.einsum("q,eq,qa,qb->eab", qw_j, jnp.abs(detJ), psi, psi)
+
+
 def build_hex_mesh(dim: int, n_cells, lower=None, upper=None,
                    fe_type: str = "Q1"):
     """Structured quadrilateral/hexahedral mesh (fe_type Q1 | Q2 | Q2-20).

@@ -248,6 +248,71 @@ def assemble_divergence(dom_u: Domain, dom_p: Domain):
     return B, BT
 
 
+def assemble_hex_laplace_vec(domain: Domain, viscosity: float = 1.0
+                             ) -> CsrMatrix:
+    """Vector Laplace on Q-family hex meshes (identity expansion of the
+    scalar hex stiffness — FE::assemblyLaplaceVecField for Q spaces)."""
+    from feddlib_tpu.fe.hex import hex_elem_laplace
+
+    dim = domain.dim
+    eye = jnp.eye(dim, dtype=jnp.float64)
+    return _assemble_chunked(
+        _square_pattern(domain, dim),
+        ("hex_laplace_vec", dim, domain.fe_type, viscosity),
+        lambda vc: hex_elem_laplace(vc, dim, domain.fe_type) * viscosity,
+        domain.vert_coords(),
+        post=lambda K: asm.vectorize_elem_mat(
+            jnp.einsum("eab,ij->eabij", K, eye)))
+
+
+def assemble_divergence_p1disc(dom_u: Domain):
+    """Mixed divergence blocks B (P1-disc pressure rows × Qk velocity
+    cols) and Bᵀ — the reference's Q2/P1-disc pairing
+    (FE::assemblyDivAndDivT P1-disc branch, FE_def.hpp:1967-1969).
+    Pressure dofs are element-local: gid = e·(dim+1)+a."""
+    from feddlib_tpu.fe.hex import hex_elem_divergence_p1disc
+
+    dim = dom_u.dim
+    E = dom_u.n_elements
+    n_p = E * (dim + 1)
+    rows = (np.arange(E)[:, None] * (dim + 1)
+            + np.arange(dim + 1)[None, :])  # [E, dim+1]
+    cols = dom_u.elem_dofs(dim)
+
+    def build():
+        return asm.scatter_pattern(rows, cols, n_p, dom_u.n_dofs(dim))
+
+    pat = dom_u.pattern(("div_p1disc", dim), build)
+    B = _assemble_chunked(
+        pat, ("div_p1disc", dim, dom_u.fe_type),
+        lambda vc: hex_elem_divergence_p1disc(vc, dim, dom_u.fe_type),
+        dom_u.vert_coords(),
+        post=lambda Bm: Bm.reshape(Bm.shape[0], Bm.shape[1], -1))
+    return B, B.transpose()
+
+
+def assemble_mass_p1disc(dom_u: Domain) -> CsrMatrix:
+    """P1-disc pressure mass matrix (block-diagonal, element-local dofs) —
+    the pressure-mass Schur approximation for Q2/P1-disc block
+    preconditioners."""
+    from feddlib_tpu.fe.hex import hex_elem_mass_p1disc
+
+    dim = dom_u.dim
+    E = dom_u.n_elements
+    n_p = E * (dim + 1)
+    rows = (np.arange(E)[:, None] * (dim + 1)
+            + np.arange(dim + 1)[None, :])
+
+    def build():
+        return asm.scatter_pattern(rows, rows, n_p, n_p)
+
+    pat = dom_u.pattern(("mass_p1disc", dim), build)
+    return _assemble_chunked(
+        pat, ("mass_p1disc", dim, dom_u.fe_type),
+        lambda vc: hex_elem_mass_p1disc(vc, dim),
+        dom_u.vert_coords())
+
+
 def assemble_bd_stabilization(dom_p: Domain) -> CsrMatrix:
     """Bochev–Dohrmann P1-P1 pressure stabilization block C
     (FE::assemblyBDStabilization, FE_def.hpp:2151)."""

@@ -572,7 +572,8 @@ def distributed_two_level(dmat, part=None, points: Optional[np.ndarray] = None,
                           overlap: int = 1,
                           blocks: Optional[List[dict]] = None,
                           factor: str = "host",
-                          ipou: Optional[dict] = None):
+                          ipou: Optional[dict] = None,
+                          coarse_procs: int = 0):
     """Two-level GDSW for the shard_map solver (DistributedSolver), built
     from the DistributedCsr ALONE — setup reads only per-device row views
     (DistributedCsr.local_rows); no global matrix is assembled anywhere.
@@ -589,14 +590,21 @@ def distributed_two_level(dmat, part=None, points: Optional[np.ndarray] = None,
     per-block specs of GDSWCoarseOperator (offset, node_part_sets, points,
     dofs_per_node, null_space).
 
-    coarse_ranks = 0: A₀⁻¹ replicated on every device (default).
-    coarse_ranks = k > 0: dedicated coarse devices — the reference's
-    'Mpi Ranks Coarse' (Preconditioner_def.hpp:384-423): the matrix rows
-    must live on the first n_dev − k devices (unique map built with
-    `IndexMap.with_free_parts(k)`, the analog of buildUniqueMap's
-    numFreeProcs); A₀⁻¹ is row-sharded over the LAST k devices only, so
-    coarse memory and the coarse matmul live on the reserved devices, and
-    the correction is recovered with one all_gather.
+    Coarse placement — the reference's Distribution sublist
+    (parametersPrec.xml:104-110, Type/NumProcs/GatheringSteps):
+    - coarse_ranks = 0, coarse_procs = 0: A₀⁻¹ replicated on every device
+      (default; the coarse residual psum IS a hardware tree reduction over
+      ICI, so the reference's staged 'GatheringSteps' lever is subsumed by
+      the XLA collective schedule).
+    - coarse_procs = k > 0: Distribution→NumProcs — A₀⁻¹ row-sharded over
+      the FIRST k devices (which also keep their domain rows); coarse
+      memory and the coarse matmul are confined to those devices and the
+      correction is recovered with one all_gather.
+    - coarse_ranks = k > 0: DEDICATED coarse devices — the reference's
+      'Mpi Ranks Coarse' (Preconditioner_def.hpp:384-423): the matrix rows
+      must live on the first n_dev − k devices (unique map built with
+      `IndexMap.with_free_parts(k)`, the analog of buildUniqueMap's
+      numFreeProcs); A₀⁻¹ is row-sharded over the LAST k devices only.
 
     Returns (build_fn, arrays)."""
     import jax.numpy as jnp
@@ -633,22 +641,24 @@ def distributed_two_level(dmat, part=None, points: Optional[np.ndarray] = None,
     A0_inv = np.asarray(coarse.A0_inv)
     arrays = list(arrays1) + [jnp.asarray(phi_own)]
 
-    if coarse_ranks == 0:
+    if coarse_ranks == 0 and coarse_procs == 0:
         arrays.append(jnp.asarray(np.broadcast_to(A0_inv, (n_dev, nc, nc))))
         sel = None
     else:
-        k = coarse_ranks
+        if coarse_ranks and coarse_procs:
+            raise ValueError("choose coarse_ranks OR coarse_procs")
+        k = coarse_ranks or min(coarse_procs, n_dev)
+        first = n_dev - k if coarse_ranks else 0  # trailing vs leading devs
         nc_s = -(-nc // k)  # ceil
         slab = np.zeros((n_dev, nc_s, nc))
         for j in range(k):
-            d = n_dev - k + j
             rows = A0_inv[j * nc_s: min((j + 1) * nc_s, nc)]
-            slab[d, : len(rows)] = rows
+            slab[first + j, : len(rows)] = rows
         arrays.append(jnp.asarray(slab))
         # static gather: coarse row j lives in the all_gather buffer at
-        # (first_coarse_dev + j // nc_s) * nc_s + j % nc_s
+        # (first + j // nc_s) * nc_s + j % nc_s
         sel = jnp.asarray(
-            (n_dev - k + np.arange(nc) // nc_s) * nc_s + np.arange(nc) % nc_s,
+            (first + np.arange(nc) // nc_s) * nc_s + np.arange(nc) % nc_s,
             jnp.int32)
 
     def build(prec_arrays, ctx):

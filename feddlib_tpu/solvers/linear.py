@@ -404,13 +404,15 @@ class LinearSolver:
                         vertices=bool(params.get("IPOU Vertices", True)),
                         edges=bool(params.get("IPOU Edges", True)),
                         faces=bool(params.get("IPOU Faces", True)))
+                cprocs = int(params.get("Coarse NumProcs", 0))
+                cprocs = 0 if cprocs <= 1 else cprocs
                 if len(problem.variables) == 1:
                     build, arrs = distributed_two_level(
                         dmat, part, dom0.mesh.points,
                         problem.total_dofs_per_node(),
                         combine=combine, overlap=overlap, null_space=nsp,
                         dirichlet_mask=problem.merged_dirichlet_mask(),
-                        variant=variant, ipou=ipou)
+                        variant=variant, ipou=ipou, coarse_procs=cprocs)
                 else:
                     # monolithic block GDSW (the FROSch MONOLITHIC feed,
                     # Preconditioner_def.hpp:295-383) — now available on
@@ -418,7 +420,7 @@ class LinearSolver:
                     build, arrs = distributed_two_level(
                         dmat, combine=combine, overlap=overlap,
                         dirichlet_mask=problem.merged_dirichlet_mask(),
-                        variant=variant, ipou=ipou,
+                        variant=variant, ipou=ipou, coarse_procs=cprocs,
                         blocks=problem.preconditioner._block_specs(part, nsp))
             elif prec_type == "Jacobi":
                 build, arrs = "jacobi", None

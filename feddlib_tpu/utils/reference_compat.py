@@ -87,6 +87,13 @@ def translate_prec(p: ParameterList, out: ParameterList) -> None:
     else:
         out["Coarse Space Variant"] = "RGDSW" if "RGDSW" in cot else "GDSW"
     out["Level Combination"] = fr.get("Level Combination", "Additive")
+    # Distribution sublist (parametersPrec.xml:104-110): NumProcs → the
+    # device subset holding the coarse solve ('Coarse NumProcs').
+    # GatheringSteps has no analog knob: the coarse psum/all_gather is
+    # already a staged tree reduction in the XLA collective schedule.
+    dist = _find(fr, cot, "Distribution") or _find(fr, "Distribution")
+    if isinstance(dist, ParameterList):
+        out["Coarse NumProcs"] = int(dist.get("NumProcs", 1))
 
 
 def translate_problem(p: ParameterList, out: ParameterList) -> None:

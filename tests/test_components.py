@@ -416,3 +416,39 @@ def test_q2_hex_poisson_convergence():
         e = jnp.asarray(np.asarray(res.x) - ex)
         errs.append(float(jnp.sqrt(e @ M.matvec(e))))
     assert np.log2(errs[0] / errs[1]) > 2.9
+
+
+def test_coarse_numprocs_matches_replicated():
+    """'Coarse NumProcs' (the reference Distribution sublist,
+    parametersPrec.xml:104-110): sharding A0^-1 over the first k devices
+    reproduces the replicated coarse solve iteration-for-iteration."""
+    from feddlib_tpu.bc import BCBuilder
+    from feddlib_tpu.fe import ops
+    from feddlib_tpu.mesh.partition import MeshPartition
+    from feddlib_tpu.parallel.solve import DistributedSolver
+    from feddlib_tpu.parallel.spmd import (
+        DeviceAxis, DistributedCsr, distribute_vector)
+    from feddlib_tpu.precond.gdsw import distributed_two_level
+
+    dom = Domain.structured(2, 16)
+    K = ops.assemble_laplace(dom)
+    bcb = BCBuilder()
+    bcb.add_bc(lambda x, t: 0.0, 1, 0, dom, "Dirichlet", 1)
+    b = ops.assemble_rhs(dom, lambda x: 1.0 + 0 * x[0])
+    Kb, bb = bcb.apply_symmetric(K, b, 0)
+    dmask = bcb.dirichlet_mask(0, dom.n_nodes)
+    part = MeshPartition(dom.mesh, 8)
+    dmat = DistributedCsr(Kb, part.unique_map)
+    solver = DistributedSolver(dmat, DeviceAxis.make(8))
+    b_dist = distribute_vector(np.asarray(bb), part.unique_map,
+                               dmat.plan.N_o)
+    its = {}
+    for cp in (0, 2):
+        build, arrs = distributed_two_level(dmat, part, dom.mesh.points, 1,
+                                            dirichlet_mask=dmask,
+                                            coarse_procs=cp)
+        _, it, rel = solver.solve(b_dist, method="gmres", tol=1e-8,
+                                  maxiter=500, precond=(build, arrs))
+        assert rel < 1e-8
+        its[cp] = it
+    assert its[2] == its[0]
