@@ -90,7 +90,9 @@ def main():
     _ = float(jnp.asarray(r).ravel()[0])  # compile + sync
     note("spmv chain compiled")
 
-    lo, hi = (3, 43) if on_tpu else (2, 8)
+    # wide loop-length difference: the axon tunnel adds ~ms fetch jitter,
+    # so the extra applies must dominate it
+    lo, hi = (5, 205) if on_tpu else (2, 8)
 
     def run(steps):
         t0 = time.perf_counter()
@@ -116,14 +118,24 @@ def main():
     pat = fa.pattern_abe(dom, 1)
     plan = pat.duplication_plan()
     vc = dom.vert_coords()
+    # Pallas scatter-assembly: the COO→CSR reduction as a windowed-SELL
+    # SpMV of the 0/1 plan matrix (f32 — the mixed-precision production
+    # path) instead of the serial XLA scatter (round-1 weak item 2)
+    sell_plans = fa.sell_assembly_plans(pat, dom.n_elements) if on_tpu \
+        else None
+    sell_ops = fa.sell_assembly_ops(sell_plans) if sell_plans else None
 
     @jax.jit
-    def asm_chain(vcoords, steps):
+    def asm_chain(vcoords, sops, steps):
         def body(i, acc):
             # acc-dependent perturbation defeats loop-invariant hoisting
             flat = fa.elem_laplace_flat_T(vcoords * (1.0 + acc * 1e-30),
                                           3, "P1")
-            if on_tpu and plan[0] is not None:
+            if sell_plans is not None:
+                data = fa.sell_assemble(sell_plans,
+                                        flat.astype(jnp.float32),
+                                        ops_list=sops)
+            elif plan[0] is not None:
                 data = assemble_csr_data_tri(flat, plan[0], pat.nnz, plan[1])
             else:
                 data = assemble_csr_data(
@@ -133,12 +145,12 @@ def main():
 
         return lax.fori_loop(0, steps, body, 0.0)
 
-    _ = float(asm_chain(vc, 2))
+    _ = float(asm_chain(vc, sell_ops, 2))
     note("assembly chain compiled")
 
     def arun(steps):
         t0 = time.perf_counter()
-        _ = float(asm_chain(vc, steps))
+        _ = float(asm_chain(vc, sell_ops, steps))
         return time.perf_counter() - t0
 
     alo, ahi = (2, 12) if on_tpu else (2, 5)

@@ -347,12 +347,24 @@ def sell_assembly_plans(pattern, n_elements: int,
     return plans
 
 
-def sell_assemble(plans, flat_vals):
+def sell_assemble(plans, flat_vals, ops_list=None):
     """Apply the sectioned SELL assembly: [n_raw] raw element values →
-    [nnz] CSR data (jittable; sections unrolled)."""
+    [nnz] CSR data (jittable; sections unrolled).
+
+    ops_list: optionally the per-section operand tuples
+    (`sell_assembly_ops(plans)`) passed THROUGH the enclosing jit as
+    arguments — on remote-compile backends plan arrays must not be baked
+    into the program as constants."""
     out = None
-    for sell, off, w in plans:
+    for k, (sell, off, w) in enumerate(plans):
         fn, ops = sell.operator()
+        if ops_list is not None:
+            ops = ops_list[k]
         y = fn(ops, jax.lax.dynamic_slice(flat_vals, (off,), (w,)))
         out = y if out is None else out + y
     return out
+
+
+def sell_assembly_ops(plans):
+    """Operand pytree for `sell_assemble(..., ops_list=...)`."""
+    return tuple(p[0].operands() for p in plans)

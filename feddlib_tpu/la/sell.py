@@ -312,6 +312,19 @@ def _sell_mv_pallas(vals, pidx, bids, x2d, E, C=64):
     nchunks = vals.shape[0]
     K = bids.shape[1]
     rpl = _LANES // E
+    # bids is scalar-prefetched into SMEM (~1 MB budget); very tall
+    # matrices (e.g. the plan matrices of the Pallas scatter-assembly)
+    # exceed it — split the launch into row super-blocks, x2d stays
+    # resident across calls
+    SMEM_BUDGET = 1 << 18  # 256 KB of bids per launch
+    if nchunks * K * 4 > SMEM_BUDGET:
+        seg = max((SMEM_BUDGET // (K * 4)) // C * C, C)
+        parts = []
+        for s in range(0, nchunks, seg):
+            e = min(s + seg, nchunks)
+            parts.append(_sell_mv_pallas(vals[s:e], pidx[s:e], bids[s:e],
+                                         x2d, E, C))
+        return jnp.concatenate(parts)
     ng = max(_round_up(nchunks, C) // C, 1)
     padc = ng * C - nchunks
     if padc:

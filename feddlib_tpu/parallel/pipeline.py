@@ -158,16 +158,19 @@ def _block_eval(kind: str, dim: int, fe_r: str, fe_c: str, params: dict):
         return lambda vc: asm.elem_bd_stabilization(vc, dim, fe_r)
     if kind == "advection":  # N(u) expanded to vector dofs
         eye = jnp.eye(dim, dtype=f64)
+        coeff = float(params.get("coeff", 1.0))  # density scaling of u
 
         def f(vc, ue):
-            N = asm.elem_advection(vc, ue, dim, fe_r)
+            N = asm.elem_advection(vc, ue, dim, fe_r) * coeff
             return asm.vectorize_elem_mat(jnp.einsum("eab,ij->eabij", N, eye))
 
         return f
     if kind == "advection_in_u":  # W(u) Newton linearisation
+        coeff = float(params.get("coeff", 1.0))
+
         def f(vc, ue):
             return asm.vectorize_elem_mat(
-                asm.elem_advection_in_u(vc, ue, dim, fe_r))
+                asm.elem_advection_in_u(vc, ue, dim, fe_r)) * coeff
 
         return f
     raise ValueError(f"unknown block kind {kind!r}")
@@ -583,9 +586,12 @@ class DistributedPipeline:
                         mask_global: np.ndarray,
                         g_global: Optional[np.ndarray] = None):
         """Row elimination on the distributed matrix: Dirichlet rows become
-        unit-diagonal, RHS entries become g (BCBuilder::setDirichletBC,
-        BCBuilder_def.hpp:620 — zero rows + unit diag).  Returns a NEW
-        DistributedCsr sharing plans, and the modified RHS."""
+        unit-diagonal; with g_global given the RHS entries become g
+        (BCBuilder::setDirichletBC, BCBuilder_def.hpp:620 — zero rows +
+        unit diag), with g_global=None the RHS is returned UNCHANGED (the
+        caller's RHS already carries the BC values — the solver-layer
+        convention).  Returns a NEW DistributedCsr sharing plans, and the
+        RHS."""
         m, g = self.dirichlet_arrays(mask_global, g_global)
         is_diag = (dmat.ell_cols
                    == jnp.arange(self.N_o)[None, None, :])  # [ndev,K,N_o]
@@ -597,7 +603,8 @@ class DistributedPipeline:
                                         dmat.ell_cols, data, self.K,
                                         plan=dmat.plan,
                                         row_lens=self.row_lens)
-        rhs = jnp.where(m > 0, g, rhs)
+        if g_global is not None:
+            rhs = jnp.where(m > 0, g, rhs)
         return new, rhs
 
     # -- preconditioner feed ----------------------------------------------------

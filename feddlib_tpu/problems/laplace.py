@@ -26,6 +26,12 @@ class Laplace(Problem):
         self.system.add_block(0, 0, K)
         self.init_vectors()
 
+    def pipeline_blocks(self):
+        """Block kernels for the device-resident distributed pipeline
+        ('Use Device Pipeline', parallel/pipeline.py)."""
+        dofs = self.variables[0][1]
+        return [(0, 0, "laplace" if dofs == 1 else "laplace_vec", {})]
+
     def assemble_source(self, f: Callable) -> None:
         dom, dofs, _ = self.variables[0]
         self.rhs = BlockVector([ops.assemble_rhs(dom, f, dofs)])

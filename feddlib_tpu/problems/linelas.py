@@ -27,6 +27,9 @@ class LinElas(Problem):
         self.system.add_block(0, 0, K)
         self.init_vectors()
 
+    def pipeline_blocks(self):
+        return [(0, 0, "lin_elasticity", {"mu": self.mu, "lam": self.lam})]
+
     def assemble_source(self, f: Callable) -> None:
         dom, dofs, _ = self.variables[0]
         self.rhs = BlockVector([ops.assemble_rhs(dom, f, dofs)])

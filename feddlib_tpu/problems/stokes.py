@@ -41,6 +41,15 @@ class Stokes(Problem):
             self.system.add_block(1, 1, C)
         self.init_vectors()
 
+    def pipeline_blocks(self):
+        dom_u, dom_p = self.variables[0][0], self.variables[1][0]
+        kind = "stress" if self.sym_stress else "laplace_vec"
+        blocks = [(0, 0, kind, {"viscosity": self.viscosity}),
+                  (0, 1, "divergence_T", {}), (1, 0, "divergence", {})]
+        if dom_u.fe_type == dom_p.fe_type:
+            blocks.append((1, 1, "bd_stab", {}))
+        return blocks
+
     def assemble_source(self, f: Callable) -> None:
         dom_u, dim, _ = self.variables[0]
         self.init_vectors()

@@ -364,6 +364,63 @@ class LinearSolver:
             warnings.warn(f"mixed-precision solve: relres={res.relres}")
         return (BlockVector.split(res.x, problem.block_sizes()), res.iters)
 
+    def _dist_precond_solve(self, problem, dmat, part, dof_map, b_dist,
+                            params, tol, maxiter, restart, method, axis,
+                            block_specs):
+        """Preconditioner build + shard_map Krylov for the pipeline path.
+        The preconditioner (and the compiled solve program) is cached on
+        the problem and reused across Newton steps while not stale; the
+        matrix VALUES always come from the freshly assembled dmat (same
+        plan → same compiled program)."""
+        from feddlib_tpu.parallel.solve import DistributedSolver
+
+        prec_type = params.get("Preconditioner Type", "SchwarzOneLevel")
+        overlap = int(params.get("Overlap", 1))
+        combine = params.get("Combine Values in Overlap", "Restricted")
+        cache = getattr(problem, "_pipe_prec", None)
+        if (cache is None or problem._prec_stale
+                or cache["plan"] is not dmat.plan):
+            if prec_type in ("SchwarzTwoLevel", "GDSW", "TwoLevel"):
+                from feddlib_tpu.precond.gdsw import distributed_two_level
+
+                nsp = params.get("Null Space Type", "laplace").lower()
+                nsp = "elasticity" if "elas" in nsp else "laplace"
+                variant = params.get("Coarse Space Variant", "GDSW")
+                ipou = None
+                if variant == "IPOUHarmonic":
+                    ipou = dict(
+                        pou_type=params.get("IPOU Type", "GDSWStar"),
+                        vertices=bool(params.get("IPOU Vertices", True)),
+                        edges=bool(params.get("IPOU Edges", True)),
+                        faces=bool(params.get("IPOU Faces", True)))
+                cprocs = int(params.get("Coarse NumProcs", 0))
+                build, arrs = distributed_two_level(
+                    dmat, combine=combine, overlap=overlap,
+                    dirichlet_mask=problem.merged_dirichlet_mask(),
+                    variant=variant, ipou=ipou,
+                    coarse_procs=0 if cprocs <= 1 else cprocs,
+                    blocks=block_specs)
+                precond = (build, arrs)
+            elif prec_type == "Jacobi":
+                precond = "jacobi"
+            else:
+                from feddlib_tpu.precond.schwarz import distributed_schwarz
+
+                build, arrs = distributed_schwarz(dmat, overlap=overlap,
+                                                  combine=combine)
+                precond = (build, arrs)
+            cache = {"plan": dmat.plan, "precond": precond,
+                     "solver": DistributedSolver(dmat, axis)}
+            problem._pipe_prec = cache
+            problem._prec_stale = False
+        solver = cache["solver"]
+        solver.dmat = dmat  # fresh values, identical plan/shapes
+        x, iters, rel = solver.solve(b_dist, method=method if method == "cg"
+                                     else "gmres", tol=tol, maxiter=maxiter,
+                                     restart=restart,
+                                     precond=cache["precond"])
+        return x, iters, rel
+
     def _solve_distributed(self, problem, A, b: BlockVector, params,
                            tol, maxiter, restart, method):
         """Solve the merged system over the JAX device mesh: owned-row
@@ -377,13 +434,60 @@ class LinearSolver:
             DeviceAxis, DistributedCsr, collect_vector, distribute_vector)
 
         n_dev = int(params.get("Devices", len(jax.devices())))
+        dom0 = problem.domains[0]
+        base_mesh = (dom0.parent_p1.mesh if dom0.parent_p1 is not None
+                     else dom0.mesh)
+
+        # ---- device-resident pipeline path ('Use Device Pipeline'):
+        # assemble ON the device mesh from the problem's block kernels —
+        # no global matrix exists anywhere in the chain (the reference's
+        # rank-local assembly + Export, FE_def.hpp:637-665).
+        hook = getattr(problem, "pipeline_blocks", None)
+        pblocks = (hook() if (hook is not None
+                              and bool(params.get("Use Device Pipeline",
+                                                  False))) else None)
+        pkey = None if pblocks is None else tuple(
+            (i, j, kind, tuple(sorted(prm.items())))
+            for i, j, kind, prm in pblocks)
+        if pkey is not None:
+            from feddlib_tpu.parallel.pipeline import DistributedPipeline
+
+            pc = getattr(problem, "_pipe_cache", None)
+            if pc is None or pc["key"] != pkey or pc["n_dev"] != n_dev:
+                part = MeshPartition(base_mesh, n_dev)
+                pipe = DistributedPipeline(
+                    part, [(dom, dofs) for dom, dofs, _ in problem.variables])
+                for i, j, kind, prm in pblocks:
+                    pipe.add_block(i, j, kind, **prm)
+                pipe.finalize(DeviceAxis.make(n_dev))
+                pc = {"key": pkey, "pipe": pipe, "n_dev": n_dev,
+                      "part": part}
+                problem._pipe_cache = pc
+                problem._dist_cache = None  # plans changed → prec rebuild
+            pipe, part = pc["pipe"], pc["part"]
+            needs_field = any(k in ("advection", "advection_in_u")
+                              for _, _, k, _ in pblocks)
+            x_dist = (pipe.distribute(np.asarray(problem.solution.concat()))
+                      if needs_field and problem.solution is not None
+                      else None)
+            dmask = problem.merged_dirichlet_mask()
+            dmat = pipe.assemble(x=x_dist)
+            dmat, _ = pipe.apply_dirichlet(dmat, None, dmask)  # rows only
+            b_dist = pipe.distribute(np.asarray(b.concat()))
+            x, iters, rel = self._dist_precond_solve(
+                problem, dmat, part, pipe.dof_map, b_dist, params, tol,
+                maxiter, restart, method, pipe.axis,
+                block_specs=pipe.block_specs(
+                    params.get("Null Space Type", "laplace").lower()))
+            problem.last_relres = rel
+            xg = pipe.collect(x)
+            return (BlockVector.split(jnp.asarray(xg),
+                                      problem.block_sizes()), iters)
+
         cache = getattr(problem, "_dist_cache", None)
         if (cache is None or cache["pattern"] is not A.pattern
                 or problem._prec_stale):
             prec_obj = self  # noqa: F841
-            dom0 = problem.domains[0]
-            base_mesh = (dom0.parent_p1.mesh if dom0.parent_p1 is not None
-                         else dom0.mesh)
             part = MeshPartition(base_mesh, n_dev)
             dof_map = problem.preconditioner._merged_dof_map(part)
             dmat = DistributedCsr(A, dof_map)

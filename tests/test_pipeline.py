@@ -265,3 +265,71 @@ def test_pipeline_stokes_block_gdsw_distributed_matches_serial():
     xs, xr = pipe.collect(x), np.asarray(ref.x)
     np.testing.assert_allclose(xs[:n_u], xr[:n_u], atol=1e-7)
     np.testing.assert_allclose(xs[n_u:], xr[n_u:], atol=1e-4)
+
+
+def test_use_device_pipeline_laplace():
+    """'Use Device Pipeline': the standard Problem.solve() flow runs the
+    device-resident assembly→solve chain and reproduces the plain
+    distributed path's iterates."""
+    from feddlib_tpu.problems.laplace import Laplace
+    from feddlib_tpu.utils.config import ParameterList
+
+    results = {}
+    for pipe_on in (False, True):
+        pl = ParameterList("P")
+        for k, v in {"Use Distributed Solve": True, "Devices": 4,
+                     "Use Device Pipeline": pipe_on,
+                     "Preconditioner Type": "SchwarzTwoLevel",
+                     "Overlap": 1, "Convergence Tolerance": 1e-9,
+                     "Maximum Iterations": 500}.items():
+            pl[k] = v
+        dom = Domain.structured(2, 16)
+        prob = Laplace(dom, 1, parameter_list=pl)
+        prob.assemble()
+        prob.assemble_source(lambda x: 1.0 + 0 * x[0])
+        prob.add_bc(lambda x, t: 0.0, 1, 0)
+        prob.set_boundaries_rhs()
+        iters = prob.solve()
+        results[pipe_on] = (iters, np.asarray(prob.solution[0]))
+    assert results[True][0] == results[False][0]
+    np.testing.assert_allclose(results[True][1], results[False][1],
+                               atol=1e-7)
+
+
+def test_use_device_pipeline_navier_stokes_newton():
+    """Full Newton on NS through the pipeline: reassembly is a device
+    re-run with the new solution shards; iterates match the serial
+    backend."""
+    from feddlib_tpu.problems import NavierStokes
+    from feddlib_tpu.solvers.nonlinear import NonLinearSolver
+    from feddlib_tpu.utils.config import ParameterList
+
+    results = {}
+    for backend in ("serial", "pipeline"):
+        pl = ParameterList("P")
+        opts = {"Viscosity": 0.05, "Density": 1.0,
+                "Preconditioner Type": "SchwarzTwoLevel",
+                "Subdomains": 4, "Convergence Tolerance": 1e-9,
+                "Maximum Iterations": 2000,
+                "relNonLinTol": 1e-8, "MaxNonLinIts": 12}
+        if backend == "pipeline":
+            opts.update({"Use Distributed Solve": True, "Devices": 4,
+                         "Use Device Pipeline": True})
+        for k, v in opts.items():
+            pl[k] = v
+        dom_p = Domain.structured(2, 6)
+        dom_u = dom_p.p2_domain()
+        prob = NavierStokes(dom_u, dom_p, parameter_list=pl)
+        prob.assemble()
+
+        def lid(x, t):
+            on_lid = jnp.isclose(x[1], 1.0)
+            return jnp.where(on_lid, jnp.array([1.0, 0.0]), jnp.zeros(2))
+
+        prob.add_bc(lid, 1, 0)
+        solver = NonLinearSolver("Newton")
+        its = solver.solve(prob)
+        results[backend] = (its, np.asarray(prob.solution[0]))
+    assert results["pipeline"][0] == results["serial"][0]
+    np.testing.assert_allclose(results["pipeline"][1],
+                               results["serial"][1], atol=1e-6)
