@@ -312,13 +312,15 @@ def _sell_mv_pallas(vals, pidx, bids, x2d, E, C=64):
     nchunks = vals.shape[0]
     K = bids.shape[1]
     rpl = _LANES // E
-    # bids is scalar-prefetched into SMEM (~1 MB budget); very tall
-    # matrices (e.g. the plan matrices of the Pallas scatter-assembly)
-    # exceed it — split the launch into row super-blocks, x2d stays
-    # resident across calls
-    SMEM_BUDGET = 1 << 18  # 256 KB of bids per launch
-    if nchunks * K * 4 > SMEM_BUDGET:
-        seg = max((SMEM_BUDGET // (K * 4)) // C * C, C)
+    # bids is scalar-prefetched into SMEM (~1 MB budget) and the compiler
+    # pads its trailing axis to the full 128 lanes (observed: an
+    # [nchunks, K] int32 table costs nchunks·128·4 B of SMEM regardless of
+    # K).  Very tall matrices (e.g. the plan matrices of the Pallas
+    # scatter-assembly) exceed it — split the launch into row
+    # super-blocks; x2d stays resident across calls.
+    MAX_CHUNKS = 1 << 11  # 2048 chunks ≈ 1 MB of padded SMEM table
+    if nchunks > MAX_CHUNKS:
+        seg = (MAX_CHUNKS // 2) // C * C  # 1024-chunk launches
         parts = []
         for s in range(0, nchunks, seg):
             e = min(s + seg, nchunks)

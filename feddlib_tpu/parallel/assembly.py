@@ -1,6 +1,11 @@
 """SPMD distributed FE assembly — each device assembles ITS elements and
 ghost-row contributions are exported to the owning device.
 
+NOTE: superseded by `feddlib_tpu.parallel.pipeline.DistributedPipeline`,
+which generalizes this scalar-Laplace prototype to every operator and to
+block systems and emits DistributedCsr ELL values directly.  Kept as the
+minimal reference implementation of the exchange plan.
+
 This is the scalable analog of the reference's assembly flow
 (SURVEY.md §3.1: rank-local element loops insert into globally-indexed rows;
 fillComplete/Export reduces off-rank contributions to owners,

@@ -26,17 +26,51 @@ _counts: Dict[str, int] = defaultdict(int)
 _stack: List[str] = []
 
 
+_trace_enabled = False
+
+
+def enable_profiler_annotations(on: bool = True) -> None:
+    """Emit each timer scope as a named `jax.profiler.TraceAnnotation` so
+    framework phases show up in TensorBoard/xprof device traces (the
+    SURVEY §5 tracing prescription: scoped timers + JAX profiler)."""
+    global _trace_enabled
+    _trace_enabled = on
+
+
 @contextmanager
 def timer(name: str):
     path = "/".join(_stack + [name])
     _stack.append(name)
+    ann = None
+    if _trace_enabled:
+        import jax.profiler
+
+        ann = jax.profiler.TraceAnnotation(path)
+        ann.__enter__()
     t0 = time.perf_counter()
     try:
         yield
     finally:
+        if ann is not None:
+            ann.__exit__(None, None, None)
         _stack.pop()
         _totals[path] += time.perf_counter() - t0
         _counts[path] += 1
+
+
+@contextmanager
+def profile_trace(log_dir: str):
+    """Capture a JAX profiler trace of the enclosed region (xprof/
+    TensorBoard format) with timer scopes annotated."""
+    import jax.profiler
+
+    enable_profiler_annotations(True)
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+        enable_profiler_annotations(False)
 
 
 def reset() -> None:
