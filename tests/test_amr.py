@@ -264,9 +264,16 @@ def test_p2_estimator_exact_quadratic_and_singularity():
     from feddlib_tpu.fe.domain import Domain
     from feddlib_tpu.mesh.refine import error_estimate_p2
 
+    # u = Σ xᵢ² is exactly representable: f = −Δu = −2·dim ⇒ η ≈ 0
+    for dim, n in ((2, 6), (3, 3)):
+        dom = Domain.structured(dim, n, fe_type="P2")
+        pts3 = dom.mesh.points
+        u3 = (pts3 ** 2).sum(axis=1)
+        eta3 = error_estimate_p2(dom.mesh, u3, lambda x: -2.0 * len(x))
+        assert np.abs(eta3).max() < 1e-10, (dim, np.abs(eta3).max())
+
     dom = Domain.structured(2, 6, fe_type="P2")
     pts = dom.mesh.points
-    # u = x² + y² is exactly representable: f = −Δu = −4 ⇒ η ≈ 0
     u = pts[:, 0] ** 2 + pts[:, 1] ** 2
     eta = error_estimate_p2(dom.mesh, u, lambda x: -4.0)
     assert np.abs(eta).max() < 1e-10
