@@ -372,30 +372,40 @@ class GDSWCoarseOperator:
                          int(blk["offset"]) + blk["points"].shape[0]
                          * int(blk["dofs_per_node"])) for blk in blocks]
         local_rows = [row_source(p) for p in range(unique_map.n_parts)]
-        for p in range(unique_map.n_parts):
-            owned, R = local_rows[p]
-            for lo, hi in block_ranges:
-                in_blk = (owned >= lo) & (owned < hi)
-                I = owned[in_blk & interior_all[owned]]
-                if len(I) == 0:
-                    continue
-                subI = R[np.searchsorted(owned, I)]
-                A_II = subI[:, I].tocsc()
-                if A_II.nnz == 0:
-                    continue  # structurally empty diagonal block
-                # boundary of the extension = same-block interface dofs
-                # adjacent to I
-                Gcols = np.unique(subI.indices)
-                Gcols = Gcols[(Gcols >= lo) & (Gcols < hi)]
-                G = Gcols[iface_dof[Gcols]]
-                if len(G) == 0:
-                    continue
-                rhs = -(subI[:, G] @ phi_gamma[G]).toarray()
-                X = _robust_splu(A_II).solve(rhs)
-                rr, cc = np.nonzero(np.abs(X) > 1e-14)
-                rows_t.append(I[rr])
-                cols_t.append(cc.astype(np.int64))
-                vals_t.append(X[rr, cc])
+
+        def _extend(job):
+            owned, R, lo, hi = job
+            in_blk = (owned >= lo) & (owned < hi)
+            I = owned[in_blk & interior_all[owned]]
+            if len(I) == 0:
+                return None
+            subI = R[np.searchsorted(owned, I)]
+            A_II = subI[:, I].tocsc()
+            if A_II.nnz == 0:
+                return None  # structurally empty diagonal block
+            # boundary of the extension = same-block interface dofs
+            # adjacent to I
+            Gcols = np.unique(subI.indices)
+            Gcols = Gcols[(Gcols >= lo) & (Gcols < hi)]
+            G = Gcols[iface_dof[Gcols]]
+            if len(G) == 0:
+                return None
+            rhs = -(subI[:, G] @ phi_gamma[G]).toarray()
+            X = _robust_splu(A_II).solve(rhs)
+            rr, cc = np.nonzero(np.abs(X) > 1e-14)
+            return I[rr], cc.astype(np.int64), X[rr, cc]
+
+        # subdomain extensions factorize on a thread pool (SuperLU releases
+        # the GIL; round-1 weak item 8: sequential setup loops)
+        from feddlib_tpu.la.sparse_lu import _parallel_map
+
+        jobs = [(owned, R, lo, hi) for owned, R in local_rows
+                for lo, hi in block_ranges]
+        for out in _parallel_map(_extend, jobs):
+            if out is not None:
+                rows_t.append(out[0])
+                cols_t.append(out[1])
+                vals_t.append(out[2])
         phi = sps.csr_matrix(
             (np.concatenate(vals_t),
              (np.concatenate(rows_t), np.concatenate(cols_t))),
