@@ -31,6 +31,13 @@ def main():
     ap.add_argument("--subdomains", type=int, default=4)
     ap.add_argument("--out", default=None, help="ParaView output prefix")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--distributed", action="store_true",
+                    help="solve over the JAX device mesh "
+                         "('Use Distributed Solve')")
+    ap.add_argument("--pipeline", action="store_true",
+                    help="device-resident distributed assembly+solve "
+                         "('Use Device Pipeline'; implies --distributed)")
+    ap.add_argument("--devices", type=int, default=None)
     args = ap.parse_args()
 
     import jax
@@ -50,6 +57,11 @@ def main():
     pl["Subdomains"] = args.subdomains
     if "Preconditioner Type" not in pl:
         pl["Preconditioner Type"] = "SchwarzOneLevel"
+    if args.distributed or args.pipeline:
+        pl["Use Distributed Solve"] = True
+        pl["Use Device Pipeline"] = bool(args.pipeline)
+        if args.devices:
+            pl["Devices"] = args.devices
 
     with timers.timer("mesh"):
         if args.mesh:
