@@ -112,7 +112,11 @@ class SchwarzPreconditioner:
         self.S = S
         P_ = self.n_parts
         if solver == "auto":
-            solver = "sparse" if S >= 1024 else "dense"
+            # dense [P,S,S] inverses win APPLY time up to a few thousand
+            # dofs (one batched MXU matmul vs T_L+T_U latency-bound
+            # wavefront steps); sparse LU wins SETUP time and memory as
+            # S grows (O(S³)/O(P·S²) vs O(nnz·fill)) — cross over at 4k
+            solver = "sparse" if S >= 4096 else "dense"
         self.solver = solver
 
         owner = unique_map.owner_of()
