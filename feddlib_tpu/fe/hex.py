@@ -221,8 +221,10 @@ def hex_elem_mass(corner_coords, dim, fe_type="Q1", nq_axis=None):
     return jnp.einsum("q,eq,qa,qb->eab", qw, jnp.abs(detJ), phi, phi)
 
 
-def hex_elem_rhs(corner_coords, dim, fe_type, f, nq_axis=None):
-    """Volume source ∫ f φa → [E, nb]; f(x[dim]) → scalar (vmapped)."""
+def hex_elem_rhs(corner_coords, dim, fe_type, f, nq_axis=None, n_comp=1):
+    """Volume source ∫ f φa → [E, nb] (scalar) or [E, nb, n_comp]
+    (vector field); f(x[dim]) → scalar / [n_comp] (vmapped).
+    (FE::assemblyRHS vector-field branch, FE_def.hpp:4694.)"""
     nq_axis = nq_axis or (_default_nq(fe_type) + 1)
     qp, qw, phi, _, dphi_geo = _tables(fe_type, dim, nq_axis)
     phi_j = jnp.asarray(phi, f64)
@@ -230,8 +232,10 @@ def hex_elem_rhs(corner_coords, dim, fe_type, f, nq_axis=None):
     geo_phi = jnp.asarray(hex_phi("Q1", dim, qp), f64)  # [nq, 2^dim]
     _, detJ, _ = _geometry(corner_coords, jnp.asarray(dphi_geo, f64))
     xq = jnp.einsum("qb,ebi->eqi", geo_phi, corner_coords)  # [E, nq, dim]
-    fq = jax.vmap(jax.vmap(f))(xq)  # [E, nq]
-    return jnp.einsum("q,eq,eq,qa->ea", qw_j, jnp.abs(detJ), fq, phi_j)
+    fq = jax.vmap(jax.vmap(f))(xq)  # [E, nq] or [E, nq, n_comp]
+    if n_comp == 1:
+        return jnp.einsum("q,eq,eq,qa->ea", qw_j, jnp.abs(detJ), fq, phi_j)
+    return jnp.einsum("q,eq,eqc,qa->eac", qw_j, jnp.abs(detJ), fq, phi_j)
 
 
 # ---------------------------------------------------------------------------

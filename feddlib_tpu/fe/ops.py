@@ -330,10 +330,9 @@ def assemble_rhs(domain: Domain, f: Callable, dofs_per_node: int = 1,
     if domain.is_hex:
         from feddlib_tpu.fe.hex import hex_elem_rhs
 
-        if dofs_per_node != 1:
-            raise NotImplementedError("hex RHS is scalar-only for now")
         vec = hex_elem_rhs(domain.vert_coords(), domain.dim, domain.fe_type,
-                           lambda x: jnp.asarray(f(x), jnp.float64))
+                           lambda x: jnp.asarray(f(x), jnp.float64),
+                           n_comp=dofs_per_node)
     else:
         vec = asm.elem_rhs(domain.vert_coords(), domain.dim, domain.fe_type,
                            f, degree=degree, n_comp=dofs_per_node)

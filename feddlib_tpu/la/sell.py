@@ -52,7 +52,7 @@ class SellMatrix:
 
     def __init__(self, n_rows, n_cols, vals, pidx, bids, spill_rows,
                  spill_cols, spill_vals, nnz, data_slots, data_spill,
-                 dtype, E, K, perm=None, iperm=None):
+                 dtype, E, K, perm=None, iperm=None, csr_order=None):
         self.shape = (n_rows, n_cols)
         self.vals = vals          # [nchunks, 8, 128] dtype
         self.pidx = pidx          # [nchunks, 8, 128] int16 (k*128+lane)
@@ -68,6 +68,9 @@ class SellMatrix:
         self.K = K
         self.perm = perm    # row/col permutation applied (None = identity)
         self.iperm = iperm
+        # original-CSR nnz position of each permuted-CSR nnz (rcm only):
+        # lets with_data() accept value arrays in the caller's CSR order
+        self.csr_order = csr_order
 
     # -- construction --------------------------------------------------------
     @classmethod
@@ -81,8 +84,9 @@ class SellMatrix:
         is_fedd = hasattr(A, "to_scipy")
         sp = A.to_scipy().tocsr() if is_fedd else A.tocsr()
         n_rows, n_cols = sp.shape
-        perm = iperm = None
+        perm = iperm = csr_order = None
         if order == "rcm":
+            import scipy.sparse as sps
             from scipy.sparse.csgraph import reverse_cuthill_mckee
 
             if n_rows != n_cols:
@@ -90,6 +94,15 @@ class SellMatrix:
             perm = np.asarray(reverse_cuthill_mckee(sp, symmetric_mode=True))
             iperm = np.empty_like(perm)
             iperm[perm] = np.arange(n_rows)
+            # track where each original nnz lands under the permutation
+            # (+1 so scipy never drops a "zero" entry structurally)
+            pos = sps.csr_matrix(
+                (np.arange(sp.nnz, dtype=np.int64) + 1,
+                 sp.indices.copy(), sp.indptr.copy()), shape=sp.shape)
+            pos = pos[perm][:, perm].tocsr()
+            pos.sort_indices()
+            assert pos.nnz == sp.nnz
+            csr_order = np.asarray(pos.data) - 1
             sp = sp[perm][:, perm].tocsr()
         sp.sort_indices()
 
@@ -177,13 +190,16 @@ class SellMatrix:
                    jnp.asarray(bids), s_rows, s_cols, s_vals, sp.nnz,
                    data_slots, data_spill, dtype, E, K,
                    None if perm is None else jnp.asarray(perm),
-                   None if iperm is None else jnp.asarray(iperm))
+                   None if iperm is None else jnp.asarray(iperm),
+                   csr_order)
 
     def with_data(self, data: jnp.ndarray) -> "SellMatrix":
-        """Same pattern, new CSR value array (reassembly hot path)."""
+        """Same pattern, new CSR value array (reassembly hot path).
+        `data` is in the CALLER's CSR order; under rcm it is reordered
+        to the permuted pattern via the csr_order plan."""
+        d = jnp.asarray(data).astype(self.dtype)
         if self.perm is not None:
-            raise NotImplementedError("with_data under rcm permutation")
-        d = data.astype(self.dtype)
+            d = d[jnp.asarray(self.csr_order)]
         vals = _fill_slots(d, jnp.asarray(self.data_slots),
                            self.vals.size).reshape(self.vals.shape)
         s_vals = (d[jnp.asarray(np.flatnonzero(self.data_spill >= 0))]
@@ -191,7 +207,8 @@ class SellMatrix:
         return SellMatrix(self.shape[0], self.shape[1], vals, self.pidx,
                           self.bids, self.spill_rows, self.spill_cols,
                           s_vals, self.nnz, self.data_slots, self.data_spill,
-                          self.dtype, self.E, self.K, self.perm, self.iperm)
+                          self.dtype, self.E, self.K, self.perm, self.iperm,
+                          self.csr_order)
 
     # -- apply ---------------------------------------------------------------
     def operands(self):

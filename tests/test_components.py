@@ -322,6 +322,21 @@ def test_dedicated_coarse_ranks():
                                np.asarray(ref.x), atol=1e-9)
 
 
+@pytest.mark.parametrize("fe_type", ["Q1", "Q2"])
+def test_hex_vector_rhs(fe_type):
+    """Vector-field volume source on quad meshes (FE::assemblyRHS
+    vector branch, FE_def.hpp:4694): partition of unity makes the
+    per-component dof totals equal ∫ f over the unit square."""
+    from feddlib_tpu.fe import ops
+    from feddlib_tpu.fe.domain import Domain
+
+    dom = Domain.structured_hex(2, 3, fe_type=fe_type)
+    b = ops.assemble_rhs(dom, lambda x: jnp.stack(
+        [1.0 + 0 * x[0], 3.0 * x[0]]), dofs_per_node=2)
+    tot = np.asarray(b).reshape(-1, 2).sum(axis=0)
+    np.testing.assert_allclose(tot, [1.0, 1.5], atol=1e-12)
+
+
 @pytest.mark.parametrize("dim", [2, 3])
 def test_q1_hex_elements(dim):
     """Isoparametric Q1 quad/hex elements: partition of unity, nodal basis,

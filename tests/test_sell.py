@@ -69,6 +69,23 @@ def test_with_data():
     assert np.abs(y - yref).max() / np.abs(yref).max() < 2e-6
 
 
+def test_with_data_rcm():
+    """with_data under rcm: data arrives in the caller's (unpermuted) CSR
+    order and must land on the permuted pattern via the csr_order plan."""
+    rng = np.random.default_rng(8)
+    sp = sps.random(400, 400, density=0.03, random_state=6, format="csr")
+    sp = (sp + sps.eye(400)).tocsr()
+    sp.sort_indices()
+    A = SellMatrix.from_csr(sp, dtype=jnp.float32, order="rcm", K=2)
+    new = sp.copy()
+    new.data = rng.standard_normal(sp.nnz).astype(np.float64)
+    A2 = A.with_data(jnp.asarray(new.data))
+    x = rng.standard_normal(400).astype(np.float32)
+    yref = new @ x
+    y = np.asarray(A2.matvec(jnp.asarray(x)))
+    assert np.abs(y - yref).max() / (np.abs(yref).max() + 1e-30) < 2e-6
+
+
 def test_operator_protocol_jit_args():
     """operator() must be jittable with operands passed as arguments
     (solver programs bake nothing in)."""
