@@ -71,6 +71,11 @@ class SellMatrix:
         # original-CSR nnz position of each permuted-CSR nnz (rcm only):
         # lets with_data() accept value arrays in the caller's CSR order
         self.csr_order = csr_order
+        # device-resident copies of the reassembly plans, built on first
+        # with_data() call so the hot path ships no host arrays per call
+        self._csr_order_dev = None
+        self._data_slots_dev = None
+        self._spill_sel_dev = None
 
     # -- construction --------------------------------------------------------
     @classmethod
@@ -101,7 +106,11 @@ class SellMatrix:
                  sp.indices.copy(), sp.indptr.copy()), shape=sp.shape)
             pos = pos[perm][:, perm].tocsr()
             pos.sort_indices()
-            assert pos.nnz == sp.nnz
+            if pos.nnz != sp.nnz:
+                raise ValueError(
+                    f"rcm permutation changed the nnz count "
+                    f"({pos.nnz} != {sp.nnz}): duplicate entries in the "
+                    f"input CSR would be silently summed")
             csr_order = np.asarray(pos.data) - 1
             sp = sp[perm][:, perm].tocsr()
         sp.sort_indices()
@@ -199,11 +208,20 @@ class SellMatrix:
         to the permuted pattern via the csr_order plan."""
         d = jnp.asarray(data).astype(self.dtype)
         if self.perm is not None:
-            d = d[jnp.asarray(self.csr_order)]
-        vals = _fill_slots(d, jnp.asarray(self.data_slots),
+            if self._csr_order_dev is None:
+                self._csr_order_dev = jnp.asarray(self.csr_order)
+            d = d[self._csr_order_dev]
+        if self._data_slots_dev is None:
+            self._data_slots_dev = jnp.asarray(self.data_slots)
+        vals = _fill_slots(d, self._data_slots_dev,
                            self.vals.size).reshape(self.vals.shape)
-        s_vals = (d[jnp.asarray(np.flatnonzero(self.data_spill >= 0))]
-                  if self.spill_rows is not None else None)
+        if self.spill_rows is not None:
+            if self._spill_sel_dev is None:
+                self._spill_sel_dev = jnp.asarray(
+                    np.flatnonzero(self.data_spill >= 0))
+            s_vals = d[self._spill_sel_dev]
+        else:
+            s_vals = None
         return SellMatrix(self.shape[0], self.shape[1], vals, self.pidx,
                           self.bids, self.spill_rows, self.spill_cols,
                           s_vals, self.nnz, self.data_slots, self.data_spill,
