@@ -1,17 +1,19 @@
 #!/usr/bin/env python
 """Benchmark driver — prints ONE JSON line with the headline metric.
 
-Headline: SpMV throughput on a 3D P1 Poisson operator (69k dofs / 1.0M nnz)
-via the windowed sliced-ELL Pallas kernel (feddlib_tpu.la.sell) in f32 —
-the byte-minimal TPU sparse format every hot solver iteration uses.
-`vs_baseline` = achieved fraction of the CHIP's sparse speed-of-light
-(8 B/nnz — 4B value + 4B index — at the 819 GB/s v5e HBM stream), per the
-round-1 verdict's reporting prescription.  `extra.bytes_per_nnz` is the
-format's true streamed bytes; `extra.dense_overhead_x` = bytes_per_nnz / 8.
+Headline: SpMV throughput on a 3D P1 Poisson operator (275k dofs /
+4.0M nnz) via the AUTO-SELECTED TPU format (feddlib_tpu.la.dia.auto_spmv)
+in f32 — DIA (gather-free diagonal streaming) for banded/structured
+operators, windowed sliced-ELL otherwise.  `vs_baseline` = achieved
+fraction of the CHIP's sparse speed-of-light (8 B/nnz — 4B value + 4B
+index — at the 819 GB/s v5e HBM stream), per the round-1 verdict's
+reporting prescription; DIA streams ~4.1 B/nnz, so vs_baseline > 1 means
+the format beats the byte-minimal *indexed* roofline.  `extra` carries the
+general-format SELL number on the same operator plus the format split.
 
 Accuracy anchor: mixed-precision iterative refinement (f64 residuals +
 f32 inner Schwarz-GMRES, both A and M in the padded cluster space) at the
-reference's 1e-8 tolerance.
+reference's 1e-8 tolerance (on the 69k-dof operator, as in round 2).
 
 Timing method: N chained applies inside ONE jitted fori_loop with operator
 data passed as ARGUMENTS (constants baked into remote compiles are both
@@ -69,47 +71,75 @@ def main():
     nnz = Kb.nnz
     note(f"assembled n={dom.n_nodes} nnz={nnz}")
 
-    # ---- headline: windowed sliced-ELL SpMV --------------------------------
-    A32 = SellMatrix.from_csr(Kb, dtype=jnp.float32)
-    spill = 0 if A32.spill_rows is None else int(A32.spill_rows.size)
-    bytes_per_nnz = A32.hbm_bytes_per_apply() / nnz
-    note(f"SELL E={A32.E} K={A32.K} chunks={A32.vals.shape[0]} "
-         f"spill={spill} bytes/nnz={bytes_per_nnz:.2f}")
-    fn, opnds = A32.operator()
+    # headline operator: larger (275k dofs / 4.0M nnz) so streaming, not
+    # launch overhead, is what gets measured
+    nh = 64 if on_tpu else 12
+    dom_h = Domain.structured(3, nh)
+    Kh = ops.assemble_laplace(dom_h)
+    bcb_h = BCBuilder()
+    bcb_h.add_bc(lambda x, t: 0.0, 1, 0, dom_h, "Dirichlet", 1)
+    bh = ops.assemble_rhs(dom_h, lambda x: 1.0 + 0 * x[0])
+    Khb, _ = bcb_h.apply_symmetric(Kh, bh, 0)
+    nnz_h = Khb.nnz
+    note(f"headline operator n={dom_h.n_nodes} nnz={nnz_h}")
 
-    @jax.jit
-    def chain(opnds, x0, steps):
-        def body(i, xx):
-            yy = fn(opnds, xx)
-            return yy * lax.rsqrt(jnp.vdot(yy, yy).astype(jnp.float32)
-                                  + 1e-30)
-        return lax.fori_loop(0, steps, body, x0)
+    def time_chain(fn, opnds, nx, lo, hi):
+        @jax.jit
+        def chain(opnds, x0, steps):
+            def body(i, xx):
+                yy = fn(opnds, xx)
+                return yy * lax.rsqrt(jnp.vdot(yy, yy).astype(jnp.float32)
+                                      + 1e-30)
+            return lax.fori_loop(0, steps, body, x0)
 
-    x0 = jnp.ones(dom.n_nodes, jnp.float32)
-    r = chain(opnds, x0, 2)
-    _ = float(jnp.asarray(r).ravel()[0])  # compile + sync
-    note("spmv chain compiled")
+        x0 = jnp.ones(nx, jnp.float32)
+        r = chain(opnds, x0, 2)
+        _ = float(jnp.asarray(r).ravel()[0])  # compile + sync
 
-    # wide loop-length difference: the axon tunnel adds ~ms fetch jitter,
-    # so the extra applies must dominate it
-    lo, hi = (5, 205) if on_tpu else (2, 8)
+        def run(steps):
+            t0 = time.perf_counter()
+            rr = chain(opnds, x0, steps)
+            _ = float(jnp.asarray(rr).ravel()[0])
+            return time.perf_counter() - t0
 
-    def run(steps):
-        t0 = time.perf_counter()
-        rr = chain(opnds, x0, steps)
-        _ = float(jnp.asarray(rr).ravel()[0])
-        return time.perf_counter() - t0
-
-    t_lo = min(run(lo) for _ in range(3))
-    t_hi = min(run(hi) for _ in range(3))
-    dt = max((t_hi - t_lo) / (hi - lo), 1e-9)
-    nnz_per_s = nnz / dt
+        t_lo = min(run(lo) for _ in range(3))
+        t_hi = min(run(hi) for _ in range(3))
+        return max((t_hi - t_lo) / (hi - lo), 1e-9)
 
     hbm_gbps = 819e9 if on_tpu else 50e9
     sol_nnz_per_s = hbm_gbps / 8.0  # chip sparse speed-of-light at 8 B/nnz
+
+    # ---- headline: auto-format SpMV (DIA on this banded operator) ----------
+    from feddlib_tpu.la.dia import auto_spmv
+
+    Ah = auto_spmv(Khb, dtype=jnp.float32)
+    fmt = type(Ah).__name__
+    bytes_per_nnz = Ah.hbm_bytes_per_apply() / nnz_h
+    note(f"auto format {fmt} bytes/nnz={bytes_per_nnz:.2f}"
+         + (f" n_offsets={len(Ah.offsets)}" if hasattr(Ah, "offsets") else ""))
+    fn_h, ops_h = Ah.operator()
+    # wide loop-length difference: the axon tunnel adds ~ms fetch jitter,
+    # so the extra applies must dominate it (DIA applies are ~25 us)
+    dt = time_chain(fn_h, ops_h, dom_h.n_nodes,
+                    *((5, 1205) if on_tpu else (2, 8)))
+    nnz_per_s = nnz_h / dt
     vs = nnz_per_s / sol_nnz_per_s
-    note(f"SELL spmv {dt*1e3:.3f} ms = {nnz_per_s/1e9:.2f} Gnnz/s "
+    note(f"{fmt} spmv {dt*1e3:.3f} ms = {nnz_per_s/1e9:.2f} Gnnz/s "
          f"({vs*100:.1f}% of chip speed-of-light)")
+
+    # ---- general-format extra: windowed sliced-ELL on the same operator ----
+    A32 = SellMatrix.from_csr(Khb, dtype=jnp.float32)
+    spill = 0 if A32.spill_rows is None else int(A32.spill_rows.size)
+    sell_bytes_per_nnz = A32.hbm_bytes_per_apply() / nnz_h
+    note(f"SELL E={A32.E} K={A32.K} chunks={A32.vals.shape[0]} "
+         f"spill={spill} bytes/nnz={sell_bytes_per_nnz:.2f}")
+    fn_s, ops_s = A32.operator()
+    dt_s = time_chain(fn_s, ops_s, dom_h.n_nodes,
+                      *((5, 205) if on_tpu else (2, 8)))
+    sell_nnz_per_s = nnz_h / dt_s
+    note(f"SELL spmv {dt_s*1e3:.3f} ms = {sell_nnz_per_s/1e9:.2f} Gnnz/s "
+         f"({sell_nnz_per_s/sol_nnz_per_s*100:.1f}% of chip "
+         f"speed-of-light)")
 
     # ---- secondary: batched FE assembly throughput --------------------------
     from feddlib_tpu.fe import fast_assembly as fa
@@ -189,17 +219,23 @@ def main():
     note("IR done")
 
     print(json.dumps({
-        "metric": "sell_spmv_nnz_per_s_f32",
+        "metric": "spmv_nnz_per_s_f32_auto",
         "value": round(nnz_per_s),
         "unit": "nnz/s",
         "vs_baseline": round(vs, 4),
         "extra": {
             "device": str(dev),
-            "n_dofs": dom.n_nodes,
-            "nnz": nnz,
+            "format": fmt,
+            "n_dofs": dom_h.n_nodes,
+            "nnz": nnz_h,
             "spmv_ms": round(dt * 1e3, 3),
             "bytes_per_nnz": round(bytes_per_nnz, 2),
             "dense_overhead_x": round(bytes_per_nnz / 8.0, 2),
+            "dia_offsets": (len(Ah.offsets)
+                            if hasattr(Ah, "offsets") else 0),
+            "sell_nnz_per_s": round(sell_nnz_per_s),
+            "sell_spmv_ms": round(dt_s * 1e3, 3),
+            "sell_bytes_per_nnz": round(sell_bytes_per_nnz, 2),
             "sell_E": A32.E,
             "sell_K": A32.K,
             "spill_nnz": spill,

@@ -31,6 +31,7 @@ class Domain:
         self.mesh = mesh
         self.parent_p1 = parent_p1
         self._vert_coords = None
+        self._vert_coords_T = None
         self._patterns = {}  # cache: op-key → SparsityPattern
 
     # -- constructors (reference Domain::buildMesh / readAndPartitionMesh) --
@@ -100,9 +101,33 @@ class Domain:
             self._vert_coords = pts[conn]
         return self._vert_coords
 
+    def vert_coords_T(self) -> jnp.ndarray:
+        """[nv*dim, E] element-last vertex coordinates: row v*dim + i is
+        coordinate i of local vertex v across all elements.
+
+        The element-FIRST [E, nv, dim] tensor of vert_coords() is hostile
+        to TPU tiled layouts — XLA pads the (nv, dim) minor dims to (8,128)
+        tiles, a ~32x memory expansion that OOMs the gather at a few
+        million elements.  Keeping the huge element axis LAST makes both
+        the gather and the cached array stream at ~1x padding, and is the
+        layout the element-last kernels (fe/fast_assembly.py) consume
+        natively."""
+        if self._vert_coords_T is None:
+            nv = self.mesh.vertices_per_element
+            dim = self.dim
+            ptsT = jnp.asarray(np.ascontiguousarray(self.mesh.points.T),
+                               jnp.float64)          # [dim, n]
+            connT = jnp.asarray(np.ascontiguousarray(
+                self.mesh.elements[:, :nv].T.astype(np.int32)))  # [nv, E]
+            vcT = ptsT[:, connT]                     # [dim, nv, E]
+            self._vert_coords_T = jnp.swapaxes(vcT, 0, 1).reshape(
+                nv * dim, -1)                        # [nv*dim, E]
+        return self._vert_coords_T
+
     def invalidate_geometry(self) -> None:
         """Call after mesh motion (ALE) so cached coords are rebuilt."""
         self._vert_coords = None
+        self._vert_coords_T = None
 
     def elem_nodes(self) -> np.ndarray:
         return self.mesh.elements

@@ -62,12 +62,27 @@ def use_fast() -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _edges_T(vc):
-    """vc [E, nv, dim] → B columns as lists: B[i][k] = [E] (column k = edge
-    v_{k+1}-v_0, component i)."""
-    v = jnp.moveaxis(vc, 0, -1)  # [nv, dim, E]
-    dim = v.shape[1]
-    return [[v[k + 1, i] - v[0, i] for k in range(dim)] for i in range(dim)]
+def _vrows(vc, dim):
+    """Normalize vertex coords to row-slice access: returns get(v, i) → [E].
+
+    Accepts [E, nv, dim] (classic, element-first) or the TPU-layout-safe
+    [nv*dim, E] of Domain.vert_coords_T() (element-last; avoids the ~32x
+    tile-padding blowup of gathering/storing tiny trailing dims)."""
+    if vc.ndim == 2:
+        return lambda v, i: vc[v * dim + i]
+    vT = jnp.moveaxis(vc, 0, -1)  # [nv, dim, E]
+    return lambda v, i: vT[v, i]
+
+
+def _edges_T(vc, dim=None):
+    """B columns as lists: B[i][k] = [E] (column k = edge v_{k+1}-v_0,
+    component i).  vc: [E, nv, dim] or [nv*dim, E] (see _vrows)."""
+    if dim is None:
+        dim = vc.shape[2] if vc.ndim == 3 else None
+        if dim is None:
+            raise ValueError("dim required for [nv*dim, E] layout")
+    g = _vrows(vc, dim)
+    return [[g(k + 1, i) - g(0, i) for k in range(dim)] for i in range(dim)]
 
 
 def _det_T(B, dim):
@@ -100,7 +115,7 @@ def _inv_T(B, det, dim):
 def elem_laplace_flat_T(vc, dim, fe_type):
     """Stiffness ∫∇φa·∇φb, element-last → flat [nb*nb*E] in (a,b,E) order.
     Affine simplices (geometry from the first dim+1 vertices)."""
-    B = _edges_T(vc)
+    B = _edges_T(vc, dim)
     det = _det_T(B, dim)
     adet = jnp.abs(det)
     Binv = _inv_T(B, det, dim)
@@ -128,7 +143,7 @@ def elem_laplace_flat_T(vc, dim, fe_type):
 @partial(jax.jit, static_argnames=("dim", "fe_type"))
 def elem_mass_flat_T(vc, dim, fe_type):
     """Mass ∫φa φb, element-last → flat [nb*nb*E] in (a,b,E) order."""
-    B = _edges_T(vc)
+    B = _edges_T(vc, dim)
     adet = jnp.abs(_det_T(B, dim))
     qp, qw = ref.quadrature(dim, ref.determine_degree(dim, fe_type, "phi"))
     phi = ref.eval_phi(dim, fe_type, qp)  # [nq, nb] numpy
@@ -150,7 +165,7 @@ def elem_advection_flat_T(vc, ue, dim, fe_type):
     """Convection N(u): ∫ φa (u·∇φb), expanded to vector dofs as N⊗I —
     only the i==j dof entries are emitted, ordered (a, b, i, E) to match
     pattern_vec_diag_abe.  ue [E, nb, dim] (repeated-form velocity)."""
-    B = _edges_T(vc)
+    B = _edges_T(vc, dim)
     det = _det_T(B, dim)
     adet = jnp.abs(det)
     Binv = _inv_T(B, det, dim)
@@ -184,7 +199,7 @@ def elem_advection_flat_T(vc, ue, dim, fe_type):
 def elem_advection_in_u_flat_T(vc, ue, dim, fe_type):
     """Newton linearization W(u): ∫ φa φb ∂u_i/∂x_j — full dim×dim dof
     blocks, ordered (a, b, i, j, E) to match pattern_vec_full_abe."""
-    B = _edges_T(vc)
+    B = _edges_T(vc, dim)
     det = _det_T(B, dim)
     adet = jnp.abs(det)
     Binv = _inv_T(B, det, dim)
@@ -260,7 +275,7 @@ def pattern_vec_full_abe(domain, dim: int) -> SparsityPattern:
 
 def assemble_advection_fast(domain, ue) -> CsrMatrix:
     pat = pattern_vec_diag_abe(domain, domain.dim)
-    flat = elem_advection_flat_T(domain.vert_coords(), ue, domain.dim,
+    flat = elem_advection_flat_T(domain.vert_coords_T(), ue, domain.dim,
                                  domain.fe_type)
     m = CsrMatrix(pat)
     m.assemble(flat)
@@ -269,8 +284,8 @@ def assemble_advection_fast(domain, ue) -> CsrMatrix:
 
 def assemble_advection_in_u_fast(domain, ue) -> CsrMatrix:
     pat = pattern_vec_full_abe(domain, domain.dim)
-    flat = elem_advection_in_u_flat_T(domain.vert_coords(), ue, domain.dim,
-                                      domain.fe_type)
+    flat = elem_advection_in_u_flat_T(domain.vert_coords_T(), ue,
+                                      domain.dim, domain.fe_type)
     m = CsrMatrix(pat)
     m.assemble(flat)
     return m
@@ -304,7 +319,7 @@ def assemble_fast(domain, op: str) -> CsrMatrix:
     nothing — callers gate on use_fast() and supported())."""
     pat = pattern_abe(domain, 1)
     kernel = _KERNELS[op]
-    flat = kernel(domain.vert_coords(), domain.dim, domain.fe_type)
+    flat = kernel(domain.vert_coords_T(), domain.dim, domain.fe_type)
     m = CsrMatrix(pat)
     m.assemble(flat)
     return m

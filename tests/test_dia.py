@@ -1,0 +1,93 @@
+"""DIA format: detection, exact apply, reassembly, spill, rejection.
+
+The DIA operator fills the Tpetra CrsMatrix::apply role (reference
+feddlib/core/LinearAlgebra/Matrix_decl.hpp:116-120) for banded operators;
+auto_spmv must fall back to SELL for unstructured patterns.
+"""
+import numpy as np
+import jax.numpy as jnp
+import scipy.sparse as sps
+
+from feddlib_tpu.bc import BCBuilder
+from feddlib_tpu.fe import ops
+from feddlib_tpu.fe.domain import Domain
+from feddlib_tpu.la.dia import DiaMatrix, auto_spmv
+from feddlib_tpu.la.sell import SellMatrix
+
+
+def _structured_operator(n=8):
+    dom = Domain.structured(3, n)
+    K = ops.assemble_laplace(dom)
+    bcb = BCBuilder()
+    bcb.add_bc(lambda x, t: 0.0, 1, 0, dom, "Dirichlet", 1)
+    b = ops.assemble_rhs(dom, lambda x: 1.0 + 0 * x[0])
+    Kb, _ = bcb.apply_symmetric(K, b, 0)
+    return Kb
+
+
+def test_dia_detects_structured_stencil_and_matches_csr():
+    Kb = _structured_operator(8)
+    A = DiaMatrix.from_csr(Kb, dtype=jnp.float32)
+    assert A is not None
+    assert len(A.offsets) <= 15  # 3D P1 tet stencil
+    assert A.spill_rows is None  # full coverage
+    sp = Kb.to_scipy().tocsr()
+    x = np.random.RandomState(0).rand(sp.shape[0]).astype(np.float32)
+    y = np.asarray(A.matvec(jnp.asarray(x)))
+    y_ref = sp @ x.astype(np.float64)
+    assert np.abs(y - y_ref).max() / np.abs(y_ref).max() < 1e-6
+
+
+def test_dia_with_data_reassembly():
+    Kb = _structured_operator(6)
+    sp = Kb.to_scipy().tocsr()
+    A = DiaMatrix.from_csr(Kb, dtype=jnp.float32)
+    rng = np.random.RandomState(1)
+    new_data = rng.rand(sp.nnz).astype(np.float32)
+    A2 = A.with_data(jnp.asarray(new_data))
+    sp2 = sps.csr_matrix((new_data, sp.indices, sp.indptr), shape=sp.shape)
+    x = rng.rand(sp.shape[0]).astype(np.float32)
+    y = np.asarray(A2.matvec(jnp.asarray(x)))
+    y_ref = sp2 @ x
+    assert np.abs(y - y_ref).max() / np.abs(y_ref).max() < 1e-5
+
+
+def test_dia_spill_is_exact():
+    # banded matrix + a few far off-band entries -> spill path
+    n = 300
+    rng = np.random.RandomState(2)
+    main = sps.diags([rng.rand(n - 1), 2 + rng.rand(n), rng.rand(n - 1)],
+                     [-1, 0, 1], format="csr")
+    far = sps.csr_matrix(
+        (rng.rand(5), (np.arange(5), np.arange(5) * 37 + 100)), (n, n))
+    sp = (main + far).tocsr()
+    A = DiaMatrix.from_csr(sp, dtype=jnp.float32, coverage=0.9,
+                           max_offsets=3)
+    assert A is not None and A.spill_rows is not None
+    x = rng.rand(n).astype(np.float32)
+    y = np.asarray(A.matvec(jnp.asarray(x)))
+    y_ref = sp @ x
+    assert np.abs(y - y_ref).max() / np.abs(y_ref).max() < 1e-6
+
+
+def test_auto_spmv_rejects_unstructured_and_uses_sell():
+    dom = Domain.from_file("/root/reference/meshes/cube_131.mesh")
+    K = ops.assemble_laplace(dom)
+    A = auto_spmv(K, dtype=jnp.float32)
+    assert isinstance(A, SellMatrix)
+    sp = K.to_scipy().tocsr()
+    x = np.random.RandomState(3).rand(sp.shape[0]).astype(np.float32)
+    y = np.asarray(A.matvec(jnp.asarray(x)))
+    y_ref = sp @ x.astype(np.float64)
+    assert np.abs(y - y_ref).max() / np.abs(y_ref).max() < 1e-5
+
+
+def test_auto_spmv_picks_dia_for_structured():
+    Kb = _structured_operator(6)
+    assert isinstance(auto_spmv(Kb), DiaMatrix)
+
+
+def test_dia_rectangular_rejected():
+    sp = sps.random(40, 60, density=0.2, format="csr",
+                    random_state=np.random.RandomState(4))
+    assert DiaMatrix.from_csr(sp) is None
