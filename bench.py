@@ -11,6 +11,10 @@ reporting prescription; DIA streams ~4.1 B/nnz, so vs_baseline > 1 means
 the format beats the byte-minimal *indexed* roofline.  `extra` carries the
 general-format SELL number on the same operator plus the format split.
 
+North-star extra (BASELINE.json "SpMV+Schwarz-apply nnz/s/chip"): one
+full preconditioned-operator application M(A(x)) — padded SELL SpMV +
+restricted dense-block Schwarz — timed as its own chain.
+
 Accuracy anchor: mixed-precision iterative refinement (f64 residuals +
 f32 inner Schwarz-GMRES, both A and M in the padded cluster space) at the
 reference's 1e-8 tolerance (on the 69k-dof operator, as in round 2).
@@ -20,6 +24,12 @@ data passed as ARGUMENTS (constants baked into remote compiles are both
 slow and size-limited), two loop lengths differenced, completion forced by
 a value fetch (async dispatch makes `block_until_ready` unreliable through
 the axon tunnel).
+
+Benchmark INPUT operators are assembled on the host (fe/host_assembly.py,
+asserted equal to the device FE path in tests) — a cold remote compile of
+the 1.5M-element device assembly chain costs ~3 min of pure harness
+overhead; the device assembly path itself is still measured below as its
+own metric.
 """
 
 import json
@@ -48,10 +58,10 @@ def main():
         print(f"[bench {time.time()-t_start:6.1f}s] {msg}", file=sys.stderr,
               flush=True)
 
-    from feddlib_tpu.bc import BCBuilder
-    from feddlib_tpu.fe import ops
     from feddlib_tpu.fe.domain import Domain
-    from feddlib_tpu.la.dense_blocks import DenseBlockSchwarz, DenseBlockSpMV
+    from feddlib_tpu.fe.host_assembly import host_poisson_dirichlet
+    from feddlib_tpu.la.csr import CsrMatrix
+    from feddlib_tpu.la.dense_blocks import DenseBlockSpMV
     from feddlib_tpu.la.sell import SellMatrix, sell_padded_from
     from feddlib_tpu.mesh.partition import MeshPartition
     from feddlib_tpu.solvers.krylov import solve_jit
@@ -63,11 +73,9 @@ def main():
     n = 40 if on_tpu else 10  # 69k dofs / 1.0M nnz on TPU
     note(f"device {dev}")
     dom = Domain.structured(3, n)
-    K = ops.assemble_laplace(dom)
-    bcb = BCBuilder()
-    bcb.add_bc(lambda x, t: 0.0, 1, 0, dom, "Dirichlet", 1)
-    b = ops.assemble_rhs(dom, lambda x: 1.0 + 0 * x[0])
-    Kb, bb = bcb.apply_symmetric(K, b, 0)
+    Kb_sp, bb_np = host_poisson_dirichlet(dom)
+    Kb = CsrMatrix.from_scipy(Kb_sp)
+    bb = jnp.asarray(bb_np)
     nnz = Kb.nnz
     note(f"assembled n={dom.n_nodes} nnz={nnz}")
 
@@ -75,11 +83,7 @@ def main():
     # launch overhead, is what gets measured
     nh = 64 if on_tpu else 12
     dom_h = Domain.structured(3, nh)
-    Kh = ops.assemble_laplace(dom_h)
-    bcb_h = BCBuilder()
-    bcb_h.add_bc(lambda x, t: 0.0, 1, 0, dom_h, "Dirichlet", 1)
-    bh = ops.assemble_rhs(dom_h, lambda x: 1.0 + 0 * x[0])
-    Khb, _ = bcb_h.apply_symmetric(Kh, bh, 0)
+    Khb, _ = host_poisson_dirichlet(dom_h)
     nnz_h = Khb.nnz
     note(f"headline operator n={dom_h.n_nodes} nnz={nnz_h}")
 
@@ -92,7 +96,7 @@ def main():
                                       + 1e-30)
             return lax.fori_loop(0, steps, body, x0)
 
-        x0 = jnp.ones(nx, jnp.float32)
+        x0 = jnp.ones(nx, jnp.float32)  # nx: int or shape tuple
         r = chain(opnds, x0, 2)
         _ = float(jnp.asarray(r).ravel()[0])  # compile + sync
 
@@ -121,7 +125,7 @@ def main():
     # wide loop-length difference: the axon tunnel adds ~ms fetch jitter,
     # so the extra applies must dominate it (DIA applies are ~25 us)
     dt = time_chain(fn_h, ops_h, dom_h.n_nodes,
-                    *((5, 1205) if on_tpu else (2, 8)))
+                    *((5, 1205) if on_tpu else (2, 30)))
     nnz_per_s = nnz_h / dt
     vs = nnz_per_s / sol_nnz_per_s
     note(f"{fmt} spmv {dt*1e3:.3f} ms = {nnz_per_s/1e9:.2f} Gnnz/s "
@@ -135,11 +139,35 @@ def main():
          f"spill={spill} bytes/nnz={sell_bytes_per_nnz:.2f}")
     fn_s, ops_s = A32.operator()
     dt_s = time_chain(fn_s, ops_s, dom_h.n_nodes,
-                      *((5, 205) if on_tpu else (2, 8)))
+                      *((5, 205) if on_tpu else (2, 12)))
     sell_nnz_per_s = nnz_h / dt_s
     note(f"SELL spmv {dt_s*1e3:.3f} ms = {sell_nnz_per_s/1e9:.2f} Gnnz/s "
          f"({sell_nnz_per_s/sol_nnz_per_s*100:.1f}% of chip "
          f"speed-of-light)")
+
+    # ---- vector-field extra: block-DIA on 3D P1 linear elasticity ----------
+    # (the reference's production operators are vector-valued; block-DIA
+    # streams the d x d node blocks gather-free at ~4 B/nnz)
+    from feddlib_tpu.fe.host_assembly import host_lin_elasticity_p1
+
+    Ke = host_lin_elasticity_p1(dom, mu=1.0, lam=1.0)
+    Be = auto_spmv(Ke, dtype=jnp.float32, dofs_per_node=3)
+    fmt_e = type(Be).__name__
+    e_bytes_per_nnz = Be.hbm_bytes_per_apply() / Ke.nnz
+    note(f"elasticity auto format {fmt_e} n={Ke.shape[0]} nnz={Ke.nnz} "
+         f"bytes/nnz={e_bytes_per_nnz:.2f}")
+    # planar [d, nn] vectors: the interleave relayout costs more than the
+    # apply itself (la/dia.py layout note) — Krylov loops stay planar
+    fn_e, ops_e = Be.planar_operator() if hasattr(Be, "planar_operator") \
+        else Be.operator()
+    nx_e = (3, Ke.shape[0] // 3) if hasattr(Be, "planar_operator") \
+        else Ke.shape[0]
+    dt_e = time_chain(fn_e, ops_e, nx_e,
+                      *((5, 1205) if on_tpu else (2, 30)))
+    e_nnz_per_s = Ke.nnz / dt_e
+    note(f"{fmt_e} elasticity spmv {dt_e*1e3:.3f} ms = "
+         f"{e_nnz_per_s/1e9:.2f} Gnnz/s "
+         f"({e_nnz_per_s/sol_nnz_per_s*100:.1f}% of chip speed-of-light)")
 
     # ---- secondary: batched FE assembly throughput --------------------------
     from feddlib_tpu.fe import fast_assembly as fa
@@ -198,12 +226,34 @@ def main():
     part = MeshPartition(dom.mesh, n_clusters)
     cluster = part.unique_map.owner_of()
     db32 = DenseBlockSpMV.from_csr(Kb, cluster, dtype=jnp.float32)
-    prec32 = DenseBlockSchwarz(Kb, db32)
     Ap32 = sell_padded_from(Kb, db32, dtype=jnp.float32)
     note(f"padded SELL K={Ap32.K} spill="
          f"{0 if Ap32.spill_rows is None else int(Ap32.spill_rows.size)}")
     A_fn, A_ops = Ap32.operator()
+    # production preconditioner: padded-space TWO-LEVEL Schwarz (restricted
+    # dense-block level 1 + GDSW coarse, multiplicative level combination —
+    # parametersPrec.xml TwoLevel=true; precond/cluster_coarse.py)
+    from feddlib_tpu.precond.cluster_coarse import PaddedTwoLevelSchwarz
+
+    mask_d = np.asarray(dom.mesh.point_flags) == 1
+    prec32 = PaddedTwoLevelSchwarz(Kb, part, db32, dirichlet_mask=mask_d,
+                                   A_padded_op=(A_fn, A_ops))
+    note(f"two-level Schwarz: nc={prec32.n_coarse} c={prec32.coarse.c}")
     M_fn, M_ops = prec32.padded_operator()
+
+    # ---- north star: one preconditioned-operator application M(A(x)) -------
+    # (BASELINE.json: "SpMV+Schwarz-apply nnz/s/chip" — the per-GMRES-
+    # iteration work of SURVEY §3.5 minus the DGKS dots)
+    def ma_fn(packed, x):
+        a_ops, m_ops = packed
+        return M_fn(m_ops, A_fn(a_ops, x))
+
+    dt_ma = time_chain(ma_fn, (A_ops, M_ops), db32.P * db32.R,
+                       *((5, 105) if on_tpu else (2, 6)))
+    ma_nnz_per_s = nnz / dt_ma
+    note(f"SpMV+two-level-Schwarz apply {dt_ma*1e3:.3f} ms = "
+         f"{ma_nnz_per_s/1e9:.2f} Gnnz/s effective "
+         f"(P={db32.P} R={db32.R} W={db32.R+db32.G})")
 
     def inner(r32):
         res = solve_jit("gmres", A_fn, A_ops, db32.to_padded(r32),
@@ -240,6 +290,16 @@ def main():
             "sell_K": A32.K,
             "spill_nnz": spill,
             "chip_sol_nnz_per_s": round(sol_nnz_per_s),
+            "elasticity_format": fmt_e,
+            "elasticity_nnz": Ke.nnz,
+            "elasticity_nnz_per_s": round(e_nnz_per_s),
+            "elasticity_spmv_ms": round(dt_e * 1e3, 3),
+            "elasticity_bytes_per_nnz": round(e_bytes_per_nnz, 2),
+            "spmv_schwarz_apply_ms": round(dt_ma * 1e3, 3),
+            "spmv_schwarz_nnz_per_s": round(ma_nnz_per_s),
+            "schwarz_clusters": db32.P,
+            "schwarz_levels": 2,
+            "coarse_dim": prec32.n_coarse,
             "ir_converged_1e-8": bool(res.converged),
             "ir_passes": res.passes,
             "ir_inner_iters": res.iters,

@@ -55,21 +55,43 @@ def grow_overlap(csr: sps.csr_matrix, seed_rows: np.ndarray,
     return current
 
 
+#: counters of regularized subdomain factorizations since process start —
+#: {"shifted": diagonal-shift fallbacks, "pinv": pseudo-inverse last
+#: resorts}.  The reference relies on KLU pivot perturbations and is silent
+#: about them; we count and WARN (round-1 review: a shifted/pseudo-inverse
+#: silently changes the preconditioner).
+ROBUST_INVERSE_STATS = {"shifted": 0, "pinv": 0}
+
+
 def _robust_inverse(block: np.ndarray) -> np.ndarray:
     """Dense inverse with a regularized fallback: subdomain blocks of
     saddle-point systems (Stokes/NS) carry a local constant-pressure null
     space and are exactly singular — the reference's KLU factors them thanks
     to pivot perturbations; we shift the diagonal by ~machine-eps·‖A‖
-    instead (preconditioner quality is unaffected)."""
+    instead (preconditioner quality is unaffected).  Every fallback is
+    counted in ROBUST_INVERSE_STATS and reported once per call site."""
+    import warnings
+
     try:
         return np.linalg.inv(block)
     except np.linalg.LinAlgError:
         scale = np.abs(block).max() or 1.0
         for eps in (1e-12, 1e-10, 1e-8):
             try:
-                return np.linalg.inv(block + eps * scale * np.eye(len(block)))
+                out = np.linalg.inv(block + eps * scale * np.eye(len(block)))
+                ROBUST_INVERSE_STATS["shifted"] += 1
+                warnings.warn(
+                    f"singular subdomain block regularized with diagonal "
+                    f"shift {eps:g}*|A| (total shifted: "
+                    f"{ROBUST_INVERSE_STATS['shifted']})", RuntimeWarning)
+                return out
             except np.linalg.LinAlgError:
                 continue
+        ROBUST_INVERSE_STATS["pinv"] += 1
+        warnings.warn(
+            f"subdomain block pseudo-inverted (total pinv: "
+            f"{ROBUST_INVERSE_STATS['pinv']}) — preconditioner differs "
+            f"from an exact subdomain solve", RuntimeWarning)
         return np.linalg.pinv(block)
 
 

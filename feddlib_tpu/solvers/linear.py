@@ -326,6 +326,8 @@ class LinearSolver:
         inner_tol = float(params.get("Inner Tolerance", 1e-6))
         n_clusters = int(params.get("Clusters",
                                     params.get("Subdomains", 64)))
+        two_level = bool(params.get("TwoLevel", params.get("Two Level",
+                                                           False)))
         cache = getattr(problem, "_mixed_cache", None)
         if (cache is None or cache["pattern"] is not A.pattern
                 or problem._prec_stale):
@@ -338,8 +340,27 @@ class LinearSolver:
             for p, ix in enumerate(dof_map.partition_indices):
                 cluster[ix] = p
             db32 = DenseBlockSpMV.from_csr(A, cluster, dtype=jnp.float32)
-            prec32 = DenseBlockSchwarz(A, db32)
             sell32 = sell_padded_from(A, db32, dtype=jnp.float32)
+            if two_level and len(problem.domains) == 1:
+                # padded-space GDSW coarse level on top of the restricted
+                # dense-block Schwarz (parametersPrec.xml TwoLevel=true)
+                from feddlib_tpu.precond.cluster_coarse import (
+                    PaddedTwoLevelSchwarz)
+
+                nsp = params.get("Null Space Type", "laplace").lower()
+                nsp = "elasticity" if "elas" in nsp else "laplace"
+                prec32 = PaddedTwoLevelSchwarz(
+                    A, part, db32,
+                    dofs_per_node=A.shape[0] // base_mesh.n_points,
+                    null_space=nsp,
+                    variant=params.get("Coarse Space Variant", "GDSW"),
+                    dirichlet_mask=problem.merged_dirichlet_mask(),
+                    dof_map=dof_map,
+                    level_combination=params.get("Level Combination",
+                                                 "Multiplicative"),
+                    A_padded_op=sell32.operator())
+            else:
+                prec32 = DenseBlockSchwarz(A, db32)
             cache = {"pattern": A.pattern, "db32": db32,
                      "A_op": sell32.operator(),
                      "M_op": prec32.padded_operator()}

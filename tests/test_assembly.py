@@ -216,3 +216,31 @@ def test_fast_advection_matches_classic():
             assert abs(Wf.to_scipy() - Wc.to_scipy()).max() < 1e-13
     finally:
         os.environ.pop("FEDD_FAST_ASSEMBLY", None)
+
+
+def test_host_assembler_matches_fe_path():
+    """bench.py builds its SpMV input operators with the host (numpy)
+    assembler to avoid remote-compile harness overhead; it must produce
+    exactly the operator the device FE path + BCBuilder produce."""
+    import jax.numpy as jnp
+
+    from feddlib_tpu.bc import BCBuilder
+    from feddlib_tpu.fe import ops
+    from feddlib_tpu.fe.domain import Domain
+    from feddlib_tpu.fe.host_assembly import host_poisson_dirichlet
+
+    for dim, n in [(2, 7), (3, 5)]:
+        dom = Domain.structured(dim, n)
+        K = ops.assemble_laplace(dom)
+        bcb = BCBuilder()
+        bcb.add_bc(lambda x, t: 0.0, 1, 0, dom, "Dirichlet", 1)
+        b = ops.assemble_rhs(dom, lambda x: 1.0 + 0 * x[0])
+        Kb, bb = bcb.apply_symmetric(K, b, 0)
+        Kh, bh = host_poisson_dirichlet(dom)
+        sp = Kb.to_scipy()
+        # pattern-exact: SpMV benches must stream the same slot count
+        assert Kh.nnz == sp.nnz
+        assert np.array_equal(Kh.indices, sp.indices)
+        assert np.array_equal(Kh.indptr, sp.indptr)
+        assert np.abs(Kh.data - sp.data).max() < 1e-12
+        np.testing.assert_allclose(np.asarray(bb), bh, atol=1e-13)

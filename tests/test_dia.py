@@ -91,3 +91,48 @@ def test_dia_rectangular_rejected():
     sp = sps.random(40, 60, density=0.2, format="csr",
                     random_state=np.random.RandomState(4))
     assert DiaMatrix.from_csr(sp) is None
+
+
+def test_block_dia_matches_csr_elasticity():
+    """Block-DIA (vector-field gather-free format) equals the CSR apply on
+    2D/3D linear elasticity, including with_data reassembly."""
+    from feddlib_tpu.la.dia import BlockDiaMatrix
+
+    for dim, n in [(2, 10), (3, 5)]:
+        dom = Domain.structured(dim, n)
+        K = ops.assemble_lin_elasticity(dom, 37.0, 11.0)
+        B = BlockDiaMatrix.from_csr(K, dim, dtype=jnp.float64,
+                                    max_bytes_per_nnz=16.0)
+        assert B is not None and B.spill_rows is None
+        x = np.random.RandomState(0).rand(K.shape[0])
+        y_ref = np.asarray(K.matvec(jnp.asarray(x)))
+        y = np.asarray(B.matvec(jnp.asarray(x)))
+        assert np.abs(y - y_ref).max() / np.abs(y_ref).max() < 1e-14
+        B2 = B.with_data(K.data * 2.0)
+        y2 = np.asarray(B2.matvec(jnp.asarray(x)))
+        assert np.abs(y2 - 2 * y_ref).max() / np.abs(y_ref).max() < 1e-14
+
+
+def test_auto_spmv_picks_block_dia_for_vector_fields():
+    from feddlib_tpu.la.dia import BlockDiaMatrix
+
+    dom = Domain.structured(3, 5)
+    K = ops.assemble_lin_elasticity(dom, 1.0, 1.0)
+    A = auto_spmv(K, dtype=jnp.float32, dofs_per_node=3)
+    assert isinstance(A, BlockDiaMatrix)
+    # scalar callers are unaffected
+    assert isinstance(auto_spmv(_structured_operator(6)), DiaMatrix)
+
+
+def test_host_elasticity_matches_fe_path():
+    from feddlib_tpu.fe.host_assembly import host_lin_elasticity_p1
+
+    for dim, n in [(2, 8), (3, 4)]:
+        dom = Domain.structured(dim, n)
+        K = ops.assemble_lin_elasticity(dom, 37.0, 11.0).to_scipy().tocsr()
+        K.sort_indices()
+        Kh = host_lin_elasticity_p1(dom, 37.0, 11.0)
+        Kh.sort_indices()
+        assert K.nnz == Kh.nnz
+        assert np.array_equal(K.indices, Kh.indices)
+        assert np.abs(K.data - Kh.data).max() < 1e-12

@@ -243,3 +243,67 @@ def test_gdsw_elasticity_rotations():
         its[prec] = prob.solve()
         assert prob.last_relres <= 1e-8
     assert its["SchwarzTwoLevel"] < its["SchwarzOneLevel"], its
+
+
+def test_padded_two_level_matches_serial():
+    """PaddedTwoLevelSchwarz (the TPU padded-cluster two-level apply:
+    batched MXU restrict/prolong + plan-matrix SELL reduce + one-hot
+    spread) equals TwoLevelSchwarz(overlap=1, Restricted) conjugated by
+    the padding permutation."""
+    import jax.numpy as jnp
+
+    from feddlib_tpu.fe.host_assembly import host_poisson_dirichlet
+    from feddlib_tpu.la.csr import CsrMatrix
+    from feddlib_tpu.la.dense_blocks import DenseBlockSpMV
+    from feddlib_tpu.precond.cluster_coarse import PaddedTwoLevelSchwarz
+    from feddlib_tpu.precond.gdsw import TwoLevelSchwarz
+
+    dom = Domain.structured(3, 8)
+    Kb_sp, _ = host_poisson_dirichlet(dom)
+    Kb = CsrMatrix.from_scipy(Kb_sp)
+    part = MeshPartition(dom.mesh, 8)
+    db = DenseBlockSpMV.from_csr(Kb, part.unique_map.owner_of(),
+                                 dtype=jnp.float64)
+    mask = np.asarray(dom.mesh.point_flags) == 1
+    ptl = PaddedTwoLevelSchwarz(Kb, part, db, dirichlet_mask=mask,
+                                dtype=jnp.float64,
+                                level_combination="Multiplicative")
+    assert ptl.n_coarse > 0
+    ref = TwoLevelSchwarz(
+        Kb, part.unique_map,
+        node_part_sets=[np.asarray(ix)
+                        for ix in part.repeated_map.partition_indices],
+        points=dom.mesh.points, overlap=1, combine="Restricted",
+        dirichlet_mask=mask, level_combination="Multiplicative")
+    r = np.random.default_rng(0).standard_normal(Kb.shape[0])
+    z_ref = np.asarray(ref.apply(jnp.asarray(r)))
+    fn, ops = ptl.padded_operator()
+    z = np.asarray(db.from_padded(fn(ops, db.to_padded(jnp.asarray(r)))))
+    assert np.abs(z - z_ref).max() / np.abs(z_ref).max() < 1e-12
+
+
+def test_mixed_precision_two_level_cuts_iterations():
+    """'Use Mixed Precision' + TwoLevel: the padded GDSW coarse level cuts
+    inner GMRES iterations vs one level and still reaches 1e-8."""
+    from feddlib_tpu.fe.domain import Domain
+    from feddlib_tpu.problems.laplace import Laplace
+    from feddlib_tpu.utils.config import ParameterList
+
+    def run(two_level):
+        pl = ParameterList("P", {"Preconditioner Type": "SchwarzOneLevel",
+                            "Clusters": 32,
+                            "Use Mixed Precision": True,
+                            "TwoLevel": two_level})
+        dom = Domain.structured(3, 20)
+        prob = Laplace(dom, parameter_list=pl)
+        prob.assemble()
+        prob.assemble_source(lambda x: 1.0 + 0 * x[0])
+        prob.add_bc(lambda x, t: 0.0, 1, 0)
+        prob.set_boundaries_rhs()
+        iters = prob.solve()
+        return iters, prob.last_relres
+
+    it1, r1 = run(False)
+    it2, r2 = run(True)
+    assert r1 <= 1e-8 and r2 <= 1e-8
+    assert it2 < it1
