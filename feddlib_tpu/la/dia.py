@@ -31,6 +31,12 @@ import jax.numpy as jnp
 from jax import lax
 
 
+# operator() fns memoized by their static layout facts: solvers/krylov.py
+# solve_jit caches compiled programs keyed on the fn IDENTITY, so the fn
+# for a given layout must be a singleton or every reassembly recompiles.
+_op_fn_cache: dict = {}
+
+
 class DiaMatrix:
     """Diagonal-storage operator for y = A @ x (+ exact COO spill)."""
 
@@ -132,10 +138,13 @@ class DiaMatrix:
     def operator(self):
         """(pure_fn, operands) protocol for jit-argument solver programs."""
         n_rows, n_cols, offsets = self.shape[0], self.shape[1], self.offsets
+        key = ("dia", n_rows, n_cols, offsets)
+        fn = _op_fn_cache.get(key)
+        if fn is None:
+            def fn(ops, x):
+                return _apply(*ops, x, n_rows, n_cols, offsets)
 
-        def fn(ops, x):
-            return _apply(*ops, x, n_rows, n_cols, offsets)
-
+            _op_fn_cache[key] = fn
         return fn, self.operands()
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -310,22 +319,28 @@ class BlockDiaMatrix:
     def planar_operator(self):
         """(pure_fn, operands) on planar [d, nn] vectors — the hot path."""
         d, offsets = self.d, self.offsets
+        key = ("bdia-planar", self.shape[0], d, offsets)
+        fn = _op_fn_cache.get(key)
+        if fn is None:
+            def fn(ops, xc):
+                return _block_apply_planar(*ops, xc, d, offsets)
 
-        def fn(ops, xc):
-            return _block_apply_planar(*ops, xc, d, offsets)
-
+            _op_fn_cache[key] = fn
         return fn, self.operands()
 
     def operator(self):
         """(pure_fn, operands) on NodeWise interleaved vectors (pays two
         relayouts per apply — use planar_operator for Krylov loops)."""
         n, d, offsets = self.shape[0], self.d, self.offsets
+        key = ("bdia", n, d, offsets)
+        fn = _op_fn_cache.get(key)
+        if fn is None:
+            def fn(ops, x):
+                xc = jnp.asarray(x).reshape(n // d, d).T
+                y = _block_apply_planar(*ops, xc, d, offsets)
+                return y.T.reshape(-1).astype(x.dtype)
 
-        def fn(ops, x):
-            xc = jnp.asarray(x).reshape(n // d, d).T
-            y = _block_apply_planar(*ops, xc, d, offsets)
-            return y.T.reshape(-1).astype(x.dtype)
-
+            _op_fn_cache[key] = fn
         return fn, self.operands()
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:

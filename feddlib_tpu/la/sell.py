@@ -47,6 +47,9 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+_op_fn_cache: dict = {}
+
+
 class SellMatrix:
     """Windowed sliced-ELL operator for y = A @ x."""
 
@@ -237,12 +240,17 @@ class SellMatrix:
         """(pure_fn, operands) protocol for jit-argument solver programs.
 
         Static layout facts (shape, E) are CLOSED OVER — only arrays ride
-        as operands, so the fn can be jitted with operands as arguments."""
+        as operands, so the fn can be jitted with operands as arguments.
+        fns are memoized per layout so solve_jit's program cache (keyed on
+        fn identity) is hit across with_data/reassembly."""
         n_rows, n_cols, E = self.shape[0], self.shape[1], self.E
+        key = (n_rows, n_cols, E)
+        fn = _op_fn_cache.get(key)
+        if fn is None:
+            def fn(ops, x):
+                return _apply(*ops, x, n_rows, n_cols, E)
 
-        def fn(ops, x):
-            return _apply(*ops, x, n_rows, n_cols, E)
-
+            _op_fn_cache[key] = fn
         return fn, self.operands()
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:

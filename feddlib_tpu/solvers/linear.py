@@ -288,6 +288,9 @@ class LinearSolver:
             from feddlib_tpu.solvers.krylov import solve_jit
 
             A_fn, A_ops = A.operator()
+            auto_op = self._auto_format_operator(A, problem, params)
+            if auto_op is not None:
+                A_fn, A_ops = auto_op
             M_fn, M_ops = (None, ()) if M_op is None else M_op
             res = solve_jit("cg" if method == "cg" else "gmres",
                             A_fn, A_ops, bf, M_fn=M_fn, M_ops=M_ops,
@@ -308,6 +311,47 @@ class LinearSolver:
 
             warnings.warn(f"linear solve not converged: relres={res.relres}")
         return BlockVector.split(res.x, problem.block_sizes()), res.iters
+
+    def _auto_format_operator(self, A, problem, params):
+        """Gather-free SpMV operator for the Krylov A-apply on accelerators
+        (DIA / block-DIA, la/dia.py).  The default transposed-ELL apply is
+        gather-bound on TPU (~15 ns/nnz serial); banded operators stream at
+        HBM bandwidth instead — ~100x per apply.  Returns (fn, ops) or
+        None (non-banded patterns, CPU backend, or 'SpMV Format': 'ell').
+        The format object is cached on the problem and refreshed with
+        `with_data` across Newton/time reassemblies (same compiled Krylov
+        program — operator fns are layout-memoized)."""
+        import jax
+
+        if params.get("SpMV Format", "auto") != "auto":
+            return None
+        if jax.default_backend() == "cpu" or A.shape[0] != A.shape[1]:
+            return None
+        cache = getattr(problem, "_autofmt", None)
+        if cache is not None and cache["pattern"] is A.pattern:
+            if cache["fmt"] is None:
+                return None
+            if cache["data"] is not A.data:
+                cache["fmt"] = cache["fmt"].with_data(A.data)
+                cache["data"] = A.data
+            return cache["fmt"].operator()
+        from feddlib_tpu.la.dia import BlockDiaMatrix, DiaMatrix
+
+        # f64 guard is 16 B/nnz: the baseline ELL apply streams 12 B/nnz
+        # but pays the serial gather — 1.3x more bytes at bandwidth wins
+        guard = 16.0 if jnp.dtype(A.dtype).itemsize == 8 else 8.0
+        fmt = None
+        if len(problem.variables) == 1:
+            d = int(problem.variables[0][1])
+            if d > 1:
+                fmt = BlockDiaMatrix.from_csr(A, d, dtype=A.dtype,
+                                              max_bytes_per_nnz=guard)
+        if fmt is None:
+            fmt = DiaMatrix.from_csr(A, dtype=A.dtype,
+                                     max_bytes_per_nnz=guard)
+        problem._autofmt = {"pattern": A.pattern, "fmt": fmt,
+                            "data": A.data}
+        return None if fmt is None else fmt.operator()
 
     def _solve_mixed(self, problem, A, b: BlockVector, params, tol,
                      maxiter, restart):

@@ -237,3 +237,46 @@ def test_reuse_preconditioner():
         assert its[True] == its[False]
     finally:
         linmod.Preconditioner.build = orig
+
+
+def test_auto_spmv_format_in_solver(monkeypatch):
+    """'SpMV Format: auto' (default on accelerators): the Krylov A-apply
+    switches to the gather-free DIA/block-DIA operator on banded patterns;
+    solutions and iteration counts are unchanged vs the ELL apply."""
+    import jax
+
+    from feddlib_tpu.la.dia import BlockDiaMatrix, DiaMatrix
+    from feddlib_tpu.problems.linelas import LinElas
+
+    def run(force_auto):
+        if force_auto:  # auto formats gate on accelerator backends
+            monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        else:
+            monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+        dom = Domain.structured(2, 12)
+        prob = Laplace(dom, parameter_list=_params())
+        prob.assemble()
+        prob.assemble_source(lambda x: 1.0 + 0 * x[0])
+        prob.add_bc(lambda x, t: 0.0, 1, 0)
+        prob.set_boundaries_rhs()
+        iters = prob.solve()
+        fmt = getattr(prob, "_autofmt", {"fmt": None})["fmt"]
+        return iters, np.asarray(prob.solution[0]), fmt
+
+    it_ell, x_ell, fmt_ell = run(False)
+    it_auto, x_auto, fmt_auto = run(True)
+    assert fmt_ell is None and isinstance(fmt_auto, DiaMatrix)
+    assert it_auto == it_ell
+    np.testing.assert_allclose(x_auto, x_ell, atol=1e-10)
+
+    # vector problem -> block-DIA
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    dom = Domain.structured(2, 8)
+    prob = LinElas(dom, parameter_list=_params(E=100.0))
+    prob.assemble()
+    prob.add_bc(lambda x, t: (0.0, 0.0), 1, 0)
+    prob.assemble_source(lambda x: jnp.stack([0.0 * x[0], -1.0 + 0 * x[0]]))
+    prob.set_boundaries_rhs()
+    prob.solve()
+    assert isinstance(prob._autofmt["fmt"], BlockDiaMatrix)
+    assert prob.last_relres <= 1e-8
