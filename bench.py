@@ -7,17 +7,21 @@ in f32 — DIA (gather-free diagonal streaming) for banded/structured
 operators, windowed sliced-ELL otherwise.  `vs_baseline` = achieved
 fraction of the CHIP's sparse speed-of-light (8 B/nnz — 4B value + 4B
 index — at the 819 GB/s v5e HBM stream), per the round-1 verdict's
-reporting prescription; DIA streams ~4.1 B/nnz, so vs_baseline > 1 means
-the format beats the byte-minimal *indexed* roofline.  `extra` carries the
-general-format SELL number on the same operator plus the format split.
+reporting prescription; DIA streams ~4.6 B/nnz, so vs_baseline > 1 means
+the format beats the byte-minimal *indexed* roofline.
 
-North-star extra (BASELINE.json "SpMV+Schwarz-apply nnz/s/chip"): one
-full preconditioned-operator application M(A(x)) — padded SELL SpMV +
-restricted dense-block Schwarz — timed as its own chain.
-
-Accuracy anchor: mixed-precision iterative refinement (f64 residuals +
-f32 inner Schwarz-GMRES, both A and M in the padded cluster space) at the
-reference's 1e-8 tolerance (on the 69k-dof operator, as in round 2).
+Extras (in priority order, each gated on a wall-clock budget — the
+persistent XLA cache does NOT deduplicate remote axon compiles across
+processes, so every section pays its compile every run; the JSON line is
+ALWAYS printed with whatever sections fit):
+  1. block-DIA on the 3D P1 linear-elasticity operator (8.9M nnz, planar
+     [d, nn] vectors)
+  2. the north-star chain M(A(x)) — padded SELL SpMV + padded two-level
+     (dense-block Schwarz + GDSW coarse) — and the mixed-precision IR
+     accuracy anchor at 1e-8
+  3. windowed sliced-ELL (general-format) on the headline operator
+  4. batched FE assembly throughput (device element kernels + Pallas
+     plan-matrix scatter)
 
 Timing method: N chained applies inside ONE jitted fori_loop with operator
 data passed as ARGUMENTS (constants baked into remote compiles are both
@@ -28,14 +32,17 @@ the axon tunnel).
 Benchmark INPUT operators are assembled on the host (fe/host_assembly.py,
 asserted equal to the device FE path in tests) — a cold remote compile of
 the 1.5M-element device assembly chain costs ~3 min of pure harness
-overhead; the device assembly path itself is still measured below as its
-own metric.
+overhead; the device assembly path itself is still measured as its own
+metric (section 4).
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+BUDGET_S = float(os.environ.get("FEDD_BENCH_BUDGET_S", 540))
 
 
 def main():
@@ -46,7 +53,7 @@ def main():
     from jax import lax
 
     jax.config.update("jax_enable_x64", True)
-    try:  # persistent compile cache absorbs the remote-compile latency
+    try:  # persistent compile cache (helps within-process re-traces)
         jax.config.update("jax_compilation_cache_dir", ".bench_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
@@ -58,10 +65,15 @@ def main():
         print(f"[bench {time.time()-t_start:6.1f}s] {msg}", file=sys.stderr,
               flush=True)
 
+    def have_time(est_s):
+        return (time.time() - t_start) + est_s < BUDGET_S
+
     from feddlib_tpu.fe.domain import Domain
-    from feddlib_tpu.fe.host_assembly import host_poisson_dirichlet
+    from feddlib_tpu.fe.host_assembly import (host_lin_elasticity_p1,
+                                              host_poisson_dirichlet)
     from feddlib_tpu.la.csr import CsrMatrix
     from feddlib_tpu.la.dense_blocks import DenseBlockSpMV
+    from feddlib_tpu.la.dia import auto_spmv
     from feddlib_tpu.la.sell import SellMatrix, sell_padded_from
     from feddlib_tpu.mesh.partition import MeshPartition
     from feddlib_tpu.solvers.krylov import solve_jit
@@ -99,6 +111,8 @@ def main():
         x0 = jnp.ones(nx, jnp.float32)  # nx: int or shape tuple
         r = chain(opnds, x0, 2)
         _ = float(jnp.asarray(r).ravel()[0])  # compile + sync
+        # wide loop-length difference: the axon tunnel adds ~ms fetch
+        # jitter, so the extra applies must dominate it
 
         def run(steps):
             t0 = time.perf_counter()
@@ -112,202 +126,216 @@ def main():
 
     hbm_gbps = 819e9 if on_tpu else 50e9
     sol_nnz_per_s = hbm_gbps / 8.0  # chip sparse speed-of-light at 8 B/nnz
+    extra = {"device": str(dev), "chip_sol_nnz_per_s": round(sol_nnz_per_s),
+             "budget_s": BUDGET_S, "skipped": []}
 
     # ---- headline: auto-format SpMV (DIA on this banded operator) ----------
-    from feddlib_tpu.la.dia import auto_spmv
-
     Ah = auto_spmv(Khb, dtype=jnp.float32)
     fmt = type(Ah).__name__
     bytes_per_nnz = Ah.hbm_bytes_per_apply() / nnz_h
     note(f"auto format {fmt} bytes/nnz={bytes_per_nnz:.2f}"
          + (f" n_offsets={len(Ah.offsets)}" if hasattr(Ah, "offsets") else ""))
     fn_h, ops_h = Ah.operator()
-    # wide loop-length difference: the axon tunnel adds ~ms fetch jitter,
-    # so the extra applies must dominate it (DIA applies are ~25 us)
     dt = time_chain(fn_h, ops_h, dom_h.n_nodes,
                     *((5, 1205) if on_tpu else (2, 30)))
     nnz_per_s = nnz_h / dt
     vs = nnz_per_s / sol_nnz_per_s
     note(f"{fmt} spmv {dt*1e3:.3f} ms = {nnz_per_s/1e9:.2f} Gnnz/s "
          f"({vs*100:.1f}% of chip speed-of-light)")
+    extra.update({
+        "format": fmt, "n_dofs": dom_h.n_nodes, "nnz": nnz_h,
+        "spmv_ms": round(dt * 1e3, 3),
+        "bytes_per_nnz": round(bytes_per_nnz, 2),
+        "dense_overhead_x": round(bytes_per_nnz / 8.0, 2),
+        "dia_offsets": len(Ah.offsets) if hasattr(Ah, "offsets") else 0,
+    })
 
-    # ---- general-format extra: windowed sliced-ELL on the same operator ----
-    A32 = SellMatrix.from_csr(Khb, dtype=jnp.float32)
-    spill = 0 if A32.spill_rows is None else int(A32.spill_rows.size)
-    sell_bytes_per_nnz = A32.hbm_bytes_per_apply() / nnz_h
-    note(f"SELL E={A32.E} K={A32.K} chunks={A32.vals.shape[0]} "
-         f"spill={spill} bytes/nnz={sell_bytes_per_nnz:.2f}")
-    fn_s, ops_s = A32.operator()
-    dt_s = time_chain(fn_s, ops_s, dom_h.n_nodes,
-                      *((5, 205) if on_tpu else (2, 12)))
-    sell_nnz_per_s = nnz_h / dt_s
-    note(f"SELL spmv {dt_s*1e3:.3f} ms = {sell_nnz_per_s/1e9:.2f} Gnnz/s "
-         f"({sell_nnz_per_s/sol_nnz_per_s*100:.1f}% of chip "
-         f"speed-of-light)")
-
-    # ---- vector-field extra: block-DIA on 3D P1 linear elasticity ----------
-    # (the reference's production operators are vector-valued; block-DIA
-    # streams the d x d node blocks gather-free at ~4 B/nnz)
-    from feddlib_tpu.fe.host_assembly import host_lin_elasticity_p1
-
-    Ke = host_lin_elasticity_p1(dom, mu=1.0, lam=1.0)
-    Be = auto_spmv(Ke, dtype=jnp.float32, dofs_per_node=3)
-    fmt_e = type(Be).__name__
-    e_bytes_per_nnz = Be.hbm_bytes_per_apply() / Ke.nnz
-    note(f"elasticity auto format {fmt_e} n={Ke.shape[0]} nnz={Ke.nnz} "
-         f"bytes/nnz={e_bytes_per_nnz:.2f}")
-    # planar [d, nn] vectors: the interleave relayout costs more than the
-    # apply itself (la/dia.py layout note) — Krylov loops stay planar
-    fn_e, ops_e = Be.planar_operator() if hasattr(Be, "planar_operator") \
-        else Be.operator()
-    nx_e = (3, Ke.shape[0] // 3) if hasattr(Be, "planar_operator") \
-        else Ke.shape[0]
-    dt_e = time_chain(fn_e, ops_e, nx_e,
-                      *((5, 1205) if on_tpu else (2, 30)))
-    e_nnz_per_s = Ke.nnz / dt_e
-    note(f"{fmt_e} elasticity spmv {dt_e*1e3:.3f} ms = "
-         f"{e_nnz_per_s/1e9:.2f} Gnnz/s "
-         f"({e_nnz_per_s/sol_nnz_per_s*100:.1f}% of chip speed-of-light)")
-
-    # ---- secondary: batched FE assembly throughput --------------------------
-    from feddlib_tpu.fe import fast_assembly as fa
-    from feddlib_tpu.la.csr import assemble_csr_data, assemble_csr_data_tri
-
-    pat = fa.pattern_abe(dom, 1)
-    plan = pat.duplication_plan()
-    vc = dom.vert_coords()
-    # Pallas scatter-assembly: the COO→CSR reduction as a windowed-SELL
-    # SpMV of the 0/1 plan matrix (f32 — the mixed-precision production
-    # path) instead of the serial XLA scatter (round-1 weak item 2)
-    sell_plans = fa.sell_assembly_plans(pat, dom.n_elements) if on_tpu \
-        else None
-    sell_ops = fa.sell_assembly_ops(sell_plans) if sell_plans else None
-
-    @jax.jit
-    def asm_chain(vcoords, sops, steps):
-        def body(i, acc):
-            # acc-dependent perturbation defeats loop-invariant hoisting
-            flat = fa.elem_laplace_flat_T(vcoords * (1.0 + acc * 1e-30),
-                                          3, "P1")
-            if sell_plans is not None:
-                data = fa.sell_assemble(sell_plans,
-                                        flat.astype(jnp.float32),
-                                        ops_list=sops)
-            elif plan[0] is not None:
-                data = assemble_csr_data_tri(flat, plan[0], pat.nnz, plan[1])
-            else:
-                data = assemble_csr_data(
-                    flat, jnp.asarray(pat.coo_slots.astype(np.int32)),
-                    pat.nnz)
-            return acc + data[0] * 1e-30
-
-        return lax.fori_loop(0, steps, body, 0.0)
-
-    _ = float(asm_chain(vc, sell_ops, 2))
-    note("assembly chain compiled")
-
-    def arun(steps):
-        t0 = time.perf_counter()
-        _ = float(asm_chain(vc, sell_ops, steps))
-        return time.perf_counter() - t0
-
-    alo, ahi = (2, 12) if on_tpu else (2, 5)
-    a_lo = min(arun(alo) for _ in range(3))
-    a_hi = min(arun(ahi) for _ in range(3))
-    a_dt = max((a_hi - a_lo) / (ahi - alo), 1e-9)
-    elems_per_s = dom.n_elements / a_dt
-    note(f"assembly {a_dt*1e3:.2f} ms / {dom.n_elements} elems")
-
-    # ---- correctness anchor: mixed-precision IR to 1e-8 ---------------------
-    # Whole inner Krylov loop in PADDED cluster space: SELL SpMV on the
-    # padded-permuted operator + overlap-1 restricted Schwarz sharing the
-    # dense-block halo exchange.
-    n_clusters = 256 if on_tpu else 8
-    part = MeshPartition(dom.mesh, n_clusters)
-    cluster = part.unique_map.owner_of()
-    db32 = DenseBlockSpMV.from_csr(Kb, cluster, dtype=jnp.float32)
-    Ap32 = sell_padded_from(Kb, db32, dtype=jnp.float32)
-    note(f"padded SELL K={Ap32.K} spill="
-         f"{0 if Ap32.spill_rows is None else int(Ap32.spill_rows.size)}")
-    A_fn, A_ops = Ap32.operator()
-    # production preconditioner: padded-space TWO-LEVEL Schwarz (restricted
-    # dense-block level 1 + GDSW coarse, multiplicative level combination —
-    # parametersPrec.xml TwoLevel=true; precond/cluster_coarse.py)
-    from feddlib_tpu.precond.cluster_coarse import PaddedTwoLevelSchwarz
-
-    mask_d = np.asarray(dom.mesh.point_flags) == 1
-    prec32 = PaddedTwoLevelSchwarz(Kb, part, db32, dirichlet_mask=mask_d,
-                                   A_padded_op=(A_fn, A_ops))
-    note(f"two-level Schwarz: nc={prec32.n_coarse} c={prec32.coarse.c}")
-    M_fn, M_ops = prec32.padded_operator()
-
-    # ---- north star: one preconditioned-operator application M(A(x)) -------
-    # (BASELINE.json: "SpMV+Schwarz-apply nnz/s/chip" — the per-GMRES-
-    # iteration work of SURVEY §3.5 minus the DGKS dots)
-    def ma_fn(packed, x):
-        a_ops, m_ops = packed
-        return M_fn(m_ops, A_fn(a_ops, x))
-
-    dt_ma = time_chain(ma_fn, (A_ops, M_ops), db32.P * db32.R,
-                       *((5, 105) if on_tpu else (2, 6)))
-    ma_nnz_per_s = nnz / dt_ma
-    note(f"SpMV+two-level-Schwarz apply {dt_ma*1e3:.3f} ms = "
-         f"{ma_nnz_per_s/1e9:.2f} Gnnz/s effective "
-         f"(P={db32.P} R={db32.R} W={db32.R+db32.G})")
-
-    def inner(r32):
-        res = solve_jit("gmres", A_fn, A_ops, db32.to_padded(r32),
-                        M_fn=M_fn, M_ops=M_ops,
-                        tol=1e-6, maxiter=150, restart=80)
-        res.x = db32.from_padded(res.x)
-        return res
-
-    note("starting IR anchor")
-    t0 = time.perf_counter()
-    res = iterative_refinement(Kb.matvec, inner, bb, tol=1e-8)
-    ir_s = time.perf_counter() - t0
-    note("IR done")
-
-    print(json.dumps({
-        "metric": "spmv_nnz_per_s_f32_auto",
-        "value": round(nnz_per_s),
-        "unit": "nnz/s",
-        "vs_baseline": round(vs, 4),
-        "extra": {
-            "device": str(dev),
-            "format": fmt,
-            "n_dofs": dom_h.n_nodes,
-            "nnz": nnz_h,
-            "spmv_ms": round(dt * 1e3, 3),
-            "bytes_per_nnz": round(bytes_per_nnz, 2),
-            "dense_overhead_x": round(bytes_per_nnz / 8.0, 2),
-            "dia_offsets": (len(Ah.offsets)
-                            if hasattr(Ah, "offsets") else 0),
-            "sell_nnz_per_s": round(sell_nnz_per_s),
-            "sell_spmv_ms": round(dt_s * 1e3, 3),
-            "sell_bytes_per_nnz": round(sell_bytes_per_nnz, 2),
-            "sell_E": A32.E,
-            "sell_K": A32.K,
-            "spill_nnz": spill,
-            "chip_sol_nnz_per_s": round(sol_nnz_per_s),
-            "elasticity_format": fmt_e,
-            "elasticity_nnz": Ke.nnz,
+    # ---- extra 1: block-DIA on 3D P1 linear elasticity ---------------------
+    if have_time(100 if on_tpu else 20):
+        Ke = host_lin_elasticity_p1(dom, mu=1.0, lam=1.0)
+        Be = auto_spmv(Ke, dtype=jnp.float32, dofs_per_node=3)
+        fmt_e = type(Be).__name__
+        e_bpn = Be.hbm_bytes_per_apply() / Ke.nnz
+        note(f"elasticity auto format {fmt_e} n={Ke.shape[0]} nnz={Ke.nnz} "
+             f"bytes/nnz={e_bpn:.2f}")
+        # planar [d, nn] vectors: the interleave relayout costs more than
+        # the apply itself (la/dia.py layout note)
+        if hasattr(Be, "planar_operator"):
+            fn_e, ops_e = Be.planar_operator()
+            nx_e = (3, Ke.shape[0] // 3)
+        else:
+            fn_e, ops_e = Be.operator()
+            nx_e = Ke.shape[0]
+        dt_e = time_chain(fn_e, ops_e, nx_e,
+                          *((5, 1205) if on_tpu else (2, 30)))
+        e_nnz_per_s = Ke.nnz / dt_e
+        note(f"{fmt_e} elasticity spmv {dt_e*1e3:.3f} ms = "
+             f"{e_nnz_per_s/1e9:.2f} Gnnz/s "
+             f"({e_nnz_per_s/sol_nnz_per_s*100:.1f}% of chip "
+             f"speed-of-light)")
+        extra.update({
+            "elasticity_format": fmt_e, "elasticity_nnz": Ke.nnz,
             "elasticity_nnz_per_s": round(e_nnz_per_s),
             "elasticity_spmv_ms": round(dt_e * 1e3, 3),
-            "elasticity_bytes_per_nnz": round(e_bytes_per_nnz, 2),
+            "elasticity_bytes_per_nnz": round(e_bpn, 2),
+        })
+    else:
+        extra["skipped"].append("elasticity")
+
+    # ---- extra 2: north-star M(A(x)) chain + mixed-precision IR anchor -----
+    if have_time(130 if on_tpu else 15):
+        n_clusters = 256 if on_tpu else 8
+        t_setup = time.perf_counter()
+        part = MeshPartition(dom.mesh, n_clusters)
+        cluster = part.unique_map.owner_of()
+        db32 = DenseBlockSpMV.from_csr(Kb, cluster, dtype=jnp.float32)
+        Ap32 = sell_padded_from(Kb, db32, dtype=jnp.float32)
+        note(f"padded SELL K={Ap32.K} spill="
+             f"{0 if Ap32.spill_rows is None else int(Ap32.spill_rows.size)}")
+        A_fn, A_ops = Ap32.operator()
+        # production preconditioner: padded-space TWO-LEVEL Schwarz
+        # (restricted dense-block level 1 + GDSW coarse, multiplicative —
+        # parametersPrec.xml TwoLevel=true; precond/cluster_coarse.py)
+        from feddlib_tpu.precond.cluster_coarse import PaddedTwoLevelSchwarz
+
+        mask_d = np.asarray(dom.mesh.point_flags) == 1
+        prec32 = PaddedTwoLevelSchwarz(Kb, part, db32,
+                                       dirichlet_mask=mask_d,
+                                       A_padded_op=(A_fn, A_ops))
+        setup_s = time.perf_counter() - t_setup
+        note(f"two-level Schwarz: nc={prec32.n_coarse} "
+             f"c={prec32.coarse.c} setup={setup_s:.1f}s")
+        M_fn, M_ops = prec32.padded_operator()
+
+        # north star (BASELINE.json "SpMV+Schwarz-apply nnz/s/chip"):
+        # the per-GMRES-iteration work of SURVEY §3.5 minus the DGKS dots
+        def ma_fn(packed, x):
+            a_ops, m_ops = packed
+            return M_fn(m_ops, A_fn(a_ops, x))
+
+        dt_ma = time_chain(ma_fn, (A_ops, M_ops), db32.P * db32.R,
+                           *((5, 105) if on_tpu else (2, 6)))
+        ma_nnz_per_s = nnz / dt_ma
+        note(f"SpMV+two-level-Schwarz apply {dt_ma*1e3:.3f} ms = "
+             f"{ma_nnz_per_s/1e9:.2f} Gnnz/s effective "
+             f"(P={db32.P} R={db32.R} W={db32.R+db32.G})")
+
+        def inner(r32):
+            res = solve_jit("gmres", A_fn, A_ops, db32.to_padded(r32),
+                            M_fn=M_fn, M_ops=M_ops,
+                            tol=1e-6, maxiter=150, restart=80)
+            res.x = db32.from_padded(res.x)
+            return res
+
+        note("starting IR anchor")
+        t0 = time.perf_counter()
+        res = iterative_refinement(Kb.matvec, inner, bb, tol=1e-8)
+        ir_s = time.perf_counter() - t0
+        note("IR done")
+        extra.update({
             "spmv_schwarz_apply_ms": round(dt_ma * 1e3, 3),
             "spmv_schwarz_nnz_per_s": round(ma_nnz_per_s),
             "schwarz_clusters": db32.P,
             "schwarz_levels": 2,
+            "schwarz_setup_s": round(setup_s, 2),
             "coarse_dim": prec32.n_coarse,
             "ir_converged_1e-8": bool(res.converged),
             "ir_passes": res.passes,
             "ir_inner_iters": res.iters,
             "ir_relres": float(res.relres),
             "ir_total_s": round(ir_s, 2),
+        })
+    else:
+        extra["skipped"].append("two_level_ir")
+
+    # ---- extra 3: general-format windowed sliced-ELL -----------------------
+    if have_time(45 if on_tpu else 10):
+        A32 = SellMatrix.from_csr(Khb, dtype=jnp.float32)
+        spill = 0 if A32.spill_rows is None else int(A32.spill_rows.size)
+        sell_bpn = A32.hbm_bytes_per_apply() / nnz_h
+        note(f"SELL E={A32.E} K={A32.K} chunks={A32.vals.shape[0]} "
+             f"spill={spill} bytes/nnz={sell_bpn:.2f}")
+        fn_s, ops_s = A32.operator()
+        dt_s = time_chain(fn_s, ops_s, dom_h.n_nodes,
+                          *((5, 205) if on_tpu else (2, 12)))
+        sell_nnz_per_s = nnz_h / dt_s
+        note(f"SELL spmv {dt_s*1e3:.3f} ms = "
+             f"{sell_nnz_per_s/1e9:.2f} Gnnz/s "
+             f"({sell_nnz_per_s/sol_nnz_per_s*100:.1f}% of chip "
+             f"speed-of-light)")
+        extra.update({
+            "sell_nnz_per_s": round(sell_nnz_per_s),
+            "sell_spmv_ms": round(dt_s * 1e3, 3),
+            "sell_bytes_per_nnz": round(sell_bpn, 2),
+            "sell_E": A32.E, "sell_K": A32.K, "spill_nnz": spill,
+        })
+    else:
+        extra["skipped"].append("sell")
+
+    # ---- extra 4: batched FE assembly throughput ---------------------------
+    if have_time(185 if on_tpu else 20):
+        from feddlib_tpu.fe import fast_assembly as fa
+        from feddlib_tpu.la.csr import (assemble_csr_data,
+                                        assemble_csr_data_tri)
+
+        pat = fa.pattern_abe(dom, 1)
+        plan = pat.duplication_plan()
+        vc = dom.vert_coords()
+        # Pallas scatter-assembly: the COO→CSR reduction as a windowed-SELL
+        # SpMV of the 0/1 plan matrix (f32 — the mixed-precision production
+        # path) instead of the serial XLA scatter
+        sell_plans = (fa.sell_assembly_plans(pat, dom.n_elements)
+                      if on_tpu else None)
+        sell_ops = fa.sell_assembly_ops(sell_plans) if sell_plans else None
+
+        @jax.jit
+        def asm_chain(vcoords, sops, steps):
+            def body(i, acc):
+                # acc-dependent perturbation defeats loop-invariant hoisting
+                flat = fa.elem_laplace_flat_T(
+                    vcoords * (1.0 + acc * 1e-30), 3, "P1")
+                if sell_plans is not None:
+                    data = fa.sell_assemble(sell_plans,
+                                            flat.astype(jnp.float32),
+                                            ops_list=sops)
+                elif plan[0] is not None:
+                    data = assemble_csr_data_tri(flat, plan[0], pat.nnz,
+                                                 plan[1])
+                else:
+                    data = assemble_csr_data(
+                        flat, jnp.asarray(pat.coo_slots.astype(np.int32)),
+                        pat.nnz)
+                return acc + data[0] * 1e-30
+
+            return lax.fori_loop(0, steps, body, 0.0)
+
+        _ = float(asm_chain(vc, sell_ops, 2))
+        note("assembly chain compiled")
+
+        def arun(steps):
+            t0 = time.perf_counter()
+            _ = float(asm_chain(vc, sell_ops, steps))
+            return time.perf_counter() - t0
+
+        alo, ahi = (2, 12) if on_tpu else (2, 5)
+        a_lo = min(arun(alo) for _ in range(3))
+        a_hi = min(arun(ahi) for _ in range(3))
+        a_dt = max((a_hi - a_lo) / (ahi - alo), 1e-9)
+        elems_per_s = dom.n_elements / a_dt
+        note(f"assembly {a_dt*1e3:.2f} ms / {dom.n_elements} elems")
+        extra.update({
             "assembly_elems_per_s": round(elems_per_s),
             "assembly_ms": round(a_dt * 1e3, 3),
-        },
+        })
+    else:
+        extra["skipped"].append("assembly")
+
+    print(json.dumps({
+        "metric": "spmv_nnz_per_s_f32_auto",
+        "value": round(nnz_per_s),
+        "unit": "nnz/s",
+        "vs_baseline": round(vs, 4),
+        "extra": extra,
     }))
 
 

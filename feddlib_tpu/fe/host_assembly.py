@@ -20,6 +20,38 @@ import numpy as np
 import scipy.sparse as sps
 
 
+def _det_inv(B: np.ndarray):
+    """Vectorized closed-form det+inverse of [E, d, d] for d in (2, 3) —
+    ~10x faster than np.linalg on millions of tiny matrices."""
+    d = B.shape[1]
+    if d == 2:
+        a, b = B[:, 0, 0], B[:, 0, 1]
+        c, e = B[:, 1, 0], B[:, 1, 1]
+        det = a * e - b * c
+        inv = np.empty_like(B)
+        inv[:, 0, 0], inv[:, 0, 1] = e, -b
+        inv[:, 1, 0], inv[:, 1, 1] = -c, a
+        inv /= det[:, None, None]
+        return det, inv
+    a = B
+    c00 = a[:, 1, 1] * a[:, 2, 2] - a[:, 1, 2] * a[:, 2, 1]
+    c01 = a[:, 1, 2] * a[:, 2, 0] - a[:, 1, 0] * a[:, 2, 2]
+    c02 = a[:, 1, 0] * a[:, 2, 1] - a[:, 1, 1] * a[:, 2, 0]
+    det = a[:, 0, 0] * c00 + a[:, 0, 1] * c01 + a[:, 0, 2] * c02
+    inv = np.empty_like(B)
+    inv[:, 0, 0] = c00
+    inv[:, 1, 0] = c01
+    inv[:, 2, 0] = c02
+    inv[:, 0, 1] = a[:, 0, 2] * a[:, 2, 1] - a[:, 0, 1] * a[:, 2, 2]
+    inv[:, 1, 1] = a[:, 0, 0] * a[:, 2, 2] - a[:, 0, 2] * a[:, 2, 0]
+    inv[:, 2, 1] = a[:, 0, 1] * a[:, 2, 0] - a[:, 0, 0] * a[:, 2, 1]
+    inv[:, 0, 2] = a[:, 0, 1] * a[:, 1, 2] - a[:, 0, 2] * a[:, 1, 1]
+    inv[:, 1, 2] = a[:, 0, 2] * a[:, 1, 0] - a[:, 0, 0] * a[:, 1, 2]
+    inv[:, 2, 2] = a[:, 0, 0] * a[:, 1, 1] - a[:, 0, 1] * a[:, 1, 0]
+    inv /= det[:, None, None]
+    return det, inv
+
+
 def host_laplace_p1(dom) -> sps.csr_matrix:
     """Scalar P1 stiffness on a simplex mesh, assembled with numpy."""
     m = dom.mesh
@@ -30,9 +62,8 @@ def host_laplace_p1(dom) -> sps.csr_matrix:
     dim = m.dim
     X = pts[el]                              # [E, dim+1, dim]
     B = X[:, 1:] - X[:, :1]                  # rows = edge vectors x_i - x_0
-    det = np.linalg.det(B)
+    det, Binv = _det_inv(B)
     vol = np.abs(det) / (2.0 if dim == 2 else 6.0)
-    Binv = np.linalg.inv(B)                  # [E, dim, dim]
     # x = x0 + B^T λ  =>  ∇λ_i = column i of B^{-1} (i = 1..dim)
     g = np.transpose(Binv, (0, 2, 1))        # g[e, i-1, :] = ∇λ_i
     g0 = -g.sum(axis=1, keepdims=True)       # ∇λ_0 = -Σ ∇λ_i
@@ -57,9 +88,9 @@ def host_lin_elasticity_p1(dom, mu: float, lam: float) -> sps.csr_matrix:
     pts, el, dim = m.points, m.elements, m.dim
     X = pts[el]
     B = X[:, 1:] - X[:, :1]
-    det = np.linalg.det(B)
+    det, Binv = _det_inv(B)
     vol = np.abs(det) / (2.0 if dim == 2 else 6.0)
-    g = np.transpose(np.linalg.inv(B), (0, 2, 1))
+    g = np.transpose(Binv, (0, 2, 1))
     G = np.concatenate([-g.sum(axis=1, keepdims=True), g], axis=1)
     gg = np.einsum("ead,ebd->eab", G, G)           # g_a·g_b
     # K[e, a, i, b, j] = vol (μ(δ_ij g_a·g_b + g_a[j] g_b[i]) + λ g_a[i] g_b[j])
@@ -86,7 +117,7 @@ def host_rhs_const(dom, value: float = 1.0) -> np.ndarray:
     pts, el = m.points, m.elements
     X = pts[el]
     B = X[:, 1:] - X[:, :1]
-    det = np.linalg.det(B)
+    det = _det_inv(B)[0]
     vol = np.abs(det) / (2.0 if m.dim == 2 else 6.0)
     contrib = value * vol / el.shape[1]
     b = np.zeros(m.n_points)

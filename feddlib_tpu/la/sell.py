@@ -430,3 +430,282 @@ def _fill_slots(data, slots, size):
     return jnp.zeros(size, data.dtype).at[
         jnp.where(valid, slots, size)].set(
         jnp.where(valid, data, 0), mode="drop")
+
+
+# -- Block-SELL: windowed sliced-ELL over d x d node blocks ------------------
+
+class BlockSellMatrix:
+    """Windowed sliced-ELL SpMV for VECTOR-FIELD operators on unstructured
+    meshes (dofs-per-node d > 1, NodeWise ordering).
+
+    The slot layout (window blocks, lane indices) is built once on the
+    NODE pattern; each slot then carries the d x d block of values.  Per
+    apply the lane-gather runs once per (window, component-j) — d x fewer
+    gather passes than scalar SELL on the dof pattern — and the int16
+    index stream is amortized d² x, so bytes/nnz ≈ 4 + 2/d² + x-stream.
+    Measured ~2.5-3x the scalar SELL throughput for d = 3.
+
+    Vectors are PLANAR [d, nn] (see la/dia.BlockDiaMatrix — interleaved
+    reshapes are lane-starved relayouts).  Non-square or non-NodeWise
+    matrices are not supported; use auto_spmv which falls back cleanly.
+    """
+
+    def __init__(self, n, d, layout, vals, spill_rows, spill_cols,
+                 spill_vals, nnz, dof_slots, spill_sel, dtype):
+        self.shape = (n, n)
+        self.d = d
+        self.layout = layout            # node-pattern SellMatrix (slots)
+        self.vals = vals                # [nchunks, d*d, 8, 128]
+        self.spill_rows = spill_rows    # planar flat ids (c*nn + node)
+        self.spill_cols = spill_cols
+        self.spill_vals = spill_vals
+        self.nnz = nnz
+        self.dof_slots = dof_slots      # device: csr nnz -> flat val slot
+        self.spill_sel = spill_sel
+        self.dtype = dtype
+
+    @classmethod
+    def from_csr(cls, A, d, dtype=jnp.float32, E=None, K=None):
+        import scipy.sparse as sps
+
+        is_fedd = hasattr(A, "to_scipy")
+        sp = (A.to_scipy() if is_fedd else A).tocsr()
+        sp.sort_indices()
+        n = sp.shape[0]
+        if sp.shape[0] != sp.shape[1] or n == 0 or d <= 1 or n % d:
+            return None
+        nn = n // d
+        row = np.repeat(np.arange(n, dtype=np.int64), np.diff(sp.indptr))
+        col = sp.indices.astype(np.int64)
+        nr, ci = row // d, row % d
+        nc, cj = col // d, col % d
+        keys = nr * nn + nc
+        ukeys = np.unique(keys)
+        sp_node = sps.csr_matrix(
+            (np.ones(len(ukeys), np.float32),
+             (ukeys // nn, ukeys % nn)), shape=(nn, nn))
+        layout = SellMatrix.from_csr(sp_node, dtype=jnp.float32, E=E, K=K)
+        nslot = layout.vals.size                       # nchunks*8*128
+        nchunks = layout.vals.shape[0]
+
+        pair_idx = np.searchsorted(ukeys, keys)        # dof nnz -> node pair
+        s = layout.data_slots[pair_idx]                # flat node slot or -1
+        plane = ci * d + cj
+        dof_slots = np.where(s >= 0, plane * nslot + s, -1)
+
+        data_dev = (A.data.astype(dtype)
+                    if is_fedd and isinstance(A.data, jnp.ndarray)
+                    else jnp.asarray(sp.data, dtype))
+        vals = _fill_slots(data_dev, jnp.asarray(dof_slots),
+                           d * d * nslot).reshape(d * d, nchunks, 8, _LANES)
+        vals = jnp.transpose(vals, (1, 0, 2, 3))       # [nchunks, d*d, 8, L]
+
+        spill_idx = np.flatnonzero(s < 0)
+        if len(spill_idx):
+            spill_sel = jnp.asarray(spill_idx)
+            sr, sc = row[spill_idx], col[spill_idx]
+            s_rows = jnp.asarray(((sr % d) * nn + sr // d).astype(np.int32))
+            s_cols = jnp.asarray(((sc % d) * nn + sc // d).astype(np.int32))
+            s_vals = data_dev[spill_sel]
+        else:
+            spill_sel = s_rows = s_cols = s_vals = None
+        return cls(n, d, layout, vals, s_rows, s_cols, s_vals, sp.nnz,
+                   jnp.asarray(dof_slots), spill_sel, dtype)
+
+    def with_data(self, data: jnp.ndarray) -> "BlockSellMatrix":
+        dd = jnp.asarray(data).astype(self.dtype)
+        d = self.d
+        nslot = self.layout.vals.size
+        nchunks = self.layout.vals.shape[0]
+        vals = _fill_slots(dd, self.dof_slots, d * d * nslot).reshape(
+            d * d, nchunks, 8, _LANES)
+        vals = jnp.transpose(vals, (1, 0, 2, 3))
+        s_vals = dd[self.spill_sel] if self.spill_sel is not None else None
+        return BlockSellMatrix(self.shape[0], d, self.layout, vals,
+                               self.spill_rows, self.spill_cols, s_vals,
+                               self.nnz, self.dof_slots, self.spill_sel,
+                               self.dtype)
+
+    # -- vector layout -------------------------------------------------------
+    def to_planar(self, x: jnp.ndarray) -> jnp.ndarray:
+        nn = self.shape[0] // self.d
+        return jnp.asarray(x).reshape(nn, self.d).T
+
+    def from_planar(self, xc: jnp.ndarray) -> jnp.ndarray:
+        return xc.T.reshape(-1)
+
+    # -- applies -------------------------------------------------------------
+    def operands(self):
+        lay = self.layout
+        return (self.vals, lay.pidx, lay.bids, self.spill_rows,
+                self.spill_cols, self.spill_vals)
+
+    def planar_operator(self):
+        d, E = self.d, self.layout.E
+        nn = self.shape[0] // d
+        key = ("bsell-planar", self.shape[0], d, E, self.layout.K,
+               self.layout.vals.shape[0])
+        fn = _op_fn_cache.get(key)
+        if fn is None:
+            def fn(ops, xc):
+                return _block_sell_apply(*ops, xc, nn, d, E)
+
+            _op_fn_cache[key] = fn
+        return fn, self.operands()
+
+    def operator(self):
+        """Interleaved-vector operator (pays two planar relayouts)."""
+        d = self.d
+        nn = self.shape[0] // d
+        p_fn, _ = self.planar_operator()
+        key = ("bsell", self.shape[0], d, self.layout.E, self.layout.K,
+               self.layout.vals.shape[0])
+        fn = _op_fn_cache.get(key)
+        if fn is None:
+            def fn(ops, x):
+                xc = jnp.asarray(x).reshape(nn, d).T
+                return p_fn(ops, xc).T.reshape(-1).astype(x.dtype)
+
+            _op_fn_cache[key] = fn
+        return fn, self.operands()
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        fn, ops = self.operator()
+        return _jit_by_key(fn)(ops, jnp.asarray(x))
+
+    def hbm_bytes_per_apply(self) -> int:
+        isz = jnp.dtype(self.dtype).itemsize
+        b = (self.vals.size * isz + self.layout.pidx.size * 2
+             + self.layout.bids.size * 4 + 2 * self.shape[0] * isz)
+        if self.spill_rows is not None:
+            b += int(self.spill_rows.size) * (8 + 2 * isz)
+        return b
+
+
+_jit_cache: dict = {}
+
+
+def _jit_by_key(fn):
+    j = _jit_cache.get(fn)
+    if j is None:
+        j = jax.jit(fn)
+        _jit_cache[fn] = j
+    return j
+
+
+def _block_sell_apply(vals, pidx, bids, s_rows, s_cols, s_vals, xc, nn, d,
+                      E):
+    out_dtype = xc.dtype
+    nx2 = max(_round_up(nn, _LANES) // _LANES, 1)
+    xpad = jnp.zeros((d, nx2 * _LANES), vals.dtype)
+    xpad = xpad.at[:, :nn].set(xc.astype(vals.dtype))
+    x2d = xpad.reshape(d * nx2, _LANES)            # component cj at rows
+    if use_pallas_sell(vals.dtype):                # [cj*nx2, (cj+1)*nx2)
+        y = _block_sell_mv_pallas(vals, pidx, bids, x2d, E, d, nx2)
+    else:
+        y = _block_sell_mv_xla(vals, pidx, bids, x2d, E, d, nx2)
+    y = y[:, :nn]                                   # [d, nn]
+    if s_rows is not None:
+        contrib = s_vals * xc.astype(vals.dtype).reshape(-1)[s_cols]
+        y = (y.reshape(-1) + jax.ops.segment_sum(
+            contrib, s_rows, num_segments=d * nn)).reshape(d, nn)
+    return y.astype(out_dtype)
+
+
+def _block_sell_mv_xla(vals, pidx, bids, x2d, E, d, nx2):
+    """CPU/reference path (identical semantics to the Pallas kernel)."""
+    nchunks = vals.shape[0]
+    rpl = _LANES // E
+    flat = pidx.astype(jnp.int32)
+    ys = []
+    gathered = []
+    for cj in range(d):
+        win = x2d.reshape(d, nx2, _LANES)[cj][bids]    # [nchunks, K, 128]
+        g = jnp.take_along_axis(
+            win.reshape(nchunks, 1, -1),
+            flat.reshape(nchunks, 1, 8 * _LANES),
+            axis=2).reshape(nchunks, 8, _LANES)
+        gathered.append(g)
+    for ci in range(d):
+        contrib = sum(vals[:, ci * d + cj] * gathered[cj]
+                      for cj in range(d))
+        y = contrib.reshape(nchunks, 8, rpl, E).sum(-1)
+        ys.append(y.reshape(-1))
+    return jnp.stack(ys)                               # [d, nchunks*8*rpl]
+
+
+def _make_block_kernel(K, C, E, d, nx2):
+    rpl = _LANES // E
+
+    def kernel(bids_ref, x_ref, vals_ref, pidx_ref, out_ref):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (_LANES, rpl), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (_LANES, rpl), 1)
+        seg = (lane // E == col).astype(jnp.float32)
+        g = pl.program_id(0)
+        pidx = pidx_ref[:].reshape(C * 8, _LANES).astype(jnp.int32)
+        k_idx = pidx >> 7
+        m_idx = pidx & 127
+        gathered = []
+        for cj in range(d):
+            acc = jnp.zeros((C * 8, _LANES), jnp.float32)
+            for k in range(K):
+                rows = [jnp.broadcast_to(
+                    x_ref[cj * nx2 + bids_ref[g * C + c, k]], (8, _LANES))
+                    for c in range(C)]
+                src = jnp.concatenate(rows, axis=0)
+                gk = jnp.take_along_axis(src, m_idx, axis=1)
+                acc = jnp.where(k_idx == k, gk, acc)
+            gathered.append(acc)
+        for ci in range(d):
+            contrib = gathered[0] * vals_ref[:, ci * d].reshape(C * 8,
+                                                                _LANES)
+            for cj in range(1, d):
+                contrib = contrib + gathered[cj] * vals_ref[
+                    :, ci * d + cj].reshape(C * 8, _LANES)
+            y = jax.lax.dot_general(
+                contrib, seg, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            out_ref[:, ci] = y.reshape(C, 8, rpl)
+
+    return kernel
+
+
+def _block_sell_mv_pallas(vals, pidx, bids, x2d, E, d, nx2, C=32):
+    nchunks = vals.shape[0]
+    K = bids.shape[1]
+    rpl = _LANES // E
+    if nchunks > (1 << 11):   # SMEM prefetch-table budget (see scalar path)
+        return _block_sell_mv_xla(vals, pidx, bids, x2d, E, d, nx2)
+    ng = max(_round_up(nchunks, C) // C, 1)
+    padc = ng * C - nchunks
+    if padc:
+        vals = jnp.concatenate(
+            [vals, jnp.zeros((padc,) + vals.shape[1:], vals.dtype)])
+        pidx = jnp.concatenate(
+            [pidx, jnp.zeros((padc, 8, _LANES), pidx.dtype)])
+        bids = jnp.concatenate([bids, jnp.zeros((padc, K), bids.dtype)])
+    kernel = _make_block_kernel(K, C, E, d, nx2)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ng,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # x2d resident
+            pl.BlockSpec((C, d * d, 8, _LANES), lambda g, b: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 8, _LANES), lambda g, b: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((C, d, 8, rpl), lambda g, b: (g, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    with jax.enable_x64(False):
+        y = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((ng * C, d, 8, rpl),
+                                           jnp.float32),
+            grid_spec=grid_spec,
+        )(bids, x2d, vals, pidx)
+    y = y[:nchunks]                                    # [nchunks, d, 8, rpl]
+    return jnp.transpose(y, (1, 0, 2, 3)).reshape(
+        d, -1).astype(vals.dtype)
