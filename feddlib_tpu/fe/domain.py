@@ -53,9 +53,22 @@ class Domain:
         return cls(build_hex_mesh(dim, n_cells, fe_type=fe_type, **kw))
 
     @classmethod
-    def from_file(cls, path: str, fe_type: str = "P1") -> "Domain":
+    def from_file(cls, path: str, fe_type: str = "P1",
+                  reorder: str = None) -> "Domain":
+        """reorder='rcm' renumbers nodes bandwidth-reducing at load
+        (mesh.reorder_mesh_rcm) so downstream operators are banded — the
+        TPU SpMV formats (DIA/block-DIA coverage, SELL window spill) are
+        functions of the numbering; flags/coordinates/BCs are permuted
+        consistently."""
         _check_fe_type(fe_type)
-        p1 = cls(read_mesh(path, fe_type="P1"))
+        m = read_mesh(path, fe_type="P1")
+        if reorder == "rcm":
+            from feddlib_tpu.mesh.mesh import reorder_mesh_rcm
+
+            m, _ = reorder_mesh_rcm(m)
+        elif reorder is not None:
+            raise ValueError(f"unknown reorder {reorder!r}")
+        p1 = cls(m)
         return p1 if fe_type == "P1" else p1.p2_domain()
 
     def p2_domain(self) -> "Domain":

@@ -395,6 +395,11 @@ def auto_spmv(A, dtype=jnp.float32, order=None, dofs_per_node=1):
         bdia = BlockDiaMatrix.from_csr(A, dofs_per_node, dtype=dtype)
         if bdia is not None:
             return bdia
+        from feddlib_tpu.la.sell import BlockSellMatrix
+
+        bsell = BlockSellMatrix.from_csr(A, dofs_per_node, dtype=dtype)
+        if bsell is not None:
+            return bsell
     dia = DiaMatrix.from_csr(A, dtype=dtype)
     if dia is not None:
         return dia

@@ -442,8 +442,13 @@ class BlockSellMatrix:
     NODE pattern; each slot then carries the d x d block of values.  Per
     apply the lane-gather runs once per (window, component-j) — d x fewer
     gather passes than scalar SELL on the dof pattern — and the int16
-    index stream is amortized d² x, so bytes/nnz ≈ 4 + 2/d² + x-stream.
-    Measured ~2.5-3x the scalar SELL throughput for d = 3.
+    index stream is amortized d² x; the dof pattern's E-padding tax also
+    disappears (dof rows pad to E=128 where node rows fit E=32).
+    Measured on v5e, 3D P1 elasticity on an RCM-reordered unstructured
+    tet mesh (47k nodes / 5.9M nnz): 0.82 ms = 7.2 Gnnz/s vs 1.91 ms =
+    3.1 Gnnz/s for scalar SELL on the dof pattern (2.3x).  Pair with
+    Domain.from_file(reorder='rcm') — natural file orderings spill ~30%
+    of nnz to the slow COO path, RCM ~0.3%.
 
     Vectors are PLANAR [d, nn] (see la/dia.BlockDiaMatrix — interleaved
     reshapes are lane-starved relayouts).  Non-square or non-NodeWise
@@ -481,6 +486,10 @@ class BlockSellMatrix:
         nc, cj = col // d, col % d
         keys = nr * nn + nc
         ukeys = np.unique(keys)
+        if d * d * len(ukeys) > 1.34 * sp.nnz:
+            # pattern is not d x d node-blocked (e.g. a merged saddle-point
+            # system): padding the missing block entries would blow storage
+            return None
         sp_node = sps.csr_matrix(
             (np.ones(len(ukeys), np.float32),
              (ukeys // nn, ukeys % nn)), shape=(nn, nn))
@@ -635,6 +644,9 @@ def _block_sell_mv_xla(vals, pidx, bids, x2d, E, d, nx2):
 
 
 def _make_block_kernel(K, C, E, d, nx2):
+    # chunk loop is an IN-KERNEL fori_loop: an unrolled C x K x d body is
+    # ~K*d*C Mosaic ops and compiles for >9 minutes at realistic sizes;
+    # the looped body is K*d ops and compiles like the scalar kernel
     rpl = _LANES // E
 
     def kernel(bids_ref, x_ref, vals_ref, pidx_ref, out_ref):
@@ -642,39 +654,44 @@ def _make_block_kernel(K, C, E, d, nx2):
         col = jax.lax.broadcasted_iota(jnp.int32, (_LANES, rpl), 1)
         seg = (lane // E == col).astype(jnp.float32)
         g = pl.program_id(0)
-        pidx = pidx_ref[:].reshape(C * 8, _LANES).astype(jnp.int32)
-        k_idx = pidx >> 7
-        m_idx = pidx & 127
-        gathered = []
-        for cj in range(d):
-            acc = jnp.zeros((C * 8, _LANES), jnp.float32)
-            for k in range(K):
-                rows = [jnp.broadcast_to(
-                    x_ref[cj * nx2 + bids_ref[g * C + c, k]], (8, _LANES))
-                    for c in range(C)]
-                src = jnp.concatenate(rows, axis=0)
-                gk = jnp.take_along_axis(src, m_idx, axis=1)
-                acc = jnp.where(k_idx == k, gk, acc)
-            gathered.append(acc)
-        for ci in range(d):
-            contrib = gathered[0] * vals_ref[:, ci * d].reshape(C * 8,
-                                                                _LANES)
-            for cj in range(1, d):
-                contrib = contrib + gathered[cj] * vals_ref[
-                    :, ci * d + cj].reshape(C * 8, _LANES)
-            y = jax.lax.dot_general(
-                contrib, seg, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-            out_ref[:, ci] = y.reshape(C, 8, rpl)
+
+        def body(c, carry):
+            pidx = pidx_ref[c].astype(jnp.int32)         # [8, 128]
+            k_idx = pidx >> 7
+            m_idx = pidx & 127
+            gathered = []
+            for cj in range(d):
+                acc = jnp.zeros((8, _LANES), jnp.float32)
+                for k in range(K):
+                    src = jnp.broadcast_to(
+                        x_ref[cj * nx2 + bids_ref[g * C + c, k]],
+                        (8, _LANES))
+                    gk = jnp.take_along_axis(src, m_idx, axis=1)
+                    acc = jnp.where(k_idx == k, gk, acc)
+                gathered.append(acc)
+            for ci in range(d):
+                contrib = gathered[0] * vals_ref[c, ci * d]
+                for cj in range(1, d):
+                    contrib = contrib + gathered[cj] * vals_ref[
+                        c, ci * d + cj]
+                y = jax.lax.dot_general(
+                    contrib, seg, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+                out_ref[c, ci] = y                       # [8, rpl]
+            return carry
+
+        jax.lax.fori_loop(0, C, body, 0)
 
     return kernel
 
 
-def _block_sell_mv_pallas(vals, pidx, bids, x2d, E, d, nx2, C=32):
+def _block_sell_mv_pallas(vals, pidx, bids, x2d, E, d, nx2, C=None):
     nchunks = vals.shape[0]
     K = bids.shape[1]
     rpl = _LANES // E
+    if C is None:
+        C = 64
     if nchunks > (1 << 11):   # SMEM prefetch-table budget (see scalar path)
         return _block_sell_mv_xla(vals, pidx, bids, x2d, E, d, nx2)
     ng = max(_round_up(nchunks, C) // C, 1)

@@ -187,3 +187,52 @@ class Mesh:
         np.add.at(indptr, src + 1, 1)
         np.cumsum(indptr, out=indptr)
         return indptr, dst
+
+
+def reorder_mesh_rcm(mesh: Mesh) -> tuple["Mesh", np.ndarray]:
+    """Bandwidth-reducing node renumbering: reverse Cuthill–McKee on the
+    node-adjacency graph.  Returns (new_mesh, perm) with
+    new.points[i] = points[perm[i]].
+
+    The reference inherits whatever numbering the .mesh file ships
+    (MeshFileReader keeps file order); the TPU SpMV formats want a banded
+    node pattern — DIA/block-DIA coverage and SELL/block-SELL window
+    locality (spill) are both functions of the numbering.  Renumbering at
+    the MESH level makes every operator assembled downstream banded at
+    ZERO per-apply cost (a per-apply permutation gather would cost more
+    than the SpMV itself on TPU).  Deterministic (scipy RCM on a
+    deterministic adjacency)."""
+    import scipy.sparse as sps
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    el = mesh.elements
+    nv = el.shape[1]
+    rows = np.repeat(el, nv, axis=1).ravel()
+    cols = np.tile(el, (1, nv)).ravel()
+    adj = sps.csr_matrix(
+        (np.ones(len(rows), np.int8), (rows, cols)),
+        shape=(mesh.n_points, mesh.n_points))
+    perm = np.asarray(reverse_cuthill_mckee(adj, symmetric_mode=True))
+    iperm = np.empty_like(perm)
+    iperm[perm] = np.arange(len(perm))
+
+    def remap(a):
+        return None if a is None else iperm[a]
+
+    new = Mesh(
+        dim=mesh.dim, fe_type=mesh.fe_type,
+        points=mesh.points[perm].copy(),
+        point_flags=mesh.point_flags[perm].copy(),
+        elements=iperm[mesh.elements],
+        element_flags=mesh.element_flags.copy(),
+        surfaces=remap(mesh.surfaces),
+        surface_flags=None if mesh.surface_flags is None
+        else mesh.surface_flags.copy(),
+        lines=remap(mesh.lines),
+        line_flags=None if mesh.line_flags is None
+        else mesh.line_flags.copy(),
+        p2_edges=remap(mesh.p2_edges),
+        ref_points=None if mesh.ref_points is None
+        else mesh.ref_points[perm].copy(),
+    )
+    return new, perm

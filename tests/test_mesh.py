@@ -121,3 +121,37 @@ def test_backward_facing_step():
     assert set(np.unique(cnt)) == {1, 2}  # conforming glue
     assert (m.point_flags[np.isclose(m.points[:, 0], 0.0)] == 2).all()
     assert (m.point_flags[np.isclose(m.points[:, 0], 4.0)] == 3).all()
+
+
+def test_rcm_mesh_reorder_preserves_solution():
+    """reorder='rcm' renumbers nodes (banded patterns for the TPU SpMV
+    formats) without changing the FE problem: solution values at matching
+    coordinates are identical."""
+    import jax.numpy as jnp
+
+    from feddlib_tpu.bc import BCBuilder
+    from feddlib_tpu.fe import ops
+    from feddlib_tpu.fe.domain import Domain
+    from feddlib_tpu.mesh.mesh import reorder_mesh_rcm
+    from feddlib_tpu.solvers.krylov import cg
+
+    def solve(dom):
+        K = ops.assemble_laplace(dom)
+        bcb = BCBuilder()
+        bcb.add_bc(lambda x, t: 0.0, 1, 0, dom, "Dirichlet", 1)
+        b = ops.assemble_rhs(dom, lambda x: 1.0 + 0 * x[0])
+        Kb, bb = bcb.apply_symmetric(K, b, 0)
+        return np.asarray(cg(Kb.matvec, bb, tol=1e-12, maxiter=2000).x)
+
+    dom0 = Domain.from_file(reference_mesh("cube_131.mesh"))
+    dom1 = Domain.from_file(reference_mesh("cube_131.mesh"), reorder="rcm")
+    _, perm = reorder_mesh_rcm(dom0.mesh)
+    u0 = solve(dom0)
+    u1 = solve(dom1)
+    # same solution at the permuted positions
+    np.testing.assert_allclose(u1, u0[perm], atol=1e-10)
+    # bandwidth actually reduced
+    def bandwidth(m):
+        el = m.elements
+        return int((el.max(axis=1) - el.min(axis=1)).max())
+    assert bandwidth(dom1.mesh) < bandwidth(dom0.mesh)

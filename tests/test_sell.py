@@ -164,3 +164,52 @@ def test_sell_assembly_matches_segment_sum():
         got = np.asarray(fa.sell_assemble(plans, flat.astype(jnp.float32)))
         scale = np.abs(ref).max()
         assert np.abs(got - ref).max() / scale < 1e-6
+
+
+def test_block_sell_matches_csr_unstructured_elasticity():
+    """Block-SELL (windowed sliced-ELL over d x d node blocks, planar
+    vectors) equals the CSR apply on unstructured 3D elasticity, including
+    with_data reassembly and the interleaved-operator wrapper."""
+    from feddlib_tpu.fe import ops
+    from feddlib_tpu.fe.domain import Domain
+    from feddlib_tpu.la.sell import BlockSellMatrix
+
+    dom = Domain.from_file("/root/reference/meshes/cube_131.mesh")
+    K = ops.assemble_lin_elasticity(dom, 37.0, 11.0)
+    B = BlockSellMatrix.from_csr(K, 3, dtype=jnp.float64)
+    assert B is not None
+    sp = K.to_scipy().tocsr()
+    x = np.random.default_rng(0).standard_normal(K.shape[0])
+    y_ref = sp @ x
+    y = np.asarray(B.matvec(jnp.asarray(x)))
+    assert np.abs(y - y_ref).max() / np.abs(y_ref).max() < 1e-14
+    B2 = B.with_data(K.data * 3.0)
+    y2 = np.asarray(B2.matvec(jnp.asarray(x)))
+    assert np.abs(y2 - 3 * y_ref).max() / np.abs(y_ref).max() < 1e-14
+    fn, opsb = B.planar_operator()
+    yp = np.asarray(B.from_planar(fn(opsb, B.to_planar(jnp.asarray(x)))))
+    assert np.abs(yp - y_ref).max() / np.abs(y_ref).max() < 1e-14
+
+
+def test_block_sell_refuses_non_blocked_patterns():
+    """A merged saddle-point pattern is not d x d node-blocked; from_csr
+    must refuse rather than pad 9x storage."""
+    import scipy.sparse as sps
+
+    from feddlib_tpu.la.sell import BlockSellMatrix
+
+    rng = np.random.RandomState(5)
+    sp = sps.random(120, 120, density=0.05, format="csr", random_state=rng)
+    assert BlockSellMatrix.from_csr(sp, 3) is None
+
+
+def test_auto_spmv_block_sell_for_unstructured_vector():
+    from feddlib_tpu.fe import ops
+    from feddlib_tpu.fe.domain import Domain
+    from feddlib_tpu.la.dia import auto_spmv
+    from feddlib_tpu.la.sell import BlockSellMatrix
+
+    dom = Domain.from_file("/root/reference/meshes/cube_131.mesh")
+    K = ops.assemble_lin_elasticity(dom, 1.0, 1.0)
+    A = auto_spmv(K, dtype=jnp.float32, dofs_per_node=3)
+    assert isinstance(A, BlockSellMatrix)
