@@ -210,7 +210,7 @@ class SellMatrix:
         `data` is in the CALLER's CSR order; under rcm it is reordered
         to the permuted pattern via the csr_order plan."""
         d = jnp.asarray(data).astype(self.dtype)
-        if self.perm is not None:
+        if self.csr_order is not None:
             if self._csr_order_dev is None:
                 self._csr_order_dev = jnp.asarray(self.csr_order)
             d = d[self._csr_order_dev]
@@ -420,7 +420,17 @@ def sell_padded_from(A, db, dtype=jnp.float32, K=12):
     perm_sp = sps.csr_matrix(
         (np.asarray(sp.data), (pad_of_old[sp.row], pad_of_old[sp.col])),
         shape=(M, M))
-    return SellMatrix.from_csr(perm_sp, dtype=dtype, K=K)
+    sm = SellMatrix.from_csr(perm_sp, dtype=dtype, K=K)
+    # track where each entry of A's CSR order lands in the permuted CSR so
+    # with_data(A.data) works for Newton/time reassemblies (scipy CSR→COO
+    # keeps CSR slot order; the permuted CSR has no duplicates)
+    pos = sps.csr_matrix(
+        (np.arange(sp.nnz, dtype=np.int64) + 1,
+         (pad_of_old[sp.row], pad_of_old[sp.col])), shape=(M, M)).tocsr()
+    pos.sort_indices()
+    if pos.nnz == sp.nnz:
+        sm.csr_order = np.asarray(pos.data) - 1
+    return sm
 
 
 @partial(jax.jit, static_argnames=("size",))

@@ -127,7 +127,12 @@ class PaddedTwoLevelSchwarz:
                  null_space: str = "laplace", variant: str = "GDSW",
                  dirichlet_mask=None, dtype=jnp.float32,
                  dof_map=None, level_combination: str = "Multiplicative",
-                 A_padded_op=None):
+                 A_padded_op=None, l1_store_dtype=None):
+        """l1_store_dtype=jnp.bfloat16 halves the level-1 inverse's HBM
+        stream (the dominant bytes of the whole apply) with f32 MXU
+        accumulation; the f32 multiplicative coarse level compensates the
+        perturbation (unlike one-level bf16, which caps IR contraction —
+        la/dense_blocks.DenseBlockSchwarz docstring)."""
         from feddlib_tpu.la.dense_blocks import DenseBlockSchwarz
         from feddlib_tpu.precond.gdsw import GDSWCoarseOperator
 
@@ -143,7 +148,8 @@ class PaddedTwoLevelSchwarz:
             self.A_op = A_padded_op
         else:
             self.A_op = None
-        self.level1 = DenseBlockSchwarz(A, db, dtype=dtype)
+        self.level1 = DenseBlockSchwarz(A, db, dtype=dtype,
+                                        store_dtype=l1_store_dtype)
         node_sets = [np.asarray(ix)
                      for ix in part.repeated_map.partition_indices]
         umap = part.unique_map if dof_map is None else dof_map

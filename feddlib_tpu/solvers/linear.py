@@ -373,6 +373,20 @@ class LinearSolver:
         two_level = bool(params.get("TwoLevel", params.get("Two Level",
                                                            False)))
         cache = getattr(problem, "_mixed_cache", None)
+        if (cache is not None and cache["pattern"] is A.pattern
+                and problem._prec_stale
+                and bool(params.get("Reuse Preconditioner", True))):
+            # Newton/time reassembly with an unchanged pattern: refresh the
+            # OPERATOR values on device (with_data — same layout-memoized
+            # fn, no recompile) and keep the factorized Schwarz/coarse
+            # level (the reference's FROSch Reuse flags; M need only
+            # approximate A⁻¹, and the f64 outer refinement guards
+            # accuracy).  'Reuse Preconditioner': False forces the full
+            # rebuild every reassembly.
+            sell32 = cache["sell"].with_data(A.data)
+            cache["sell"] = sell32
+            cache["A_op"] = sell32.operator()
+            problem._prec_stale = False
         if (cache is None or cache["pattern"] is not A.pattern
                 or problem._prec_stale):
             dom0 = problem.domains[0]
@@ -405,7 +419,7 @@ class LinearSolver:
                     A_padded_op=sell32.operator())
             else:
                 prec32 = DenseBlockSchwarz(A, db32)
-            cache = {"pattern": A.pattern, "db32": db32,
+            cache = {"pattern": A.pattern, "db32": db32, "sell": sell32,
                      "A_op": sell32.operator(),
                      "M_op": prec32.padded_operator()}
             problem._mixed_cache = cache

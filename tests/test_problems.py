@@ -280,3 +280,31 @@ def test_auto_spmv_format_in_solver(monkeypatch):
     prob.solve()
     assert isinstance(prob._autofmt["fmt"], BlockDiaMatrix)
     assert prob.last_relres <= 1e-8
+
+
+def test_mixed_precision_newton_reuses_preconditioner():
+    """Newton with 'Use Mixed Precision': on reassembly the padded SELL
+    operator VALUES refresh (with_data) while the factorized Schwarz is
+    reused (FROSch Reuse flags) — Newton still converges quadratically to
+    the f64 tolerance; 'Reuse Preconditioner': False forces full rebuilds
+    and must give the same solution."""
+    from feddlib_tpu.problems.navier_stokes import NavierStokes
+
+    def run(reuse):
+        pl = _params(**{"Preconditioner Type": "SchwarzOneLevel",
+                        "Clusters": 8, "Use Mixed Precision": True,
+                        "Reuse Preconditioner": reuse,
+                        "Viscosity": 0.05})
+        dom_p = Domain.structured(2, 8)
+        dom_u = dom_p.p2_domain()
+        prob = NavierStokes(dom_u, dom_p, parameter_list=pl)
+        prob.assemble()
+        lid = lambda x, t: jnp.stack([jnp.where(x[1] > 1 - 1e-9, 1.0, 0.0),
+                                      0.0 * x[0]])
+        prob.add_bc(lid, 1, 0)
+        NonLinearSolver("Newton").solve(prob)
+        return np.asarray(prob.solution[0])
+
+    u_reuse = run(True)
+    u_fresh = run(False)
+    np.testing.assert_allclose(u_reuse, u_fresh, atol=2e-6)
