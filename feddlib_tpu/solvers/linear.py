@@ -318,6 +318,15 @@ class LinearSolver:
         gather-bound on TPU (~15 ns/nnz serial); banded operators stream at
         HBM bandwidth instead — ~100x per apply.  Returns (fn, ops) or
         None (non-banded patterns, CPU backend, or 'SpMV Format': 'ell').
+
+        Layout note: the Krylov vectors here are NodeWise interleaved, so
+        block formats run through their interleaved operator() and pay two
+        planar relayouts per apply (~1.7 ms at 207k dofs) — still ~50x the
+        ELL apply.  Running the whole Krylov loop planar (DimensionWise
+        dof ordering, the reference's FROSch DofOrdering alternative)
+        would remove that cost but requires component-major assembly
+        end-to-end; the padded-cluster mixed-precision path already avoids
+        per-apply permutations by construction.
         The format object is cached on the problem and refreshed with
         `with_data` across Newton/time reassemblies (same compiled Krylov
         program — operator fns are layout-memoized)."""
