@@ -187,7 +187,12 @@ def main():
         n_clusters = 256 if on_tpu else 8
         t_setup = time.perf_counter()
         part = MeshPartition(dom.mesh, n_clusters)
-        cluster = part.unique_map.owner_of()
+        # row clusters from count-median point RCB: balanced to ±1, so the
+        # padded size R (= the [P,R,W] level-1 stream AND the padded vector
+        # length) carries no arbitration imbalance (was 1.5x)
+        from feddlib_tpu.mesh.partition import partition_points
+
+        cluster = partition_points(dom.mesh.points, n_clusters)
         db32 = DenseBlockSpMV.from_csr(Kb, cluster, dtype=jnp.float32)
         Ap32 = sell_padded_from(Kb, db32, dtype=jnp.float32)
         note(f"padded SELL K={Ap32.K} spill="

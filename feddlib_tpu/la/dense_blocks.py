@@ -54,6 +54,76 @@ def _round_up(x, m):
 _LANES = 128  # TPU lane width; ghost rows are gathered at this granularity
 
 
+def rebalance_row_clusters(sp, row_cluster, n_parts=None,
+                           max_passes: int = 32) -> np.ndarray:
+    """Deterministically even out cluster sizes by moving boundary rows of
+    over-full clusters to column-adjacent under-full clusters.
+
+    The padded cluster size R = max cluster count sets the [P, R, W] HBM
+    stream of the dense-block layout AND the padded-space vector length
+    P*R; lowest-rank ownership arbitration (IndexMap.build_unique_map)
+    piles boundary nodes onto low-id parts (measured: R = 400 vs mean 269
+    on the 256-cluster bench layout — a 1.5x tax on every level-1 byte).
+    Only rows with an out-of-cluster matrix column ever move, so clusters
+    stay geometrically compact; purely a layout optimization — Schwarz
+    subdomains follow the new clusters, preconditioner quality is
+    unchanged (same measured iteration counts)."""
+    indptr, indices = sp.indptr, sp.indices
+    rc0 = np.asarray(row_cluster).astype(np.int32)
+    rc = rc0.copy()
+    P = int(n_parts if n_parts is not None else rc.max() + 1)
+    n = len(rc)
+    target = -(-n // P)
+    row_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    BIG = np.iinfo(np.int64).max
+
+    def _rank_within(groups):
+        o = np.argsort(groups, kind="stable")
+        rk = np.empty(len(groups), np.int64)
+        uniq, start = np.unique(groups[o], return_index=True)
+        rk[o] = np.arange(len(groups)) - start[
+            np.searchsorted(uniq, groups[o])]
+        return rk
+
+    for _ in range(max_passes):
+        counts = np.bincount(rc, minlength=P).astype(np.int64)
+        if counts.max() <= target:
+            break
+        # per row: least-loaded FOREIGN neighbor cluster (tie → lowest id)
+        col_c = rc[indices]
+        key = np.where(col_c != rc[row_of],
+                       counts[col_c] * P + col_c, BIG)
+        best = np.full(n, BIG)
+        np.minimum.at(best, row_of, key)
+        dst = (best % P).astype(np.int32)
+        # DIFFUSION, not surplus-only shedding: any strictly-downhill move
+        # is allowed, capped at half the (src,dst) count difference —
+        # at-target intermediate clusters must pass load through, else the
+        # over-full clusters stay walled in (observed: max never moved)
+        cand = np.flatnonzero((best != BIG)
+                              & (counts[rc] > best // P + 1))
+        if len(cand) == 0:
+            break
+        src_c, dst_c = rc[cand], dst[cand]
+        pair = src_c.astype(np.int64) * P + dst_c
+        # per-pair cap: half the count difference; per-dst TOTAL inflow
+        # cap: half the gap to its largest candidate source — without it,
+        # every over-full neighbor dumps into the same least-loaded
+        # cluster and the layout oscillates instead of converging
+        smax = np.zeros(P, np.int64)
+        np.maximum.at(smax, dst_c, counts[src_c])
+        keep = ((_rank_within(pair) < (counts[src_c] - counts[dst_c]) // 2)
+                & (_rank_within(dst_c) < (smax[dst_c] - counts[dst_c]) // 2))
+        sel = cand[keep]
+        if len(sel) == 0:
+            break
+        rc[sel] = dst[sel]
+    if np.bincount(rc, minlength=P).max() > np.bincount(
+            rc0, minlength=P).max():
+        return rc0  # diffusion oscillated — keep the input layout
+    return rc
+
+
 class DenseBlockSpMV:
     def __init__(self, blocks, ghost_idx, n: int, pad_of_old, old_of_pad,
                  dtype=jnp.float64):
@@ -77,12 +147,14 @@ class DenseBlockSpMV:
 
     @classmethod
     def from_csr(cls, A: CsrMatrix, row_cluster: np.ndarray,
-                 dtype=jnp.float64) -> "DenseBlockSpMV":
+                 dtype=jnp.float64, balance: bool = False) -> "DenseBlockSpMV":
         n = A.shape[0]
         if A.shape[0] != A.shape[1]:
             raise ValueError("square matrices only")
         sp = A.to_scipy().tocsr()
         row_cluster = np.asarray(row_cluster)
+        if balance:
+            row_cluster = rebalance_row_clusters(sp, row_cluster)
         P = int(row_cluster.max()) + 1
         counts = np.bincount(row_cluster, minlength=P)
         R = _round_up(int(counts.max()), 8)
@@ -294,11 +366,17 @@ class DenseBlockSchwarz:
             blocks_sq = blocks_sq.at[:, diag, diag].add(
                 shift * jnp.abs(blocks_sq).max())
         if device_factor:
-            self.inv = jnp.linalg.inv(blocks_sq)
+            inv_full = jnp.linalg.inv(blocks_sq)
         else:
-            inv = np.stack([_np_robust_inverse(np.asarray(b, np.float64))
-                            for b in blocks_sq])
-            self.inv = jnp.asarray(inv, dtype)
+            inv_np = np.stack([_np_robust_inverse(np.asarray(b, np.float64))
+                               for b in blocks_sq])
+            inv_full = jnp.asarray(inv_np, dtype)
+        # Restricted combine only ever reads the OWNED rows of each
+        # subdomain solve (z = z_ov[:, :R]) — store just inv[:, :R, :] and
+        # skip the ghost-row FLOPs/bytes entirely.  The [P,W,W] inverse's
+        # HBM stream is the dominant bytes of the whole two-level apply;
+        # R/W ≈ 0.4-0.5 on the bench layout, so this alone is ~2x.
+        self.inv = inv_full[:, :R, :]
         if store_dtype is not None:
             self.inv = self.inv.astype(store_dtype)
 
@@ -313,19 +391,22 @@ class DenseBlockSchwarz:
 
 
 def dense_block_schwarz_op(ops, rp):
-    """Pure padded-space Schwarz apply: rp [P*R] → z [P*R]."""
+    """Pure padded-space Schwarz apply: rp [P*R] → z [P*R].
+
+    inv is the OWNED-ROW slice [P, R, W] of the subdomain inverses — the
+    Restricted combine is realized by never storing the ghost rows."""
     inv, ghost_idx, ghost_rows, ghost_onehot = ops
-    P, W = inv.shape[0], inv.shape[1]
+    P = inv.shape[0]
     R = rp.shape[0] // P
     r_own = rp.reshape(P, R)
     ghosts = _gather_ghosts(ghost_idx, ghost_rows, ghost_onehot, rp)
     rs = jnp.concatenate([r_own, ghosts], axis=1)  # [P, W]
     if inv.dtype != rs.dtype:  # low-precision storage, f32 accumulation
-        z_ov = jnp.einsum("pij,pj->pi", inv, rs.astype(inv.dtype),
-                          preferred_element_type=rs.dtype)
+        z = jnp.einsum("prw,pw->pr", inv, rs.astype(inv.dtype),
+                       preferred_element_type=rs.dtype)
     else:
-        z_ov = _batched_gemv(inv, rs)  # [P, W]
-    return z_ov[:, :R].reshape(-1)  # Restricted combine = owned slice
+        z = _batched_gemv(inv, rs)  # [P, R]
+    return z.reshape(-1)  # Restricted combine = owned rows only
 
 
 def _np_robust_inverse(block):

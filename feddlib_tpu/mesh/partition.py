@@ -39,6 +39,24 @@ def partition_elements(mesh: Mesh, n_parts: int, method: str = "rcb") -> np.ndar
     return part
 
 
+def partition_points(points: np.ndarray, n_parts: int) -> np.ndarray:
+    """[n_points] partition id per POINT via count-median RCB — balanced to
+    ±1 by construction (counts ∈ {⌊n/P⌋, ⌈n/P⌉}), deterministic, compact.
+
+    Use for row-cluster LAYOUTS (la/dense_blocks padded cluster space),
+    where the max cluster size R sets the [P, R, W] HBM stream and the
+    padded vector length: ownership arbitration of an element partition
+    piles boundary nodes onto low-id parts (measured R = 1.5× mean on the
+    bench layout), while this is exactly balanced.  NOT a replacement for
+    `partition_elements` where element-aligned subdomains are required
+    (distributed assembly, Schwarz/GDSW overlap sets)."""
+    points = np.asarray(points)
+    part = np.zeros(len(points), dtype=np.int32)
+    if n_parts > 1:
+        _rcb(points, np.arange(len(points)), n_parts, 0, part)
+    return part
+
+
 def _rcb(centroids, ids, n_parts, offset, out):
     if n_parts == 1:
         out[ids] = offset

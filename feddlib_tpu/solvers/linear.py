@@ -403,10 +403,27 @@ class LinearSolver:
                          else dom0.mesh)
             part = MeshPartition(base_mesh, n_clusters)
             dof_map = problem.preconditioner._merged_dof_map(part)
-            cluster = np.zeros(A.shape[0], dtype=np.int32)
-            for p, ix in enumerate(dof_map.partition_indices):
-                cluster[ix] = p
-            db32 = DenseBlockSpMV.from_csr(A, cluster, dtype=jnp.float32)
+            n_pts = dom0.mesh.n_points
+            if len(problem.domains) == 1 and A.shape[0] % n_pts == 0:
+                # count-median point RCB (balanced ±1) for the padded row
+                # clusters: the dof-map arbitration piles boundary nodes
+                # onto low-id parts, inflating R (the [P,R,W] stream and
+                # the padded vector length) by ~1.5x.  NodeWise dof order:
+                # dof = node*d + c.
+                from feddlib_tpu.mesh.partition import partition_points
+
+                node_cluster = partition_points(dom0.mesh.points,
+                                                n_clusters)
+                cluster = np.repeat(node_cluster, A.shape[0] // n_pts)
+                db32 = DenseBlockSpMV.from_csr(A, cluster,
+                                               dtype=jnp.float32)
+            else:
+                cluster = np.zeros(A.shape[0], dtype=np.int32)
+                for p, ix in enumerate(dof_map.partition_indices):
+                    cluster[ix] = p
+                db32 = DenseBlockSpMV.from_csr(A, cluster,
+                                               dtype=jnp.float32,
+                                               balance=True)
             sell32 = sell_padded_from(A, db32, dtype=jnp.float32)
             if two_level and len(problem.domains) == 1:
                 # padded-space GDSW coarse level on top of the restricted
