@@ -19,12 +19,12 @@ applied to the operator itself):
 
 Halo exchange layout (measured on v5e): a scalar gather x[ghost_idx] costs
 ~6 ns/element (XLA serializes sub-lane gathers) — 0.6 ms/apply at 94k
-ghosts, dominating the 0.38 ms roofline GEMV.  Instead the ghosts are
-fetched as full 128-lane ROWS (x2d[ghost_rows], a tiled gather XLA runs at
-bandwidth) and the wanted lane is extracted with a precomputed one-hot
-contraction on the VPU: ghosts = einsum('pgl,pgl->pg', rows, onehot).
-Exact (one-hot picks a single value) and ~4x faster than the scalar
-gather.
+ghosts, dominating the 0.38 ms roofline GEMV.  The ghosts are instead
+gathered by a 0/1 PLAN-MATRIX windowed-SELL SpMV (la/sell.py): the SELL
+kernel performs the lane gather in-register, so the HBM cost is the
+~6 B/ghost slot stream (≈7 MB on the bench layout).  The previous scheme
+(128-lane row gather + one-hot lane contraction) was exact but streamed
+2·P·G·128·4 B ≈ 130 MB per apply — 60% of the level-1 inverse itself.
 
 Memory/FLOP overhead ≈ (R + G) / row_nnz ≈ 20-60×; on TPU that converts a
 gather-serial 60 ms SpMV into a bandwidth-bound few-ms one.  The same
@@ -135,15 +135,16 @@ class DenseBlockSpMV:
         self.pad_of_old = pad_of_old  # [n] old dof → padded id
         self.old_of_pad = old_of_pad  # [P*R] padded id → old dof (pad → n)
         self.dtype = dtype
-        # row/lane split of the ghost indices for the fast halo exchange
-        # (pad entries point at slot M = P*R, which the apply zero-pads)
-        gi = np.asarray(ghost_idx)
-        self.ghost_rows = jnp.asarray((gi // _LANES).astype(np.int32))
-        onehot = np.zeros((self.P, self.G, _LANES), np.float32)
-        pp, gg = np.meshgrid(np.arange(self.P), np.arange(self.G),
-                             indexing="ij")
-        onehot[pp, gg, gi % _LANES] = 1.0
-        self.ghost_onehot = jnp.asarray(onehot, dtype)
+        # ghost gather as a 0/1 PLAN-MATRIX SELL SpMV: ghosts.ravel() =
+        # plan[P*G, M] @ xp with exactly one 1 per real ghost row (pad
+        # entries point at slot M = P*R and simply have no plan entry).
+        # The windowed-SELL kernel does the lane gather in-register, so
+        # the HBM cost is the ~6 B/ghost slot stream (≈7 MB on the bench
+        # layout) — the previous 128-lane row-gather + one-hot contraction
+        # streamed 2·P·G·128·4 B ≈ 130 MB per apply, ~60% of the level-1
+        # inverse itself.
+        self.ghost_plan = _build_ghost_plan(np.asarray(ghost_idx),
+                                            self.P * self.R, dtype)
 
     @classmethod
     def from_csr(cls, A: CsrMatrix, row_cluster: np.ndarray,
@@ -219,8 +220,8 @@ class DenseBlockSpMV:
     # -- applies -------------------------------------------------------------
     def matvec_padded(self, xp: jnp.ndarray) -> jnp.ndarray:
         """xp [P*R] padded-clustered (pad lanes zero) → y [P*R] padded."""
-        return _dense_block_mv(self.blocks, self.ghost_idx, self.ghost_rows,
-                               self.ghost_onehot, xp, self.P, self.R)
+        return _dense_block_mv(self.blocks, self.ghost_idx, self.ghost_plan,
+                               xp, self.P, self.R)
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
         """Original-ordering convenience apply (permutes in and out)."""
@@ -230,7 +231,7 @@ class DenseBlockSpMV:
         """(pure_fn, operands) for jit-argument solver programs
         (original-ordering vectors)."""
         return dense_block_op, (self.blocks, self.ghost_idx,
-                                self.ghost_rows, self.ghost_onehot,
+                                self.ghost_plan,
                                 self.pad_of_old, self.old_of_pad)
 
     def padded_operator(self):
@@ -239,37 +240,57 @@ class DenseBlockSpMV:
         dots/norms agree with the original ordering) and skip the two
         permutation gathers per apply that `operator()` pays."""
         return dense_block_padded_op, (self.blocks, self.ghost_idx,
-                                       self.ghost_rows, self.ghost_onehot)
+                                       self.ghost_plan)
 
 
-def _gather_ghosts(ghost_idx, ghost_rows, ghost_onehot, xp):
+def _build_ghost_plan(gi: np.ndarray, M: int, dtype):
+    """SELL operand tuple for the 0/1 ghost-gather plan [P*G, M]."""
+    import scipy.sparse as sps
+
+    from feddlib_tpu.la.sell import SellMatrix
+
+    flat = gi.ravel()
+    valid = np.flatnonzero(flat < M)
+    plan = sps.csr_matrix(
+        (np.ones(len(valid), np.float32),
+         (valid, flat[valid].astype(np.int64))), shape=(gi.size, M))
+    sm = SellMatrix.from_csr(plan, dtype=dtype)
+    if sm.E != _GHOST_PLAN_E:  # single-nnz rows always land at E=8
+        raise AssertionError(f"ghost plan E={sm.E}")
+    return (sm.vals, sm.pidx, sm.bids, sm.spill_rows, sm.spill_cols,
+            sm.spill_vals)
+
+
+_GHOST_PLAN_E = 8
+
+
+def _gather_ghosts(ghost_idx, ghost_plan, xp):
     """xp [M] padded-clustered → ghosts [P, G].
 
-    TPU: 128-lane row gather + one-hot lane extraction (exact; see module
-    docstring).  CPU: plain scalar gather (fast there, and the row path
-    would waste 128x bandwidth).  Trace-time branch — the backend is fixed
-    per process."""
+    TPU: 0/1 plan-matrix windowed-SELL SpMV (in-register lane gather,
+    ~6 B/ghost of HBM traffic).  CPU: plain scalar gather (fast there).
+    Trace-time branch — the backend is fixed per process."""
+    P, G = ghost_idx.shape
     if jax.default_backend() == "cpu":
         src = jnp.concatenate([xp, jnp.zeros(1, xp.dtype)])
         return src[ghost_idx]
-    M = xp.shape[0]
-    L = ghost_onehot.shape[-1]
-    total = ((M + 1 + L - 1) // L) * L  # slot M (the pad target) must exist
-    x2d = jnp.concatenate([xp, jnp.zeros(total - M, xp.dtype)]).reshape(-1, L)
-    rows = x2d[ghost_rows]  # [P, G, L] tiled row gather
-    return jnp.einsum("pgl,pgl->pg", rows, ghost_onehot.astype(xp.dtype))
+    from feddlib_tpu.la.sell import _apply as _sell_apply
+
+    vals, pidx, bids, s_rows, s_cols, s_vals = ghost_plan
+    y = _sell_apply(vals, pidx, bids, s_rows, s_cols, s_vals, None, None,
+                    xp, P * G, xp.shape[0], _GHOST_PLAN_E)
+    return y.reshape(P, G).astype(xp.dtype)
 
 
 def dense_block_op(ops, x):
     """Pure operator: ops = (blocks [P,R,R+G], ghost_idx [P,G],
-    ghost_rows [P,G], ghost_onehot [P,G,128], pad_of_old [n],
-    old_of_pad [P*R])."""
-    blocks, ghost_idx, ghost_rows, ghost_onehot, pad_of_old, old_of_pad = ops
+    ghost_plan (SELL operands), pad_of_old [n], old_of_pad [P*R])."""
+    blocks, ghost_idx, ghost_plan, pad_of_old, old_of_pad = ops
     src = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
     xp = src[old_of_pad]
     P, R = blocks.shape[0], blocks.shape[1]
     x_own = xp.reshape(P, R)
-    ghosts = _gather_ghosts(ghost_idx, ghost_rows, ghost_onehot, xp)
+    ghosts = _gather_ghosts(ghost_idx, ghost_plan, xp)
     xs = jnp.concatenate([x_own, ghosts], axis=1)
     y = _batched_gemv(blocks, xs).reshape(-1)
     return y[pad_of_old]
@@ -277,10 +298,10 @@ def dense_block_op(ops, x):
 
 def dense_block_padded_op(ops, xp):
     """Pure operator on padded-clustered vectors: xp [P*R] → y [P*R]."""
-    blocks, ghost_idx, ghost_rows, ghost_onehot = ops
+    blocks, ghost_idx, ghost_plan = ops
     P, R = blocks.shape[0], blocks.shape[1]
     x_own = xp.reshape(P, R)
-    ghosts = _gather_ghosts(ghost_idx, ghost_rows, ghost_onehot, xp)
+    ghosts = _gather_ghosts(ghost_idx, ghost_plan, xp)
     xs = jnp.concatenate([x_own, ghosts], axis=1)
     return _batched_gemv(blocks, xs).reshape(-1)
 
@@ -387,7 +408,7 @@ class DenseBlockSchwarz:
     def padded_operator(self):
         db = self.db
         return dense_block_schwarz_op, (self.inv, db.ghost_idx,
-                                        db.ghost_rows, db.ghost_onehot)
+                                        db.ghost_plan)
 
 
 def dense_block_schwarz_op(ops, rp):
@@ -395,11 +416,11 @@ def dense_block_schwarz_op(ops, rp):
 
     inv is the OWNED-ROW slice [P, R, W] of the subdomain inverses — the
     Restricted combine is realized by never storing the ghost rows."""
-    inv, ghost_idx, ghost_rows, ghost_onehot = ops
+    inv, ghost_idx, ghost_plan = ops
     P = inv.shape[0]
     R = rp.shape[0] // P
     r_own = rp.reshape(P, R)
-    ghosts = _gather_ghosts(ghost_idx, ghost_rows, ghost_onehot, rp)
+    ghosts = _gather_ghosts(ghost_idx, ghost_plan, rp)
     rs = jnp.concatenate([r_own, ghosts], axis=1)  # [P, W]
     if inv.dtype != rs.dtype:  # low-precision storage, f32 accumulation
         z = jnp.einsum("prw,pw->pr", inv, rs.astype(inv.dtype),
@@ -435,8 +456,8 @@ def _batched_gemv(blocks, xs):
 
 
 @partial(jax.jit, static_argnames=("P", "R"))
-def _dense_block_mv(blocks, ghost_idx, ghost_rows, ghost_onehot, xp, P, R):
+def _dense_block_mv(blocks, ghost_idx, ghost_plan, xp, P, R):
     x_own = xp.reshape(P, R)
-    ghosts = _gather_ghosts(ghost_idx, ghost_rows, ghost_onehot, xp)
+    ghosts = _gather_ghosts(ghost_idx, ghost_plan, xp)
     xs = jnp.concatenate([x_own, ghosts], axis=1)  # [P, R+G]
     return _batched_gemv(blocks, xs).reshape(-1)
