@@ -386,18 +386,45 @@ class DenseBlockSchwarz:
             diag = jnp.arange(W)
             blocks_sq = blocks_sq.at[:, diag, diag].add(
                 shift * jnp.abs(blocks_sq).max())
-        if device_factor:
-            inv_full = jnp.linalg.inv(blocks_sq)
-        else:
-            inv_np = np.stack([_np_robust_inverse(np.asarray(b, np.float64))
-                               for b in blocks_sq])
-            inv_full = jnp.asarray(inv_np, dtype)
         # Restricted combine only ever reads the OWNED rows of each
-        # subdomain solve (z = z_ov[:, :R]) — store just inv[:, :R, :] and
-        # skip the ghost-row FLOPs/bytes entirely.  The [P,W,W] inverse's
-        # HBM stream is the dominant bytes of the whole two-level apply;
-        # R/W ≈ 0.4-0.5 on the bench layout, so this alone is ~2x.
-        self.inv = inv_full[:, :R, :]
+        # subdomain solve (z = z_ov[:, :R]) — compute/store just
+        # inv[:, :R, :] and skip the ghost-row FLOPs/bytes entirely.  The
+        # [P,W,W] inverse's HBM stream is the dominant bytes of the whole
+        # two-level apply; R/W ≈ 0.4-0.5 on the bench layout, so ~2x.
+        # Row j of A⁻¹ = (A⁻ᵀ e_j)ᵀ, so one batched solve with R
+        # right-hand sides replaces the full inverse (skips W-R of the W
+        # triangular-solve columns).
+        if device_factor:
+            eye_r = jnp.eye(W, R, dtype=blocks_sq.dtype)
+            x = jnp.linalg.solve(jnp.swapaxes(blocks_sq, 1, 2), eye_r)
+            self.inv = jnp.swapaxes(x, 1, 2)  # [P, R, W]
+        else:
+            from feddlib_tpu.la.sparse_lu import _parallel_map
+
+            import scipy.linalg as sla
+
+            # same-dtype asarray is a buffer view; the f64 widening runs
+            # in numpy (jax's dtype-converting device_get is ~20x slower)
+            blocks_np = np.asarray(blocks_sq)
+            if blocks_np.dtype != np.float64:
+                blocks_np = blocks_np.astype(np.float64)
+            inv_r = np.empty((P, R, W), np.float64)
+            eye_r = np.eye(W, R)
+
+            def _owned_rows(p):
+                a = blocks_np[p]
+                try:
+                    lu, piv = sla.lu_factor(a.T, check_finite=False)
+                    x = sla.lu_solve((lu, piv), eye_r, check_finite=False)
+                    if not np.isfinite(x).all():
+                        raise np.linalg.LinAlgError
+                except (np.linalg.LinAlgError, ValueError):
+                    x = _np_robust_inverse(a)[:R, :].T
+                inv_r[p] = x.T
+
+            # LAPACK releases the GIL — factor the P blocks on a pool
+            _parallel_map(_owned_rows, range(P))
+            self.inv = jnp.asarray(inv_r, dtype)
         if store_dtype is not None:
             self.inv = self.inv.astype(store_dtype)
 
