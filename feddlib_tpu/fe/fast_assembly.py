@@ -329,21 +329,27 @@ def assemble_fast(domain, op: str) -> CsrMatrix:
 # Pallas scatter-assembly: CSR data = P @ raw_values with P the 0/1 plan
 # matrix, applied by the windowed SELL kernel (la/sell.py).  The XLA
 # scatter/segment-sum path serializes at ~15 ns/element; as an SpMV the
-# same reduction streams at HBM bandwidth.  Raw vectors exceed the VMEM
-# x-residency budget, so P is split into column sections applied in
-# sequence and summed (round-1 VERDICT weak item 2).
+# same reduction streams at HBM bandwidth (round-1 VERDICT weak item 2).
+#
+# Layout: raw contributions are grouped ELEMENT-MAJOR (column of split h:
+# e_local*S + s for section s of element e) so each CSR row's ~6
+# contributions sit in neighboring column windows (K≈12, zero spill).
+# The elements are dealt ROUND-ROBIN over n_splits sub-plans: (a) each
+# split's x vector fits the kernel's VMEM x-residency budget, and (b) a
+# node's ~24 incident elements split evenly so per-row slot counts stay
+# at E=8 (contiguous ranges would keep them in one split — element order
+# is spatially local — and force E=32).  One earlier design used one
+# section per (a, b) pair: K≈2, but every section streams the full
+# [nnz, E] slot table — 763 MB vs 233 MB per assembly at the bench size.
 # ---------------------------------------------------------------------------
 
 
-def sell_assembly_plans(pattern, n_elements: int,
-                        dtype=jnp.float32):
-    """Build the column-sectioned SELL form of the assembly plan.
-    pattern.coo_slots maps raw position → CSR slot (in the (a, b, E) order
-    of `pattern_abe`); sections are ONE (a, b) pair each (width =
-    n_elements), so every section has one contribution per element,
-    element order tracks row order, chunks need K≈2 column windows and
-    nothing spills.  Returns [(SellMatrix, col_offset, width)] whose
-    summed applies equal the deterministic segment-sum assembly (f32)."""
+def sell_assembly_plans(pattern, n_elements: int, dtype=jnp.float32,
+                        n_splits: int | None = None):
+    """Element-major round-robin SELL form of the assembly plan.
+    pattern.coo_slots maps raw position (s*n_elements + e, section-major)
+    → CSR slot, in the (a, b, E) order of `pattern_abe`.  The summed
+    applies equal the deterministic segment-sum assembly (f32)."""
     import scipy.sparse as sps
 
     from feddlib_tpu.la.sell import SellMatrix
@@ -352,34 +358,53 @@ def sell_assembly_plans(pattern, n_elements: int,
     n_raw = len(slots)
     if n_raw % n_elements:
         raise ValueError("plan length is not a multiple of n_elements")
-    plans = []
-    for off in range(0, n_raw, n_elements):
-        w = n_elements
+    S = n_raw // n_elements
+    if n_splits is None:
+        # per-split x2d (f32) capped at ~6.5 MB of VMEM
+        n_splits = max(1, -(-n_raw * 4 // (6_500_000)))
+    mats = []
+    for h in range(n_splits):
+        sel = np.arange(h, n_elements, n_splits)
+        w = len(sel)
+        raw = np.arange(S)[:, None] * n_elements + sel[None, :]   # [S, w]
+        cols = np.arange(w)[None, :] * S + np.arange(S)[:, None]  # [S, w]
         P = sps.csr_matrix(
-            (np.ones(w), (slots[off: off + w], np.arange(w))),
-            shape=(pattern.nnz, w))
-        plans.append((SellMatrix.from_csr(P, dtype=dtype), off, w))
-    return plans
+            (np.ones(S * w, np.float32),
+             (slots[raw.ravel()], cols.ravel())),
+            shape=(pattern.nnz, w * S))
+        mats.append(SellMatrix.from_csr(P, dtype=dtype))
+    return _InterleavedPlans(tuple(mats), S, n_splits, n_elements)
+
+
+class _InterleavedPlans:
+    def __init__(self, mats, S, H, n_elements):
+        self.mats = mats
+        self.S = S
+        self.H = H
+        self.n_elements = n_elements
 
 
 def sell_assemble(plans, flat_vals, ops_list=None):
-    """Apply the sectioned SELL assembly: [n_raw] raw element values →
-    [nnz] CSR data (jittable; sections unrolled).
+    """Apply the SELL assembly: [n_raw] raw element values (section-major,
+    as produced by elem_*_flat_T) → [nnz] CSR data (jittable).
 
-    ops_list: optionally the per-section operand tuples
+    ops_list: optionally the per-split operand tuples
     (`sell_assembly_ops(plans)`) passed THROUGH the enclosing jit as
     arguments — on remote-compile backends plan arrays must not be baked
     into the program as constants."""
+    S, H, nE = plans.S, plans.H, plans.n_elements
+    f2 = flat_vals.reshape(S, nE)
     out = None
-    for k, (sell, off, w) in enumerate(plans):
-        fn, ops = sell.operator()
+    for h, sm in enumerate(plans.mats):
+        fn, ops = sm.operator()
         if ops_list is not None:
-            ops = ops_list[k]
-        y = fn(ops, jax.lax.dynamic_slice(flat_vals, (off,), (w,)))
+            ops = ops_list[h]
+        x = f2[:, h::H].T.reshape(-1)   # element-major split vector
+        y = fn(ops, x)
         out = y if out is None else out + y
     return out
 
 
 def sell_assembly_ops(plans):
     """Operand pytree for `sell_assemble(..., ops_list=...)`."""
-    return tuple(p[0].operands() for p in plans)
+    return tuple(sm.operands() for sm in plans.mats)

@@ -157,7 +157,7 @@ def test_sell_assembly_matches_segment_sum():
         dom = Domain.structured(dim, n)
         pat = fa.pattern_abe(dom, 1)
         plans = fa.sell_assembly_plans(pat, dom.n_elements)
-        assert all(p[0].spill_rows is None for p in plans)
+        assert all(sm.spill_rows is None for sm in plans.mats)
         flat = fa.elem_laplace_flat_T(dom.vert_coords(), dim, "P1")
         ref = np.asarray(assemble_csr_data(
             flat, jnp.asarray(pat.coo_slots.astype(np.int32)), pat.nnz))
