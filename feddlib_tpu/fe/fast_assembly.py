@@ -360,8 +360,9 @@ def sell_assembly_plans(pattern, n_elements: int, dtype=jnp.float32,
         raise ValueError("plan length is not a multiple of n_elements")
     S = n_raw // n_elements
     if n_splits is None:
-        # per-split x2d (f32) capped at ~6.5 MB of VMEM
-        n_splits = max(1, -(-n_raw * 4 // (6_500_000)))
+        # per-split x2d capped at ~6.5 MB of VMEM (dtype-aware)
+        isz = jnp.dtype(dtype).itemsize
+        n_splits = max(1, -(-n_raw * isz // (6_500_000)))
     mats = []
     for h in range(n_splits):
         sel = np.arange(h, n_elements, n_splits)

@@ -109,11 +109,18 @@ def rebalance_row_clusters(sp, row_cluster, n_parts=None,
         # per-pair cap: half the count difference; per-dst TOTAL inflow
         # cap: half the gap to its largest candidate source — without it,
         # every over-full neighbor dumps into the same least-loaded
-        # cluster and the layout oscillates instead of converging
+        # cluster and the layout oscillates instead of converging;
+        # per-src TOTAL outflow cap: half the gap to its smallest
+        # candidate dst — without it a small cluster bordered by several
+        # even-smaller ones can be drained below target (even to empty)
+        # in one pass
         smax = np.zeros(P, np.int64)
         np.maximum.at(smax, dst_c, counts[src_c])
+        dmin = np.full(P, np.iinfo(np.int64).max)
+        np.minimum.at(dmin, src_c, counts[dst_c])
         keep = ((_rank_within(pair) < (counts[src_c] - counts[dst_c]) // 2)
-                & (_rank_within(dst_c) < (smax[dst_c] - counts[dst_c]) // 2))
+                & (_rank_within(dst_c) < (smax[dst_c] - counts[dst_c]) // 2)
+                & (_rank_within(src_c) < (counts[src_c] - dmin[src_c]) // 2))
         sel = cand[keep]
         if len(sel) == 0:
             break

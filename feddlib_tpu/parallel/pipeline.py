@@ -342,15 +342,15 @@ class DistributedPipeline:
             cols = keys % n_total
             ghosts = np.setdiff1d(np.unique(cols), owned)
             col_gids.append(np.concatenate([owned, ghosts]))
-            lookup = np.zeros(n_total, dtype=np.int64)
-            lookup[owned] = np.arange(len(owned))
-            lookup[ghosts] = N_o + np.arange(len(ghosts))
+            from feddlib_tpu.parallel.spmd import _col_local_ids
+
             # owned-local row index per slot (keys sorted ⇒ rows ascending,
             # but owned rows may have NO slots — map via searchsorted)
             r_loc = np.searchsorted(owned, rows)
             lens = np.bincount(r_loc, minlength=len(owned))
             K = max(K, int(lens.max()) if len(lens) else 1)
-            csr_meta.append((r_loc, lookup[cols], lens))
+            csr_meta.append((r_loc, _col_local_ids(owned, ghosts, cols, N_o),
+                             lens))
         self.K = K
         self.row_lens = np.zeros((n_dev, N_o), dtype=np.int64)
         for p in range(n_dev):
@@ -429,19 +429,20 @@ class DistributedPipeline:
             pos_pad = np.zeros(N_ob, dtype=np.int64)
             pos_pad[: len(pos)] = pos
             pos_l.append(pos_pad)
-            # lookup: block-b dof gid → field col-map local
+            # block-b dof gid → field col-map local via sorted lookups
+            from feddlib_tpu.parallel.spmd import _col_local_ids
+
             cg = rep_dofs[q]
             owned_set, ghost_set = cg[: len(owned_b)], cg[len(owned_b):]
-            lk = np.zeros(bmap.n_global, dtype=np.int64)
-            lk[owned_set] = np.arange(len(owned_set))
-            lk[ghost_set] = N_ob + np.arange(len(ghost_set))
             eids = self._eids(q)
             en = dom.mesh.elements[eids]  # [Eq, nb]
             ed = (en[:, :, None] * dofs
                   + np.arange(dofs)[None, None, :])  # [Eq, nb, dofs]
             full = np.zeros((E_max, nb, dofs), dtype=np.int64)
             if len(eids):
-                full[: len(eids)] = lk[ed]
+                full[: len(eids)] = _col_local_ids(
+                    owned_set, ghost_set, ed.reshape(-1),
+                    N_ob).reshape(ed.shape)
             eidx_l.append(full)
         mask = (np.arange(N_ob)[None, :]
                 < bmap.local_sizes[:, None]).astype(np.float64)

@@ -404,17 +404,23 @@ class LinearSolver:
             part = MeshPartition(base_mesh, n_clusters)
             dof_map = problem.preconditioner._merged_dof_map(part)
             n_pts = dom0.mesh.n_points
-            if len(problem.domains) == 1 and A.shape[0] % n_pts == 0:
+            # dofs-per-node from the problem's variable metadata — NOT
+            # inferred from divisibility (enriched spaces could divide by
+            # coincidence and get spatially meaningless clusters)
+            d0 = (int(problem.variables[0][1])
+                  if getattr(problem, "variables", None) else 0)
+            if len(problem.domains) == 1 and d0 > 0 \
+                    and A.shape[0] == n_pts * d0:
                 # count-median point RCB (balanced ±1) for the padded row
                 # clusters: the dof-map arbitration piles boundary nodes
                 # onto low-id parts, inflating R (the [P,R,W] stream and
                 # the padded vector length) by ~1.5x.  NodeWise dof order:
-                # dof = node*d + c.
+                # dof = node*d + c (Domain.elem_dofs).
                 from feddlib_tpu.mesh.partition import partition_points
 
                 node_cluster = partition_points(dom0.mesh.points,
                                                 n_clusters)
-                cluster = np.repeat(node_cluster, A.shape[0] // n_pts)
+                cluster = np.repeat(node_cluster, d0)
                 db32 = DenseBlockSpMV.from_csr(A, cluster,
                                                dtype=jnp.float32)
             else:
