@@ -251,41 +251,35 @@ class DenseBlockSpMV:
 
 
 def _build_ghost_plan(gi: np.ndarray, M: int, dtype):
-    """SELL operand tuple for the 0/1 ghost-gather plan [P*G, M]."""
-    import scipy.sparse as sps
+    """PermutationGather operand tuple for ghosts.ravel() = xp[gi.ravel()]
+    (pad entries gi == M -> 0.0).
 
-    from feddlib_tpu.la.sell import SellMatrix
+    Round-3 history: the gather was a 0/1 plan-matrix windowed-SELL SpMV
+    — in-register, but the E=8 slot padding made each 128-row chunk touch
+    up to 16 column windows, so the K-pass select loop cost ~140 us at the
+    bench layout (~60% of a level-1 apply).  The dedicated permutation
+    kernel (la/permute.py) needs no reduction and runs ONE gather pass
+    (~15 us for the same plan)."""
+    from feddlib_tpu.la.permute import PermutationGather
 
-    flat = gi.ravel()
-    valid = np.flatnonzero(flat < M)
-    plan = sps.csr_matrix(
-        (np.ones(len(valid), np.float32),
-         (valid, flat[valid].astype(np.int64))), shape=(gi.size, M))
-    sm = SellMatrix.from_csr(plan, dtype=dtype)
-    if sm.E != _GHOST_PLAN_E:  # single-nnz rows always land at E=8
-        raise AssertionError(f"ghost plan E={sm.E}")
-    return (sm.vals, sm.pidx, sm.bids, sm.spill_rows, sm.spill_cols,
-            sm.spill_vals)
-
-
-_GHOST_PLAN_E = 8
+    flat = gi.ravel().astype(np.int64)
+    pg = PermutationGather(np.where(flat < M, flat, -1), M)
+    return pg.operands()
 
 
 def _gather_ghosts(ghost_idx, ghost_plan, xp):
     """xp [M] padded-clustered → ghosts [P, G].
 
-    TPU: 0/1 plan-matrix windowed-SELL SpMV (in-register lane gather,
-    ~6 B/ghost of HBM traffic).  CPU: plain scalar gather (fast there).
-    Trace-time branch — the backend is fixed per process."""
+    TPU: windowed permutation-gather Pallas kernel (la/permute.py).
+    CPU: plain scalar gather (fast there).  Trace-time branch — the
+    backend is fixed per process."""
     P, G = ghost_idx.shape
     if jax.default_backend() == "cpu":
         src = jnp.concatenate([xp, jnp.zeros(1, xp.dtype)])
         return src[ghost_idx]
-    from feddlib_tpu.la.sell import _apply as _sell_apply
+    from feddlib_tpu.la.permute import _permute_apply
 
-    vals, pidx, bids, s_rows, s_cols, s_vals = ghost_plan
-    y = _sell_apply(vals, pidx, bids, s_rows, s_cols, s_vals, None, None,
-                    xp, P * G, xp.shape[0], _GHOST_PLAN_E)
+    y = _permute_apply(*ghost_plan, xp, P * G, xp.shape[0])
     return y.reshape(P, G).astype(xp.dtype)
 
 

@@ -68,6 +68,17 @@ def p2_unique_map(part: MeshPartition, p2_mesh) -> IndexMap:
     return IndexMap(p2_mesh.n_points, parts)
 
 
+def _var_node_map(part: MeshPartition, dom) -> IndexMap:
+    """Node map of `dom` relative to a partition: the partition's own
+    unique map, or its P2 child's."""
+    if dom.mesh is part.mesh:
+        return part.unique_map
+    if dom.parent_p1 is not None and dom.parent_p1.mesh is part.mesh:
+        return p2_unique_map(part, dom.mesh)
+    raise ValueError("variable does not live on this partitioned mesh "
+                     "or its P2 child")
+
+
 def merged_dof_map(part: MeshPartition, variables) -> Tuple[IndexMap, np.ndarray]:
     """Unique dof map of the merged block system: per block, the node map
     (P1 partition or its P2 child) × dofs_per_node (NodeWise), shifted by
@@ -79,14 +90,7 @@ def merged_dof_map(part: MeshPartition, variables) -> Tuple[IndexMap, np.ndarray
     n_parts = part.n_parts
     parts = [[] for _ in range(n_parts)]
     for b, (dom, dofs) in enumerate(variables):
-        if dom.mesh is part.mesh:
-            node_map = part.unique_map
-        elif dom.parent_p1 is not None and dom.parent_p1.mesh is part.mesh:
-            node_map = p2_unique_map(part, dom.mesh)
-        else:
-            raise ValueError("all pipeline variables must live on the "
-                             "partitioned mesh or its P2 child")
-        dmap = node_map.build_vec_field_map(dofs)
+        dmap = _var_node_map(part, dom).build_vec_field_map(dofs)
         for p in range(n_parts):
             parts[p].append(dmap.partition_indices[p] + offsets[b])
     merged = [np.sort(np.concatenate(lst)) for lst in parts]
@@ -107,6 +111,19 @@ class _BlockDef:
     row_dofs: np.ndarray  # [E, nr] merged-global row dof ids
     col_dofs: np.ndarray  # [E, nc] merged-global col dof ids
     needs_field: Optional[int] = None  # variable index of the field (u)
+    field_src: str = "x"  # "x" (slice of solution) or "ext:<name>"
+    mesh: int = 0         # element-mesh index (0 = main partition)
+
+
+@dataclass
+class _CooBlockDef:
+    """Constant COO entries (interface coupling identities C1/C1ᵀ/C2/C3ᵀ —
+    FE_def.hpp:3294,3366: nodal identities between matched interface dofs;
+    no element integral).  Contributed once by the row owner, folded into
+    the owner-local patterns + a constant value vector."""
+
+    keys: np.ndarray   # [n_entries] merged-global row*n_total + col
+    vals: np.ndarray   # [n_entries]
 
 
 def _block_eval(kind: str, dim: int, fe_r: str, fe_c: str, params: dict):
@@ -114,11 +131,49 @@ def _block_eval(kind: str, dim: int, fe_r: str, fe_c: str, params: dict):
     COO order (element, test, trial) row-major — matching the serial
     fe/ops.py constructions bit-for-bit in exact arithmetic."""
     if kind == "laplace":
-        return lambda vc: asm.elem_laplace(vc, dim, fe_r)
+        coeff = float(params.get("coeff", 1.0))
+        if coeff == 1.0:
+            return lambda vc: asm.elem_laplace(vc, dim, fe_r)
+        return lambda vc: asm.elem_laplace(vc, dim, fe_r) * coeff
     if kind == "laplace_vec":
         visc = float(params.get("viscosity", 1.0))
         return lambda vc: asm.vectorize_elem_mat(
             asm.elem_laplace_vec(vc, dim, fe_r, visc))
+    if kind == "laplace_vec_scaled":
+        # per-element scalar weights (Geometry 'Distance Scaled Laplace',
+        # Geometry_def.hpp:75-93) — weights ride as elem_data
+        def f(vc, wd):
+            K = asm.elem_laplace(vc, dim, fe_r) * wd[:, None, None]
+            eye = jnp.eye(dim, dtype=f64)
+            return asm.vectorize_elem_mat(
+                jnp.einsum("eab,ij->eabij", K, eye))
+
+        return f
+    if kind == "ale_divergence":
+        # ∫ (∇·w) φa φb expanded over components, scaled (FSI ALE term,
+        # FE_def.hpp:3044; FSI_def.hpp:500) — w is an external field
+        coeff = float(params.get("coeff", 1.0))
+        eye = jnp.eye(dim, dtype=f64)
+
+        def f(vc, we):
+            D = asm.elem_ale_divergence(vc, we, dim, fe_r) * coeff
+            return asm.vectorize_elem_mat(
+                jnp.einsum("eab,ij->eabij", D, eye))
+
+        return f
+    if kind == "hyperelastic":
+        # consistent tangent of the hyperelastic internal forces
+        # (FE_def.hpp:6969,7259,7559 — AceGen tangents; here jax.hessian)
+        material = params.get("material", "Neo-Hooke")
+        mat_params = tuple(params.get("mat_params", (1.0, 1.0)))
+        from feddlib_tpu.fe.hyperelastic import elem_hyper_residual_tangent
+
+        def f(vc, de):
+            _, K = elem_hyper_residual_tangent(vc, de, dim, fe_r,
+                                               material, mat_params)
+            return K
+
+        return f
     if kind == "stress":
         visc = float(params.get("viscosity", 1.0))
         return lambda vc: asm.vectorize_elem_mat(
@@ -195,27 +250,103 @@ class DistributedPipeline:
         dmat, b = pipe.apply_dirichlet(dmat, b, mask, g)
     """
 
-    def __init__(self, part: MeshPartition, variables, n_free: int = 0):
+    def __init__(self, part: MeshPartition, variables, n_free: int = 0,
+                 aux_parts=None):
         """n_free > 0 appends that many element-less devices — the
         reference's dedicated coarse-solver ranks ('Mpi Ranks Coarse',
         Preconditioner_def.hpp:384-423): they own no matrix rows and serve
-        the coarse level only."""
+        the coarse level only.
+
+        Multi-mesh systems (FSI fluid+solid — the reference's 'Mesh Rank
+        Ranges', MeshPartitioner_def.hpp:61-120): `aux_parts` is a list of
+        dicts {"part": MeshPartition, "range": (lo, hi)} placing that
+        partition's local parts onto global devices [lo, hi).  Variable
+        entries are then (Domain, dofs[, mesh_idx]) with mesh_idx 0 = the
+        main partition, k >= 1 = aux_parts[k-1]; mesh-less variables
+        (interface Lagrange multipliers λ) are {"extra": n_dofs,
+        "owner": device}."""
         self.part = part
-        self.variables = list(variables)  # [(Domain, dofs_per_node)]
+        self.aux_parts = list(aux_parts or [])
+        for a in self.aux_parts:
+            lo, hi = a["range"]
+            if hi - lo != a["part"].n_parts:
+                raise ValueError("aux rank range size != its part count")
         self.n_free = n_free
-        self.n_dev = part.n_parts + n_free
-        self.dof_map, self.offsets = merged_dof_map(part, self.variables)
+        base = max([part.n_parts]
+                   + [a["range"][1] for a in self.aux_parts])
+        self.n_dev = base + n_free
+        # normalize variables: (dom, dofs) tuples; extras -> (None, n)
+        self.variables = []
+        self.var_mesh: List[Optional[int]] = []
+        self.var_owner: List[int] = []
+        for v in variables:
+            if isinstance(v, dict):
+                self.variables.append((None, int(v["extra"])))
+                self.var_mesh.append(None)
+                self.var_owner.append(int(v.get("owner", 0)))
+            else:
+                dom, dofs = v[0], int(v[1])
+                m = int(v[2]) if len(v) > 2 else 0
+                self.variables.append((dom, dofs))
+                self.var_mesh.append(m)
+                self.var_owner.append(-1)
+        self.dof_map, self.offsets = self._build_dof_map()
         if n_free:
             self.dof_map = self.dof_map.with_free_parts(n_free)
         self.blocks: List[_BlockDef] = []
+        self.coo_blocks: List[_CooBlockDef] = []
         self._final = False
         self._asm_fn = None
         self.dim = part.mesh.dim
 
-    def _eids(self, q: int) -> np.ndarray:
-        if q >= self.part.n_parts:
+    # -- mesh bookkeeping ----------------------------------------------------
+    def _mesh_part(self, m: int) -> Tuple[MeshPartition, int, int]:
+        """(partition, lo, hi) of mesh index m on the global device axis."""
+        if m == 0:
+            return self.part, 0, self.part.n_parts
+        a = self.aux_parts[m - 1]
+        return a["part"], a["range"][0], a["range"][1]
+
+    def _n_meshes(self) -> int:
+        return 1 + len(self.aux_parts)
+
+    def _build_dof_map(self) -> Tuple[IndexMap, np.ndarray]:
+        sizes = [dom.n_dofs(dofs) if dom is not None else dofs
+                 for dom, dofs in self.variables]
+        offsets = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
+        parts: List[list] = [[] for _ in range(self.n_dev - self.n_free)]
+        for b, (dom, dofs) in enumerate(self.variables):
+            off = offsets[b]
+            if dom is None:
+                parts[self.var_owner[b]].append(off + np.arange(dofs))
+                continue
+            mp, lo, hi = self._mesh_part(self.var_mesh[b])
+            dmap = _var_node_map(mp, dom).build_vec_field_map(dofs)
+            for q in range(lo, hi):
+                parts[q].append(dmap.partition_indices[q - lo] + off)
+        merged = [np.sort(np.concatenate(lst)) if lst
+                  else np.zeros(0, np.int64) for lst in parts]
+        return IndexMap(int(offsets[-1]), merged), offsets
+
+    def _var_gmap(self, b: int) -> IndexMap:
+        """Variable b's unique node-dof map over the GLOBAL device axis
+        (0-based within the block)."""
+        dom, dofs = self.variables[b]
+        if dom is None:
+            parts = [np.arange(dofs) if q == self.var_owner[b]
+                     else np.zeros(0, np.int64) for q in range(self.n_dev)]
+            return IndexMap(dofs, parts)
+        mp, lo, hi = self._mesh_part(self.var_mesh[b])
+        dmap = _var_node_map(mp, dom).build_vec_field_map(dofs)
+        parts = [dmap.partition_indices[q - lo] if lo <= q < hi
+                 else np.zeros(0, np.int64) for q in range(self.n_dev)]
+        return IndexMap(dmap.n_global, parts)
+
+    def _eids(self, q: int, m: int = 0) -> np.ndarray:
+        mp, lo, hi = self._mesh_part(m)
+        if not (lo <= q < hi):
             return np.zeros(0, np.int64)
-        return self.part.elem_ids[q]
+        return mp.elem_ids[q - lo]
 
     # -- registration --------------------------------------------------------
     def add_block(self, i: int, j: int, kind: str, **params) -> None:
@@ -223,12 +354,36 @@ class DistributedPipeline:
             raise RuntimeError("pipeline already finalized")
         dom_i, dofs_i = self.variables[i]
         dom_j, dofs_j = self.variables[j]
+        if dom_i is None or dom_j is None:
+            raise ValueError("element blocks need mesh variables; use "
+                             "add_coo_block for coupling entries")
+        if self.var_mesh[i] != self.var_mesh[j]:
+            raise ValueError("element block variables must share a mesh")
         rows = dom_i.elem_dofs(dofs_i) + self.offsets[i]
         cols = dom_j.elem_dofs(dofs_j) + self.offsets[j]
         needs = None
-        if kind in ("advection", "advection_in_u"):
-            needs = j  # velocity field lives in block j's variable space
-        self.blocks.append(_BlockDef(i, j, kind, params, rows, cols, needs))
+        src = "x"
+        if kind in ("advection", "advection_in_u", "ale_divergence",
+                    "hyperelastic"):
+            # the field rides in the COLUMN variable's space; an external
+            # source name ("ext:w") reads it from assemble(ext_fields=...)
+            needs = int(params.pop("field_var", j))
+            src = params.pop("field_src", "x")
+        self.blocks.append(_BlockDef(i, j, kind, params, rows, cols, needs,
+                                     src, self.var_mesh[i]))
+
+    def add_coo_block(self, i: int, j: int, rows: np.ndarray,
+                      cols: np.ndarray, vals: np.ndarray) -> None:
+        """Constant coupling entries at (block-local rows of var i,
+        block-local cols of var j) — the FSI interface identities C1/C1ᵀ/
+        C2/C3ᵀ (FE_def.hpp:3294,3366).  Values are constants of the plan
+        (rebuilt only when the pipeline is)."""
+        if self._final:
+            raise RuntimeError("pipeline already finalized")
+        n_total = int(self.offsets[-1])
+        gk = ((np.asarray(rows, np.int64) + self.offsets[i]) * n_total
+              + np.asarray(cols, np.int64) + self.offsets[j])
+        self.coo_blocks.append(_CooBlockDef(gk, np.asarray(vals, np.float64)))
 
     # -- symbolic phase --------------------------------------------------------
     def finalize(self, axis: Optional[DeviceAxis] = None) -> None:
@@ -238,8 +393,8 @@ class DistributedPipeline:
         mesh = part.mesh
         owner = self.dof_map.owner_of()
         n_total = self.dof_map.n_global
-        elem_part = part.elem_part
         self.axis = axis or DeviceAxis.make(n_dev)
+        n_mesh = self._n_meshes()
 
         # ------- global symbolic COO (integers only; the host-side analog
         # of every rank reading the whole mesh, MeshPartitioner_decl.hpp) ----
@@ -251,11 +406,16 @@ class DistributedPipeline:
             c = np.broadcast_to(blk.col_dofs[:, None, :], (E, nr, nc))
             keys_per_block.append((r.reshape(E, -1).astype(np.int64) * n_total
                                    + c.reshape(E, -1)))
+        coo_keys = (np.concatenate([cb.keys for cb in self.coo_blocks])
+                    if self.coo_blocks else np.zeros(0, np.int64))
+        coo_vals = (np.concatenate([cb.vals for cb in self.coo_blocks])
+                    if self.coo_blocks else np.zeros(0))
 
         # ------- per-device owned-row local CSR patterns --------------------
         # pattern of device p = unique (row, col) over ALL devices'
-        # contributions whose row is owned by p
-        all_keys = np.concatenate([k.reshape(-1) for k in keys_per_block])
+        # contributions whose row is owned by p (+ constant coupling keys)
+        all_keys = np.concatenate([k.reshape(-1) for k in keys_per_block]
+                                  + [coo_keys])
         all_rows = all_keys // n_total
         key_owner = owner[all_rows]
         loc_patterns = []  # per device: sorted unique keys (row-major order)
@@ -264,18 +424,35 @@ class DistributedPipeline:
         del all_keys, all_rows, key_owner
         self.L = max(max((len(k) for k in loc_patterns), default=0), 1)
 
+        # constant coupling values per device (owner-contributed; no
+        # exchange needed): const_vals [n_dev, L]
+        cdense = np.zeros((n_dev, self.L))
+        if len(coo_keys):
+            co = owner[coo_keys // n_total]
+            for p in range(n_dev):
+                sel = co == p
+                slots = np.searchsorted(loc_patterns[p], coo_keys[sel])
+                np.add.at(cdense[p], slots, coo_vals[sel])
+        self.const_vals = jnp.asarray(cdense)
+
         # ------- send plans: device q's contributions to remote rows --------
         # send list of q = sorted unique keys of q's remote contributions
         send_keys: List[np.ndarray] = []
         seg_l: List[np.ndarray] = []
-        E_max = int(part.element_map.local_sizes.max())
-        self.E_max = E_max
-        n_contrib = sum(k.shape[1] for k in keys_per_block)
+        E_max_m = []
+        for m in range(n_mesh):
+            mp, _, _ = self._mesh_part(m)
+            E_max_m.append(int(mp.element_map.local_sizes.max()))
+        self.E_max_m = E_max_m
+        self.E_max = E_max_m[0]
         for q in range(n_dev):
-            eids = self._eids(q)
-            mine = np.concatenate([k[eids].reshape(-1)
-                                   for k in keys_per_block]) \
-                if len(eids) else np.zeros(0, np.int64)
+            mine_l = []
+            for blk, k in zip(self.blocks, keys_per_block):
+                eids = self._eids(q, blk.mesh)
+                if len(eids):
+                    mine_l.append(k[eids].reshape(-1))
+            mine = (np.concatenate(mine_l) if mine_l
+                    else np.zeros(0, np.int64))
             rows_q = mine // n_total
             remote = owner[rows_q] != q
             sk = np.unique(mine[remote])
@@ -287,21 +464,22 @@ class DistributedPipeline:
             seg_l.append(seg)
         self.S = max(max((len(s) for s in send_keys), default=0), 1)
 
-        # stack seg plans [n_dev, E_max * n_contrib] — blocks concatenated in
-        # ELEMENT-MAJOR order per block: [blk0(E*nr*nc), blk1(...), ...].
-        # Pad elements (beyond E_q) scatter into the dump slot L + S.
+        # stack seg plans [n_dev, Σ_b E_max(mesh_b)·w_b] — blocks
+        # concatenated in ELEMENT-MAJOR order per block.  Pad elements
+        # (beyond E_q) scatter into the dump slot L + S.
         dump = self.L + self.S
-        seg_stacked = np.full((n_dev, E_max * n_contrib), dump, np.int64)
+        plan_len = sum(E_max_m[blk.mesh] * k.shape[1]
+                       for blk, k in zip(self.blocks, keys_per_block))
+        seg_stacked = np.full((n_dev, max(plan_len, 1)), dump, np.int64)
         for q in range(n_dev):
-            eids = self._eids(q)
-            Eq = len(eids)
             pos = 0
             spos = 0
             for blk, keys in zip(self.blocks, keys_per_block):
                 w = keys.shape[1]
+                Eq = len(self._eids(q, blk.mesh))
                 seg_stacked[q, pos: pos + Eq * w] = \
                     seg_l[q][spos: spos + Eq * w]
-                pos += E_max * w
+                pos += E_max_m[blk.mesh] * w
                 spos += Eq * w
         self.seg_ids = jnp.asarray(seg_stacked.astype(np.int32))
 
@@ -369,18 +547,38 @@ class DistributedPipeline:
         self.col_gids = col_gids
         self.plan = HaloPlan(self.dof_map, col_gids)
 
-        # ------- geometry + field plans --------------------------------------
-        nv = mesh.vertices_per_element
-        vc = np.zeros((n_dev, E_max, nv, mesh.dim))
-        valid = np.zeros((n_dev, E_max))
-        for q in range(n_dev):
-            eids = self._eids(q)
-            Eq = len(eids)
-            vc[q, :Eq] = mesh.points[mesh.elements[eids][:, :nv]]
-            vc[q, Eq:] = mesh.points[mesh.elements[0][:nv]]
-            valid[q, :Eq] = 1.0
-        self.vert_coords = jnp.asarray(vc)
-        self.valid = jnp.asarray(valid)
+        # ------- geometry (per mesh) + per-element data + field plans -------
+        self.mesh_vc = []
+        self.mesh_valid = []
+        for m in range(n_mesh):
+            mp, _, _ = self._mesh_part(m)
+            msh = mp.mesh
+            nv = msh.vertices_per_element
+            vc = np.zeros((n_dev, E_max_m[m], nv, msh.dim))
+            valid = np.zeros((n_dev, E_max_m[m]))
+            for q in range(n_dev):
+                eids = self._eids(q, m)
+                Eq = len(eids)
+                vc[q, :Eq] = msh.points[msh.elements[eids][:, :nv]]
+                vc[q, Eq:] = msh.points[msh.elements[0][:nv]]
+                valid[q, :Eq] = 1.0
+            self.mesh_vc.append(jnp.asarray(vc))
+            self.mesh_valid.append(jnp.asarray(valid))
+        self.vert_coords = self.mesh_vc[0]   # back-compat alias (mesh 0)
+        self.valid = self.mesh_valid[0]
+
+        # per-element static data ("elem_data" param) sharded per block
+        self.elem_data = {}
+        for bi, blk in enumerate(self.blocks):
+            wd = blk.params.get("elem_data")
+            if wd is None:
+                continue
+            wd = np.asarray(wd, dtype=np.float64)
+            out = np.zeros((n_dev, E_max_m[blk.mesh]))
+            for q in range(n_dev):
+                eids = self._eids(q, blk.mesh)
+                out[q, : len(eids)] = wd[eids]
+            self.elem_data[bi] = jnp.asarray(out)
 
         # field plans (one per distinct field variable among blocks)
         self.field_plans: Dict[int, dict] = {}
@@ -395,21 +593,18 @@ class DistributedPipeline:
         device (the reference's u_rep_, NavierStokes_decl.hpp:102)."""
         if b in self.field_plans:
             return
-        part, n_dev = self.part, self.n_dev
+        n_dev = self.n_dev
         dom, dofs = self.variables[b]
         off = int(self.offsets[b])
-        # variable-b unique dof map (0-based within the block)
-        if dom.mesh is part.mesh:
-            node_map = part.unique_map
-        else:
-            node_map = p2_unique_map(part, dom.mesh)
-        bmap = node_map.build_vec_field_map(dofs)
+        mesh_b = self.var_mesh[b]
+        # variable-b unique dof map over the GLOBAL device axis
+        bmap = self._var_gmap(b)
         # repeated dofs per device = dofs of nodes of local elements
         rep_dofs, elem_idx_l = [], []
-        E_max = self.E_max
+        E_max = self.E_max_m[mesh_b]
         nb = dom.n_basis()
         for q in range(n_dev):
-            eids = self._eids(q)
+            eids = self._eids(q, mesh_b)
             nodes = np.unique(dom.mesh.elements[eids]) if len(eids) \
                 else np.zeros(0, np.int64)
             rd = (nodes[:, None] * dofs + np.arange(dofs)[None, :]).reshape(-1)
@@ -434,7 +629,7 @@ class DistributedPipeline:
 
             cg = rep_dofs[q]
             owned_set, ghost_set = cg[: len(owned_b)], cg[len(owned_b):]
-            eids = self._eids(q)
+            eids = self._eids(q, mesh_b)
             en = dom.mesh.elements[eids]  # [Eq, nb]
             ed = (en[:, :, None] * dofs
                   + np.arange(dofs)[None, None, :])  # [Eq, nb, dofs]
@@ -459,73 +654,118 @@ class DistributedPipeline:
         if self._asm_fn is not None:
             return self._asm_fn
         L, S, Rx, K, N_o = self.L, self.S, self.Rx, self.K, self.N_o
-        dim = self.dim
+        n_mesh = self._n_meshes()
         evals = []
         for blk in self.blocks:
             dom_i, _ = self.variables[blk.i]
             dom_j, _ = self.variables[blk.j]
-            evals.append(_block_eval(blk.kind, dim, dom_i.fe_type,
+            dim_b = dom_i.dim
+            evals.append(_block_eval(blk.kind, dim_b, dom_i.fe_type,
                                      dom_j.fe_type, blk.params))
         blocks = self.blocks
         field_ids = sorted(self.field_plans.keys())
+        # external field names in deterministic order
+        ext_names = sorted({blk.field_src[4:] for blk in blocks
+                            if blk.field_src.startswith("ext:")})
+        data_ids = sorted(self.elem_data.keys())
         fplans = [self.field_plans[b] for b in field_ids]
         importers = [fp["plan"].importer() for fp in fplans]
 
-        def prog(vc, valid, seg, rsrc, rdst, ell_src, x, *field_arrs):
-            vc, valid, seg = vc[0], valid[0], seg[0]
+        def prog(seg, rsrc, rdst, ell_src, cvals, x, *rest):
+            seg = seg[0]
             rsrc, rdst, ell_src = rsrc[0], rdst[0], ell_src[0]
+            cvals = cvals[0]
             x = x[0]
-            # gather fields (repeated element values) through their halos
-            u_elems = {}
             pos = 0
+            vcs = [rest[pos + 2 * m][0] for m in range(n_mesh)]
+            valids = [rest[pos + 2 * m + 1][0] for m in range(n_mesh)]
+            pos += 2 * n_mesh
+            edata = {}
+            for bi in data_ids:
+                edata[bi] = rest[pos][0]
+                pos += 1
+            exts = {}
+            for nm in ext_names:
+                exts[nm] = rest[pos][0]
+                pos += 1
+            # gather fields (repeated element values) through their halos —
+            # once per (variable, source): externals get their own gather
+            u_elems = {}
             for fi, b in enumerate(field_ids):
-                pos_b, mask_b, eidx, himp = field_arrs[pos: pos + 4]
+                pos_b, mask_b, eidx, himp = rest[pos: pos + 4]
                 pos += 4
                 pos_b, mask_b, eidx = pos_b[0], mask_b[0], eidx[0]
                 himp = jax.tree.map(lambda a: a[0], himp)
                 u_own = x[pos_b] * mask_b
-                u_col = importers[fi](u_own, himp)
-                u_elems[b] = u_col[eidx]  # [E_max, nb, dofs]
+                srcs = {blk.field_src for blk in blocks
+                        if blk.needs_field == b}
+                for src in srcs:
+                    own = (u_own if src == "x"
+                           else exts[src[4:]][: mask_b.shape[0]] * mask_b)
+                    u_col = importers[fi](own, himp)
+                    u_elems[(b, src)] = u_col[eidx]  # [E_max, nb, dofs]
 
             vals = []
-            for blk, ev in zip(blocks, evals):
-                if blk.needs_field is None:
-                    v = ev(vc)
-                else:
-                    v = ev(vc, u_elems[blk.needs_field])
-                vals.append((v * valid[:, None, None]).reshape(-1))
+            for bi, (blk, ev) in enumerate(zip(blocks, evals)):
+                vc_b = vcs[blk.mesh]
+                valid_b = valids[blk.mesh]
+                args = [vc_b]
+                if blk.needs_field is not None:
+                    args.append(u_elems[(blk.needs_field, blk.field_src)])
+                if bi in edata:
+                    args.append(edata[bi])
+                v = ev(*args)
+                vals.append((v * valid_b[:, None, None]).reshape(-1))
             flat = jnp.concatenate(vals)
             acc = jax.ops.segment_sum(flat, seg, num_segments=L + S + 1)
             local, send = acc[:L], acc[L: L + S]
             buf = lax.all_gather(send, AXIS)  # [n_dev, S] (one-shot, setup)
             add = jax.ops.segment_sum(buf.reshape(-1)[rsrc], rdst,
                                       num_segments=L + 1)[:L]
-            data = jnp.concatenate([local + add, jnp.zeros(1, local.dtype)])
+            data = jnp.concatenate([local + add + cvals,
+                                    jnp.zeros(1, local.dtype)])
             return data[ell_src.reshape(-1)].reshape(K, N_o)[None]
 
-        n_field_arrs = 4 * len(field_ids)
-        in_specs = tuple([P(AXIS)] * (7 + n_field_arrs))
+        n_rest = (2 * n_mesh + len(data_ids) + len(ext_names)
+                  + 4 * len(field_ids))
+        in_specs = tuple([P(AXIS)] * (6 + n_rest))
         self._asm_fn = jax.jit(self.axis.shard_map(prog, in_specs, P(AXIS)))
         self._field_ids = field_ids
+        self._ext_names = ext_names
+        self._data_ids = data_ids
         return self._asm_fn
 
-    def assemble(self, x: Optional[jnp.ndarray] = None) -> DistributedCsr:
+    def assemble(self, x: Optional[jnp.ndarray] = None,
+                 ext_fields: Optional[Dict[str, jnp.ndarray]] = None,
+                 vert_coords: Optional[Dict[int, jnp.ndarray]] = None
+                 ) -> DistributedCsr:
         """Run the device assembly program → DistributedCsr.  `x` is the
         merged distributed solution [n_dev, N_o] (for N(u)/W(u) blocks);
-        zeros if omitted."""
+        zeros if omitted.  `ext_fields` maps external field names (blocks
+        registered with field_src='ext:<name>') to OWNED per-variable
+        arrays [n_dev, N_ob]; `vert_coords` optionally overrides a mesh's
+        vertex coordinates [n_dev, E_max_m, nv, dim] (moved/ALE meshes)."""
         if not self._final:
             self.finalize()
         f = self._program()
         if x is None:
             x = jnp.zeros((self.n_dev, self.N_o), f64)
-        field_arrs = []
+        rest = []
+        for m in range(self._n_meshes()):
+            vc = (vert_coords or {}).get(m, self.mesh_vc[m])
+            rest += [vc, self.mesh_valid[m]]
+        for bi in self._data_ids:
+            rest.append(self.elem_data[bi])
+        for nm in self._ext_names:
+            if ext_fields is None or nm not in ext_fields:
+                raise ValueError(f"missing external field {nm!r}")
+            rest.append(ext_fields[nm])
         for b in self._field_ids:
             fp = self.field_plans[b]
-            field_arrs += [fp["pos"], fp["mask"], fp["elem_idx"],
-                           fp["plan"].import_arrays]
-        ell_data = f(self.vert_coords, self.valid, self.seg_ids,
-                     self.recv_src, self.recv_dst, self.ell_src, x,
-                     *field_arrs)
+            rest += [fp["pos"], fp["mask"], fp["elem_idx"],
+                     fp["plan"].import_arrays]
+        ell_data = f(self.seg_ids, self.recv_src, self.recv_dst,
+                     self.ell_src, self.const_vals, x, *rest)
         return DistributedCsr.from_parts(self.dof_map, self.col_gids,
                                          self.ell_cols, ell_data, self.K,
                                          plan=self.plan,
@@ -543,14 +783,17 @@ class DistributedPipeline:
         for b, fsrc in sources.items():
             dom, dofs = self.variables[b]
             off = int(self.offsets[b])
+            mb = self.var_mesh[b]
+            mp, _, _ = self._mesh_part(mb)
+            msh = mp.mesh
             for q in range(n_dev):
-                eids = self._eids(q)
+                eids = self._eids(q, mb)
                 if not len(eids):
                     continue
-                nv = part.mesh.vertices_per_element
+                nv = msh.vertices_per_element
                 vcq = jnp.asarray(
-                    part.mesh.points[part.mesh.elements[eids][:, :nv]])
-                vec = asm.elem_rhs(vcq, self.dim, dom.fe_type, fsrc,
+                    msh.points[msh.elements[eids][:, :nv]])
+                vec = asm.elem_rhs(vcq, dom.dim, dom.fe_type, fsrc,
                                    n_comp=dofs)
                 en = dom.mesh.elements[eids]
                 if dofs > 1:
@@ -613,14 +856,19 @@ class DistributedPipeline:
         """Per-block GDSW coarse specs (offset, repeated node sets, points,
         DofsPerNode, null space) — what the reference feeds FROSch's
         monolithic path (Preconditioner_def.hpp:295-383)."""
-        part = self.part
         specs = []
+        n_base = self.n_dev - self.n_free
         for b, (dom, dofs) in enumerate(self.variables):
-            if dom.mesh is part.mesh:
-                rep_sets = part.repeated_map.partition_indices
+            if dom is None:
+                continue  # mesh-less (λ) blocks carry no coarse functions
+            mp, lo, hi = self._mesh_part(self.var_mesh[b])
+            if dom.mesh is mp.mesh:
+                loc_sets = mp.repeated_map.partition_indices
             else:  # P2 child: repeated nodes = nodes touched by my elements
-                rep_sets = [np.unique(dom.mesh.elements[part.elem_ids[p]])
-                            for p in range(part.n_parts)]
+                loc_sets = [np.unique(dom.mesh.elements[mp.elem_ids[p]])
+                            for p in range(mp.n_parts)]
+            rep_sets = [loc_sets[q - lo] if lo <= q < hi
+                        else np.zeros(0, np.int64) for q in range(n_base)]
             nsp = null_space if (dofs > 1 and null_space == "elasticity") \
                 else "laplace"
             specs.append(dict(offset=int(self.offsets[b]),
@@ -628,6 +876,20 @@ class DistributedPipeline:
                               points=dom.mesh.points,
                               dofs_per_node=dofs, null_space=nsp))
         return specs
+
+    def distribute_field(self, b: int, xb) -> jnp.ndarray:
+        """Block-b global vector → per-device OWNED field array
+        [n_dev, N_ob] (the layout assemble(ext_fields=...) expects)."""
+        if b not in self.field_plans:
+            raise ValueError(f"variable {b} has no field plan")
+        bmap = self._var_gmap(b)
+        N_ob = self.field_plans[b]["plan"].N_o
+        out = np.zeros((self.n_dev, N_ob))
+        xb = np.asarray(xb)
+        for q in range(self.n_dev):
+            ix = bmap.partition_indices[q]
+            out[q, : len(ix)] = xb[ix]
+        return jnp.asarray(out)
 
     # -- host vector helpers -------------------------------------------------
     def distribute(self, x_global) -> jnp.ndarray:

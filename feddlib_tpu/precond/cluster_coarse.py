@@ -50,25 +50,26 @@ class PaddedClusterCoarse:
         old_of_pad = np.asarray(db.old_of_pad)  # [P*R] -> old id (pad -> n)
         self.P, self.R, self.nc = P, R, nc
 
-        # per-cluster coarse support and dense Φ blocks [P, c, R]
-        sup = []
-        for p in range(P):
-            olds = old_of_pad[p * R:(p + 1) * R]
-            valid = olds < n
-            sub = phi[olds[valid]]
-            sup.append(np.unique(sub.indices))
-        c = max(max((len(s) for s in sup), default=1), 1)
-        c = _round_up(c, 8)
-        phi_blocks = np.zeros((P, c, R), np.float64)
+        # per-cluster coarse support and dense Φ blocks [P, c, R] —
+        # vectorized over all clusters at once (a per-cluster scipy
+        # row-slice loop costs ~10 s at P=256; this is <0.5 s)
+        valid_pad = np.flatnonzero(old_of_pad < n)
+        sub = phi[old_of_pad[valid_pad]].tocoo()
+        vr = valid_pad[sub.row]                  # padded id per entry
+        pcl = vr // R
+        r_loc = vr - pcl * R
+        key = pcl.astype(np.int64) * nc + sub.col
+        uk, inv = np.unique(key, return_inverse=True)
+        up = (uk // nc).astype(np.int64)
+        ucol = (uk % nc).astype(np.int64)
+        counts = np.bincount(up, minlength=P)
+        c = _round_up(max(int(counts.max()) if len(counts) else 1, 1), 8)
+        gstart = np.concatenate([[0], np.cumsum(counts)])
+        local_c = np.arange(len(uk)) - gstart[up]
         coarse_idx = np.full((P, c), nc, np.int64)  # pad -> slot nc
-        for p in range(P):
-            s = sup[p]
-            coarse_idx[p, :len(s)] = s
-            olds = old_of_pad[p * R:(p + 1) * R]
-            valid = np.flatnonzero(olds < n)
-            sub = phi[olds[valid]].tocoo()       # rows: local r, cols: global
-            local_c = np.searchsorted(s, sub.col)
-            phi_blocks[p, local_c, valid[sub.row]] = sub.data
+        coarse_idx[up, local_c] = ucol
+        phi_blocks = np.zeros((P, c, R), np.float64)
+        phi_blocks[pcl, local_c[inv], r_loc] = sub.data
         self.c = c
         self.phi_blocks = jnp.asarray(phi_blocks, dtype)
 

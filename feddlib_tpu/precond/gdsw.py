@@ -44,23 +44,41 @@ def interface_components(node_part_sets: List[np.ndarray], n_nodes: int,
 
     node_part_sets: per-part arrays of (repeated) node ids.
     Returns (components: list of node-id arrays, interface_mask [n_nodes])
-    — and the touching sets themselves with return_sets=True."""
-    # multiplicity + a hashable signature of the part set per node
-    touch: List[list] = [[] for _ in range(n_nodes)]
-    for p, nodes in enumerate(node_part_sets):
-        for g in nodes:
-            touch[g].append(p)
-    sig = {}
-    for g in range(n_nodes):
-        if len(touch[g]) >= 2:
-            sig.setdefault(tuple(touch[g]), []).append(g)
-    items = sorted(sig.items())
-    comps = [np.array(v, dtype=np.int64) for _, v in items]
-    mask = np.zeros(n_nodes, dtype=bool)
-    for c in comps:
-        mask[c] = True
+    — and the touching sets themselves with return_sets=True.
+
+    Fully vectorized (was a Python loop over parts x nodes — the dominant
+    cost of GDSW setup at bench sizes): nodes are grouped by their sorted
+    touching-part signature via np.unique over a (-1)-padded signature
+    matrix, which sorts identically to the tuple ordering (shorter
+    signatures pad with -1 and sort first, as tuple prefix order does)."""
+    arr_nodes = np.concatenate(
+        [np.asarray(nodes, dtype=np.int64) for nodes in node_part_sets]
+        or [np.zeros(0, np.int64)])
+    arr_parts = np.concatenate(
+        [np.full(len(nodes), p, np.int64)
+         for p, nodes in enumerate(node_part_sets)]
+        or [np.zeros(0, np.int64)])
+    o = np.lexsort((arr_parts, arr_nodes))
+    an, ap = arr_nodes[o], arr_parts[o]
+    cnt = np.bincount(an, minlength=n_nodes)
+    mask = cnt >= 2
+    iface_nodes = np.flatnonzero(mask)
+    if len(iface_nodes) == 0:
+        return ([], mask, []) if return_sets else ([], mask)
+    starts = np.concatenate([[0], np.cumsum(cnt)])
+    m_star = int(cnt[iface_nodes].max())
+    sig = np.full((len(iface_nodes), m_star), -1, np.int64)
+    for j in range(m_star):
+        has = cnt[iface_nodes] > j
+        sig[has, j] = ap[starts[iface_nodes[has]] + j]
+    uniq, inv = np.unique(sig, axis=0, return_inverse=True)
+    order = np.argsort(inv, kind="stable")
+    bounds = np.searchsorted(inv[order], np.arange(len(uniq) + 1))
+    comps = [iface_nodes[order[bounds[i]:bounds[i + 1]]]
+             for i in range(len(uniq))]
     if return_sets:
-        return comps, mask, [frozenset(k) for k, _ in items]
+        sets = [frozenset(int(v) for v in row if v >= 0) for row in uniq]
+        return comps, mask, sets
     return comps, mask
 
 

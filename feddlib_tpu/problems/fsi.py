@@ -211,6 +211,89 @@ class FSI(NonLinearProblem):
         self.system = S
         self._prec_stale = True
 
+    # -- distributed device-resident system (GE) -----------------------------
+    def build_pipeline(self, n_dev: int, solid_devices: Optional[int] = None,
+                       axis=None):
+        """Multi-mesh DistributedPipeline for the GE 4-field Jacobian:
+        fluid (u P2, p P1) partitioned over devices [0, nf), solid (d P2)
+        over [nf, n_dev) — the reference's disjoint 'Mesh Rank Ranges'
+        (MeshPartitioner_def.hpp:61-120) — and the interface multiplier λ
+        owned by device 0.  The interface identities C1/C1ᵀ/C2/C3ᵀ
+        (FE_def.hpp:3294,3366) enter as constant coupling entries; the
+        (3,2) factor −1/dt is baked into the plan, so the pipeline is
+        rebuilt if dt changes."""
+        from feddlib_tpu.mesh.partition import MeshPartition
+        from feddlib_tpu.parallel.pipeline import DistributedPipeline
+
+        dom_u, dom_p = self.variables[0][0], self.variables[1][0]
+        dom_d = self.variables[2][0]
+        dim = self.dim
+        ns = solid_devices if solid_devices is not None else max(
+            1, n_dev // 4)
+        nf = n_dev - ns
+        if nf < 1 or ns < 1:
+            raise ValueError("need at least one fluid and one solid device")
+        fluid_base = (dom_u.parent_p1.mesh if dom_u.parent_p1 is not None
+                      else dom_u.mesh)
+        solid_base = (dom_d.parent_p1.mesh if dom_d.parent_p1 is not None
+                      else dom_d.mesh)
+        part_f = MeshPartition(fluid_base, nf)
+        part_s = MeshPartition(solid_base, ns)
+        pipe = DistributedPipeline(
+            part_f,
+            [(dom_u, dim, 0), (dom_p, 1, 0), (dom_d, dim, 1),
+             {"extra": self.n_lam, "owner": 0}],
+            aux_parts=[{"part": part_s, "range": (nf, n_dev)}])
+
+        beta0_dt = 1.0 / self.dt
+        newmark_m = 1.0 / (self.newmark_beta * self.dt * self.dt)
+        # fluid momentum: ρ/dt M + A + N(ρ(u−w)) + W(ρu) − ρ(∇·w)M̃
+        pipe.add_block(0, 0, "mass", coeff=self.density_f * beta0_dt,
+                       dofs_per_node=dim)
+        pipe.add_block(0, 0, "laplace_vec", viscosity=self.viscosity)
+        pipe.add_block(0, 0, "advection", coeff=self.density_f,
+                       field_src="ext:adv")
+        pipe.add_block(0, 0, "advection_in_u", coeff=self.density_f)
+        pipe.add_block(0, 0, "ale_divergence", coeff=-self.density_f,
+                       field_src="ext:w")
+        pipe.add_block(0, 1, "divergence_T")
+        pipe.add_block(1, 0, "divergence")
+        # solid: Newmark mass + material tangent
+        pipe.add_block(2, 2, "mass", coeff=self.density_s * newmark_m,
+                       dofs_per_node=dim)
+        if self.material == "linear":
+            pipe.add_block(2, 2, "lin_elasticity", mu=self.mu_s,
+                           lam=self.lam_s)
+        else:
+            pipe.add_block(2, 2, "hyperelastic", material=self.material,
+                           mat_params=self.params_s)
+        # interface couplings (constant nodal identities)
+        ones = np.ones(len(self._iface_rows))
+        pipe.add_coo_block(0, 3, self._uf_cols, self._iface_rows, ones)
+        pipe.add_coo_block(3, 0, self._iface_rows, self._uf_cols, ones)
+        pipe.add_coo_block(2, 3, self._ds_cols, self._iface_rows, -ones)
+        pipe.add_coo_block(3, 2, self._iface_rows, self._ds_cols,
+                           -ones / self.dt)
+        pipe.finalize(axis)
+        return pipe
+
+    def assemble_distributed(self, pipe, w: Optional[jnp.ndarray] = None):
+        """One device-resident GE Jacobian assembly (mode='Newton') at the
+        current solution — no global matrix is formed anywhere.  `w` is
+        the mesh velocity on the fluid velocity space (zeros if None).
+        Returns a DistributedCsr over the merged 4-field dof map."""
+        dim = self.dim
+        n_u = self.variables[0][0].n_dofs(dim)
+        u = (np.asarray(self.solution[0]) if self.solution is not None
+             else np.zeros(n_u))
+        w_np = np.zeros(n_u) if w is None else np.asarray(w)
+        ext = {"adv": pipe.distribute_field(0, u - w_np),
+               "w": pipe.distribute_field(0, w_np)}
+        x = pipe.distribute(np.asarray(self.solution.concat())
+                            if self.solution is not None
+                            else np.zeros(int(pipe.offsets[-1])))
+        return pipe.assemble(x=x, ext_fields=ext)
+
     # -- time loop (GE; reference advanceInTimeFSI) --------------------------
     def advance(self, t_end: float, source_f: Optional[Callable] = None,
                 observer: Optional[Callable] = None,
