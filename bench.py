@@ -184,32 +184,45 @@ def main():
 
     # ---- extra 2: north-star M(A(x)) chain + mixed-precision IR anchor -----
     if have_time(130 if on_tpu else 15):
-        n_clusters = 256 if on_tpu else 8
+        n_clusters = 512 if on_tpu else 8
         t_setup = time.perf_counter()
         part = MeshPartition(dom.mesh, n_clusters)
+        t_part = time.perf_counter() - t_setup
         # row clusters from count-median point RCB: balanced to ±1, so the
         # padded size R (= the [P,R,W] level-1 stream AND the padded vector
         # length) carries no arbitration imbalance (was 1.5x)
         from feddlib_tpu.mesh.partition import partition_points
 
+        t0 = time.perf_counter()
         cluster = partition_points(dom.mesh.points, n_clusters)
         db32 = DenseBlockSpMV.from_csr(Kb, cluster, dtype=jnp.float32)
+        t_blocks = time.perf_counter() - t0
+        t0 = time.perf_counter()
         Ap32 = sell_padded_from(Kb, db32, dtype=jnp.float32)
+        t_sellp = time.perf_counter() - t0
         note(f"padded SELL K={Ap32.K} spill="
              f"{0 if Ap32.spill_rows is None else int(Ap32.spill_rows.size)}")
         A_fn, A_ops = Ap32.operator()
         # production preconditioner: padded-space TWO-LEVEL Schwarz
-        # (restricted dense-block level 1 + GDSW coarse, multiplicative —
-        # parametersPrec.xml TwoLevel=true; precond/cluster_coarse.py)
+        # (restricted dense-block level 1 with the bf16 inverse store +
+        # GDSW coarse, ADDITIVE level combination — the reference baseline
+        # config, parametersPrec.xml TwoLevel=true additive;
+        # precond/cluster_coarse.py)
         from feddlib_tpu.precond.cluster_coarse import PaddedTwoLevelSchwarz
 
         mask_d = np.asarray(dom.mesh.point_flags) == 1
+        t0 = time.perf_counter()
         prec32 = PaddedTwoLevelSchwarz(Kb, part, db32,
                                        dirichlet_mask=mask_d,
+                                       level_combination="Additive",
+                                       l1_store_dtype=jnp.bfloat16,
                                        A_padded_op=(A_fn, A_ops))
+        t_prec = time.perf_counter() - t0
         setup_s = time.perf_counter() - t_setup
         note(f"two-level Schwarz: nc={prec32.n_coarse} "
-             f"c={prec32.coarse.c} setup={setup_s:.1f}s")
+             f"c={prec32.coarse.c} setup={setup_s:.1f}s "
+             f"(partition {t_part:.1f} + blocks {t_blocks:.1f} + "
+             f"padded-sell {t_sellp:.1f} + level1+coarse {t_prec:.1f})")
         M_fn, M_ops = prec32.padded_operator()
 
         # north star (BASELINE.json "SpMV+Schwarz-apply nnz/s/chip"):
@@ -243,6 +256,15 @@ def main():
             "schwarz_clusters": db32.P,
             "schwarz_levels": 2,
             "schwarz_setup_s": round(setup_s, 2),
+            "setup_partition_s": round(t_part, 2),
+            "setup_blocks_s": round(t_blocks, 2),
+            "setup_padded_sell_s": round(t_sellp, 2),
+            "setup_level1_s": round(prec32.timings["level1_s"], 2),
+            "setup_gdsw_s": round(prec32.timings["gdsw_s"], 2),
+            "setup_coarse_layout_s": round(
+                prec32.timings["coarse_layout_s"], 2),
+            "level_combination": "Additive",
+            "l1_store": "bf16",
             "coarse_dim": prec32.n_coarse,
             "ir_converged_1e-8": bool(res.converged),
             "ir_passes": res.passes,

@@ -149,8 +149,15 @@ class PaddedTwoLevelSchwarz:
             self.A_op = A_padded_op
         else:
             self.A_op = None
+        import time as _time
+
+        t0 = _time.perf_counter()
         self.level1 = DenseBlockSchwarz(A, db, dtype=dtype,
                                         store_dtype=l1_store_dtype)
+        import jax as _jax
+
+        _jax.block_until_ready(self.level1.inv)
+        t1 = _time.perf_counter()
         node_sets = [np.asarray(ix)
                      for ix in part.repeated_map.partition_indices]
         umap = part.unique_map if dof_map is None else dof_map
@@ -159,9 +166,13 @@ class PaddedTwoLevelSchwarz:
             points=part.mesh.points, dofs_per_node=dofs_per_node,
             null_space=null_space, dirichlet_mask=dirichlet_mask,
             variant=variant, dtype=jnp.float64)
+        t2 = _time.perf_counter()
         self.coarse = PaddedClusterCoarse(co.phi.to_scipy(),
                                           np.asarray(co.A0_inv), db,
                                           dtype=dtype)
+        t3 = _time.perf_counter()
+        self.timings = {"level1_s": t1 - t0, "gdsw_s": t2 - t1,
+                        "coarse_layout_s": t3 - t2}
         self.n_coarse = self.coarse.nc
 
     def padded_operator(self):
