@@ -447,7 +447,31 @@ class GDSWCoarseOperator:
         self.n_coarse = nc
         self.phi = CsrMatrix.from_scipy(phi, dtype=dtype)
         self.phiT = CsrMatrix.from_scipy(phi.T.tocsr(), dtype=dtype)
-        self.A0_inv = jnp.asarray(np.linalg.inv(A0), dtype)
+        # A0 kept as data; the dense inverse is LAZY — the scalable
+        # coarse-solver paths (sparse LU wavefront / iterative, the
+        # reference's CoarseSolver sublist) never form it (O(nc³) setup +
+        # O(nc²) replicated memory are the pod-scale wall)
+        self.A0_np = A0
+        self._A0_inv = None
+        self._dtype = dtype
+
+    @property
+    def A0_inv(self):
+        # the numpy inverse is cached; the jnp conversion happens per
+        # access so a call under jit tracing never caches a tracer
+        if self._A0_inv is None:
+            self._A0_inv = np.linalg.inv(self.A0_np)
+        return jnp.asarray(self._A0_inv, self._dtype)
+
+    def A0_sparse(self, drop_tol: float = 0.0) -> sps.csr_matrix:
+        """A₀ as scipy CSR (RAP of sparse Φ is sparse; the dense
+        accumulation above just never stored the zeros)."""
+        A = sps.csr_matrix(self.A0_np)
+        if drop_tol > 0.0:
+            scale = max(np.abs(self.A0_np).max(), 1e-300)
+            A.data[np.abs(A.data) < drop_tol * scale] = 0.0
+            A.eliminate_zeros()
+        return A
 
     def apply(self, r: jnp.ndarray) -> jnp.ndarray:
         rc = self.phiT.matvec(r)
@@ -601,7 +625,9 @@ def distributed_two_level(dmat, part=None, points: Optional[np.ndarray] = None,
                           blocks: Optional[List[dict]] = None,
                           factor: str = "host",
                           ipou: Optional[dict] = None,
-                          coarse_procs: int = 0):
+                          coarse_procs: int = 0,
+                          level_combination: str = "Additive",
+                          coarse_solver: str = "dense"):
     """Two-level GDSW for the shard_map solver (DistributedSolver), built
     from the DistributedCsr ALONE — setup reads only per-device row views
     (DistributedCsr.local_rows); no global matrix is assembled anywhere.
@@ -659,20 +685,76 @@ def distributed_two_level(dmat, part=None, points: Optional[np.ndarray] = None,
         part.repeated_map.partition_indices if part is not None else None,
         points, dofs_per_node, null_space, dirichlet_mask, variant=variant,
         blocks=blocks, row_source=dmat.local_rows, ipou=ipou)
+    if level_combination not in ("Additive", "Multiplicative"):
+        raise ValueError(f"unknown level combination {level_combination!r}")
+    mult = level_combination == "Multiplicative"
     phi = coarse.phi.to_scipy()
     nc = coarse.n_coarse
     N_o = dmat.plan.N_o
-    phi_own = np.zeros((n_dev, N_o, nc))
+    # COMPACT per-device Φ: only the coarse functions supported on this
+    # device's owned rows (C_loc ≈ adjacent coarse fns, independent of nc —
+    # the dense [N_o, nc] restriction grows linearly with the coarse
+    # dimension and was the memory wall at pod scale)
+    sup = []
     for p in range(n_dev):
         owned = umap.partition_indices[p]
-        phi_own[p, : len(owned)] = phi[owned].toarray()
-    A0_inv = np.asarray(coarse.A0_inv)
-    arrays = list(arrays1) + [jnp.asarray(phi_own)]
+        sup.append(np.unique(phi[owned].indices) if len(owned)
+                   else np.zeros(0, np.int64))
+    C_loc = max(max((len(s) for s in sup), default=1), 1)
+    phi_comp = np.zeros((n_dev, N_o, C_loc))
+    cids = np.full((n_dev, C_loc), nc, np.int64)  # pad -> zero slot nc
+    for p in range(n_dev):
+        owned = umap.partition_indices[p]
+        s = sup[p]
+        cids[p, : len(s)] = s
+        if len(owned):
+            sub = phi[owned].tocoo()
+            phi_comp[p, sub.row, np.searchsorted(s, sub.col)] = sub.data
+    arrays = list(arrays1) + [jnp.asarray(phi_comp),
+                              jnp.asarray(cids.astype(np.int32))]
 
-    if coarse_ranks == 0 and coarse_procs == 0:
+    # ---- coarse solver (reference CoarseSolver sublist) -----------------
+    sel = None
+    lu_dims = None
+    it_steps = 0
+    if coarse_solver == "sparse":
+        # exact sparse-LU wavefront solve, replicated: setup O(nnz·fill),
+        # apply memory O(nnz(LU)) — no dense nc x nc anywhere
+        if coarse_ranks or coarse_procs:
+            raise ValueError("coarse_solver='sparse' is replicated "
+                             "(no Distribution sublist)")
+        from feddlib_tpu.la.sparse_lu import BatchedSparseLU
+
+        lu = BatchedSparseLU([coarse.A0_sparse()])
+        lu_arrs = lu.arrays()
+        lu_dims = lu.dims
+        for a in lu_arrs:
+            arrays.append(jnp.broadcast_to(a, (n_dev,) + a.shape))
+        n_lu = len(lu_arrs)
+        S_lu = lu.S
+    elif coarse_solver == "iterative":
+        # fixed-iteration CG on sparse-ELL A₀ (Belos GMRES tol 1e-6 role;
+        # fixed step count keeps the outer Krylov operator linear)
+        if coarse_ranks or coarse_procs:
+            raise ValueError("coarse_solver='iterative' is replicated")
+        A0s = coarse.A0_sparse()
+        kmax = max(int(np.diff(A0s.indptr).max()), 1)
+        ecols = np.zeros((nc, kmax), np.int32)
+        evals = np.zeros((nc, kmax))
+        for i in range(nc):
+            lo, hi = A0s.indptr[i], A0s.indptr[i + 1]
+            ecols[i, : hi - lo] = A0s.indices[lo:hi]
+            evals[i, : hi - lo] = A0s.data[lo:hi]
+        arrays += [jnp.asarray(np.broadcast_to(evals,
+                                               (n_dev,) + evals.shape)),
+                   jnp.asarray(np.broadcast_to(ecols,
+                                               (n_dev,) + ecols.shape))]
+        it_steps = 50
+    elif coarse_ranks == 0 and coarse_procs == 0:
+        A0_inv = np.asarray(coarse.A0_inv)
         arrays.append(jnp.asarray(np.broadcast_to(A0_inv, (n_dev, nc, nc))))
-        sel = None
     else:
+        A0_inv = np.asarray(coarse.A0_inv)
         if coarse_ranks and coarse_procs:
             raise ValueError("choose coarse_ranks OR coarse_procs")
         k = coarse_ranks or min(coarse_procs, n_dev)
@@ -691,17 +773,63 @@ def distributed_two_level(dmat, part=None, points: Optional[np.ndarray] = None,
 
     def build(prec_arrays, ctx):
         M1 = build1(prec_arrays[:n1], ctx)
-        phi_p, A0i = prec_arrays[n1], prec_arrays[n1 + 1]
+        phi_p, cid = prec_arrays[n1], prec_arrays[n1 + 1]
+        solver_arrs = prec_arrays[n1 + 2:]
+        ed, ec, mk, imp_f, exp_f = ctx
+
+        def A_loc(x):
+            return jnp.sum(ed * imp_f(x)[ec], axis=0)
+
+        def solve_A0(rc):
+            if coarse_solver == "sparse":
+                from feddlib_tpu.la.sparse_lu import BatchedSparseLU
+
+                r_pad = jnp.zeros((1, S_lu), rc.dtype).at[0, :nc].set(rc)
+                z = BatchedSparseLU.apply_ops(tuple(solver_arrs), r_pad,
+                                              lu_dims)
+                return z[0, :nc]
+            if coarse_solver == "iterative":
+                evs, ecs = solver_arrs
+
+                def A0mv(v):
+                    return jnp.sum(evs * v[ecs], axis=1)
+
+                def body(i, carry):
+                    x, r, p, rr = carry
+                    Ap = A0mv(p)
+                    alpha = rr / (jnp.vdot(p, Ap) + 1e-300)
+                    x = x + alpha * p
+                    r = r - alpha * Ap
+                    rr2 = jnp.vdot(r, r)
+                    p = r + (rr2 / (rr + 1e-300)) * p
+                    return x, r, p, rr2
+
+                x0 = jnp.zeros_like(rc)
+                x, _, _, _ = lax.fori_loop(
+                    0, it_steps, body,
+                    (x0, rc, rc, jnp.vdot(rc, rc)))
+                return x
+            A0i = solver_arrs[0]
+            if sel is None:
+                return A0i @ rc  # replicated dense solve
+            zc_slab = A0i @ rc   # [nc_s]; nonzero on coarse devices only
+            return lax.all_gather(zc_slab, AXIS).reshape(-1)[sel]
+
+        def coarse_corr(r):
+            q = phi_p.T @ r                          # [C_loc]
+            rc = lax.psum(
+                jnp.zeros(nc + 1, q.dtype).at[cid].add(q), AXIS)[:nc]
+            zc = solve_A0(rc)
+            zg = jnp.concatenate([zc, jnp.zeros(1, zc.dtype)])[cid]
+            return phi_p @ zg
 
         def M(r):
             z1 = M1(r)
-            rc = lax.psum(phi_p.T @ r, AXIS)  # [nc] coarse residual
-            if sel is None:
-                zc = A0i @ rc  # replicated coarse solve
-            else:
-                zc_slab = A0i @ rc  # [nc_s]; nonzero on coarse devices only
-                zc = lax.all_gather(zc_slab, AXIS).reshape(-1)[sel]
-            return z1 + phi_p @ zc
+            if mult:
+                # z = z1 + Φ A0⁻¹ Φᵀ (r − A z1) — FROSch 'Level
+                # Combination': coarse acts on the level-1-updated residual
+                return z1 + coarse_corr(r - A_loc(z1))
+            return z1 + coarse_corr(r)
 
         return M
 

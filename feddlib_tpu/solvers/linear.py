@@ -510,6 +510,9 @@ class LinearSolver:
                     dirichlet_mask=problem.merged_dirichlet_mask(),
                     variant=variant, ipou=ipou,
                     coarse_procs=0 if cprocs <= 1 else cprocs,
+                    level_combination=params.get("Level Combination",
+                                                 "Additive"),
+                    coarse_solver=params.get("Coarse Solver", "dense"),
                     blocks=block_specs)
                 precond = (build, arrs)
             elif prec_type == "Jacobi":
@@ -627,7 +630,10 @@ class LinearSolver:
                         problem.total_dofs_per_node(),
                         combine=combine, overlap=overlap, null_space=nsp,
                         dirichlet_mask=problem.merged_dirichlet_mask(),
-                        variant=variant, ipou=ipou, coarse_procs=cprocs)
+                        variant=variant, ipou=ipou, coarse_procs=cprocs,
+                        level_combination=params.get("Level Combination",
+                                                     "Additive"),
+                        coarse_solver=params.get("Coarse Solver", "dense"))
                 else:
                     # monolithic block GDSW (the FROSch MONOLITHIC feed,
                     # Preconditioner_def.hpp:295-383) — now available on
@@ -636,6 +642,9 @@ class LinearSolver:
                         dmat, combine=combine, overlap=overlap,
                         dirichlet_mask=problem.merged_dirichlet_mask(),
                         variant=variant, ipou=ipou, coarse_procs=cprocs,
+                        level_combination=params.get("Level Combination",
+                                                     "Additive"),
+                        coarse_solver=params.get("Coarse Solver", "dense"),
                         blocks=problem.preconditioner._block_specs(part, nsp))
             elif prec_type == "Jacobi":
                 build, arrs = "jacobi", None

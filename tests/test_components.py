@@ -467,3 +467,83 @@ def test_coarse_numprocs_matches_replicated():
         assert rel < 1e-8
         its[cp] = it
     assert its[2] == its[0]
+
+
+@pytest.mark.parametrize("combo,csolver", [("Multiplicative", "dense"),
+                                           ("Additive", "sparse"),
+                                           ("Multiplicative", "sparse")])
+def test_distributed_two_level_variants_match_serial(combo, csolver):
+    """Distributed multiplicative level combination and the scalable
+    sparse-LU coarse solve (CoarseSolver role) reproduce the serial
+    two-level operator iteration-for-iteration — the coarse solve is
+    exact in both forms, so iterates are identical."""
+    from feddlib_tpu.bc import BCBuilder
+    from feddlib_tpu.fe import ops
+    from feddlib_tpu.mesh.partition import MeshPartition
+    from feddlib_tpu.parallel.solve import DistributedSolver
+    from feddlib_tpu.parallel.spmd import (
+        DeviceAxis, DistributedCsr, collect_vector, distribute_vector)
+    from feddlib_tpu.precond.gdsw import TwoLevelSchwarz, distributed_two_level
+    from feddlib_tpu.solvers.krylov import gmres
+
+    dom = Domain.structured(2, 16)
+    K = ops.assemble_laplace(dom)
+    bcb = BCBuilder()
+    bcb.add_bc(lambda x, t: 0.0, 1, 0, dom, "Dirichlet", 1)
+    b = ops.assemble_rhs(dom, lambda x: 1.0 + 0 * x[0])
+    Kb, bb = bcb.apply_symmetric(K, b, 0)
+    dmask = bcb.dirichlet_mask(0, dom.n_nodes)
+    part = MeshPartition(dom.mesh, 8)
+    tls = TwoLevelSchwarz(Kb, part.unique_map,
+                          part.repeated_map.partition_indices,
+                          dom.mesh.points, 1, overlap=1,
+                          dirichlet_mask=dmask, level_combination=combo)
+    ref = gmres(Kb.matvec, bb, M=tls.apply, tol=1e-8, maxiter=500)
+    dmat = DistributedCsr(Kb, part.unique_map)
+    solver = DistributedSolver(dmat, DeviceAxis.make(8))
+    b_dist = distribute_vector(np.asarray(bb), part.unique_map,
+                               dmat.plan.N_o)
+    build, arrs = distributed_two_level(dmat, part, dom.mesh.points, 1,
+                                        dirichlet_mask=dmask,
+                                        level_combination=combo,
+                                        coarse_solver=csolver)
+    x, it, rel = solver.solve(b_dist, method="gmres", tol=1e-8, maxiter=500,
+                              precond=(build, arrs))
+    assert it == ref.iters
+    np.testing.assert_allclose(collect_vector(x, part.unique_map),
+                               np.asarray(ref.x), atol=1e-9)
+
+
+def test_distributed_two_level_iterative_coarse():
+    """'Coarse Solver: iterative' (fixed-iteration CG on sparse A0 — the
+    reference's Belos GMRES tol 1e-6 CoarseSolver sublist) converges to
+    the same solution; iteration counts may differ slightly."""
+    from feddlib_tpu.bc import BCBuilder
+    from feddlib_tpu.fe import ops
+    from feddlib_tpu.mesh.partition import MeshPartition
+    from feddlib_tpu.parallel.solve import DistributedSolver
+    from feddlib_tpu.parallel.spmd import (
+        DeviceAxis, DistributedCsr, collect_vector, distribute_vector)
+    from feddlib_tpu.precond.gdsw import distributed_two_level
+
+    dom = Domain.structured(2, 16)
+    K = ops.assemble_laplace(dom)
+    bcb = BCBuilder()
+    bcb.add_bc(lambda x, t: 0.0, 1, 0, dom, "Dirichlet", 1)
+    b = ops.assemble_rhs(dom, lambda x: 1.0 + 0 * x[0])
+    Kb, bb = bcb.apply_symmetric(K, b, 0)
+    dmask = bcb.dirichlet_mask(0, dom.n_nodes)
+    part = MeshPartition(dom.mesh, 8)
+    dmat = DistributedCsr(Kb, part.unique_map)
+    solver = DistributedSolver(dmat, DeviceAxis.make(8))
+    b_dist = distribute_vector(np.asarray(bb), part.unique_map,
+                               dmat.plan.N_o)
+    build, arrs = distributed_two_level(dmat, part, dom.mesh.points, 1,
+                                        dirichlet_mask=dmask,
+                                        coarse_solver="iterative")
+    x, it, rel = solver.solve(b_dist, method="gmres", tol=1e-8, maxiter=500,
+                              precond=(build, arrs))
+    assert rel < 1e-8
+    xg = collect_vector(x, part.unique_map)
+    res = np.asarray(Kb.matvec(jnp.asarray(xg))) - np.asarray(bb)
+    assert np.linalg.norm(res) / np.linalg.norm(np.asarray(bb)) < 1e-7

@@ -20,16 +20,23 @@ def test_permutation_gather_random(n_in, n_out, seed):
 
 
 def test_permutation_gather_runs_spill():
-    """Scattered targets (many blocks per chunk) exercise the spill path."""
+    """Scattered targets (many blocks per chunk) exercise the 16-window
+    auto-upgrade AND the spill path."""
     rng = np.random.default_rng(3)
-    n_in = 130 * 128
-    # each output jumps ~10 blocks: >8 distinct blocks per 128-chunk
-    idx = (np.arange(2000) * 1280 + rng.integers(0, 128, 2000)) % n_in
+    n_in = 300 * 128
+    # each output jumps 23 blocks (coprime to the 300-block space):
+    # >16 distinct blocks per 128-chunk
+    idx = (np.arange(2000) * 2944 + rng.integers(0, 128, 2000)) % n_in
     pg = PermutationGather(idx, n_in)
-    assert pg.n_spill > 0
+    assert pg.n_win == 16 and pg.n_spill > 0
     x = rng.standard_normal(n_in)
     y = np.asarray(pg(jnp.asarray(x)))
     assert np.allclose(y, x[idx], atol=1e-12)
+    # forced 8-window plan: same answer through the denser spill tail
+    pg8 = PermutationGather(idx, n_in, n_win=8)
+    assert pg8.n_spill > pg.n_spill
+    y8 = np.asarray(pg8(jnp.asarray(x)))
+    assert np.allclose(y8, x[idx], atol=1e-12)
 
 
 def test_permutation_gather_f64_roundtrip():
