@@ -813,6 +813,188 @@ class DistributedPipeline:
                     out[g, loc] += contrib[sel]
         return jnp.asarray(out)
 
+    # -- device-side RHS (volume + Neumann surface loads) ---------------------
+    def add_rhs(self, b: int, fn: Callable) -> None:
+        """Register a volume source for variable b: fn(x [dim], t) →
+        scalar (dofs=1) or [dofs].  Assembled fully ON DEVICE by
+        `assemble_rhs_device(t)` — time-dependent loads reassemble with no
+        host sync (FE::assemblyRHS, FE_def.hpp:4694)."""
+        self._rhs_defs = getattr(self, "_rhs_defs", [])
+        self._rhs_defs.append((b, fn, None))
+        self._rhs_fn = None
+
+    def add_surface_rhs(self, b: int, fn: Callable, flag: int) -> None:
+        """Register a Neumann surface load on variable b's mesh boundary
+        entities with `flag`: fn(x, t) → scalar or [dofs]
+        (FE::assemblySurfaceIntegral, FE_def.hpp:4511)."""
+        self._rhs_defs = getattr(self, "_rhs_defs", [])
+        self._rhs_defs.append((b, fn, int(flag)))
+        self._rhs_fn = None
+
+    def _rhs_plans(self):
+        """Symbolic phase for the device RHS program: per-def sharded
+        geometry + a contribution seg/exchange plan (rows only)."""
+        if getattr(self, "_rhs_meta", None) is not None:
+            return self._rhs_meta
+        if not self._final:
+            self.finalize()
+        n_dev = self.n_dev
+        owner = self.dof_map.owner_of()
+        defs = getattr(self, "_rhs_defs", [])
+        # per def, per device: contribution dof lists + geometry
+        geo = []       # per def: (vc [n_dev, Emax, nv, dim], valid, dofs)
+        dof_lists = [[] for _ in range(n_dev)]  # per device: per-def dofs
+        for b, fn, flag in defs:
+            dom, dofs = self.variables[b]
+            off = int(self.offsets[b])
+            m = self.var_mesh[b]
+            mp, lo, hi = self._mesh_part(m)
+            msh = mp.mesh
+            if flag is None:
+                E_max = self.E_max_m[m]
+                nv = msh.vertices_per_element
+                vc = np.zeros((n_dev, E_max, nv, msh.dim))
+                valid = np.zeros((n_dev, E_max))
+                rows = np.zeros((n_dev, E_max, dom.n_basis() * dofs),
+                                np.int64)
+                for q in range(n_dev):
+                    eids = self._eids(q, m)
+                    Eq = len(eids)
+                    vc[q, :Eq] = msh.points[msh.elements[eids][:, :nv]]
+                    vc[q, Eq:] = msh.points[msh.elements[0][:nv]]
+                    valid[q, :Eq] = 1.0
+                    if Eq:
+                        ed = dom.elem_dofs(dofs)[eids] + off
+                        rows[q, :Eq] = ed
+            else:
+                if msh.surfaces is None:
+                    raise ValueError("mesh has no surface entities")
+                sel = np.flatnonzero(msh.surface_flags == flag)
+                surfs = msh.surfaces[sel]
+                nsv = msh.dim  # vertices of the surface simplex
+                nbs = surfs.shape[1] if len(surfs) else nsv
+                # assign each surface to the device owning its min node
+                nmap = _var_node_map(mp, dom)
+                nowner = np.full(dom.mesh.n_points, -1, np.int64)
+                for pq in range(mp.n_parts):
+                    nowner[nmap.partition_indices[pq]] = lo + pq
+                sdev = (nowner[surfs.min(axis=1)] if len(surfs)
+                        else np.zeros(0, np.int64))
+                S_max = max(int(np.bincount(
+                    sdev, minlength=n_dev).max()) if len(surfs) else 0, 1)
+                vc = np.zeros((n_dev, S_max, nsv, msh.dim))
+                valid = np.zeros((n_dev, S_max))
+                rows = np.zeros((n_dev, S_max, nbs * dofs), np.int64)
+                for q in range(n_dev):
+                    mine = surfs[sdev == q]
+                    Sq = len(mine)
+                    if Sq:
+                        vc[q, :Sq] = msh.points[mine[:, :nsv]]
+                        valid[q, :Sq] = 1.0
+                        sd = (mine[:, :, None] * dofs
+                              + np.arange(dofs)[None, None, :])
+                        rows[q, :Sq] = sd.reshape(Sq, -1) + off
+                    vc[q, Sq:] = msh.points[
+                        (msh.surfaces[0] if len(msh.surfaces)
+                         else msh.elements[0][:nsv])[:nsv]]
+            geo.append((jnp.asarray(vc), jnp.asarray(valid), dofs))
+            for q in range(n_dev):
+                dof_lists[q].append(rows[q].reshape(-1))
+
+        # seg plans: local owned position or N_o + send slot
+        N_o = self.N_o
+        send_keys, segs = [], []
+        for q in range(n_dev):
+            allk = (np.concatenate(dof_lists[q]) if dof_lists[q]
+                    else np.zeros(0, np.int64))
+            owned = self.dof_map.partition_indices[q]
+            pos = np.searchsorted(owned, allk)
+            pos_c = np.minimum(pos, max(len(owned) - 1, 0))
+            is_own = (owned[pos_c] == allk) if len(owned) else \
+                np.zeros(len(allk), bool)
+            sk = np.unique(allk[~is_own])
+            send_keys.append(sk)
+            seg = np.where(is_own, pos_c,
+                           N_o + np.searchsorted(sk, allk))
+            segs.append(seg)
+        S_r = max(max((len(s) for s in send_keys), default=0), 1)
+        seg_stacked = _pad_stack(
+            [np.where(s >= N_o, np.minimum(s, N_o + S_r), s) for s in segs],
+            N_o + S_r, dtype=np.int64)
+        # recv: owner gathers remote contributions
+        recv_src, recv_dst = [], []
+        for p in range(n_dev):
+            owned = self.dof_map.partition_indices[p]
+            src_l, dst_l = [], []
+            for q in range(n_dev):
+                if q == p or not len(send_keys[q]):
+                    continue
+                mine = np.flatnonzero(owner[send_keys[q]] == p)
+                src_l.append(q * S_r + mine)
+                dst_l.append(np.searchsorted(owned, send_keys[q][mine]))
+            recv_src.append(np.concatenate(src_l) if src_l
+                            else np.zeros(0, np.int64))
+            recv_dst.append(np.concatenate(dst_l) if dst_l
+                            else np.zeros(0, np.int64))
+        Rr = max(max((len(s) for s in recv_src), default=0), 1)
+        meta = dict(
+            geo=geo,
+            seg=jnp.asarray(seg_stacked.astype(np.int32)),
+            rsrc=jnp.asarray(_pad_stack(recv_src, 0, Rr,
+                                        np.int64).astype(np.int32)),
+            rdst=jnp.asarray(_pad_stack(recv_dst, N_o, Rr,
+                                        np.int64).astype(np.int32)),
+            S_r=S_r)
+        self._rhs_meta = meta
+        return meta
+
+    def assemble_rhs_device(self, t: float = 0.0) -> jnp.ndarray:
+        """Run the device RHS program at time t → [n_dev, N_o].  The
+        program is compiled once; per-step reassembly is a pure device
+        re-run with the new (traced) t."""
+        meta = self._rhs_plans()
+        defs = getattr(self, "_rhs_defs", [])
+        if self._rhs_fn is None:
+            N_o, S_r = self.N_o, meta["S_r"]
+            geo_meta = [(self.variables[b][0].dim,
+                         self.variables[b][0].fe_type, dofs, fn, flag)
+                        for (b, fn, flag), (_, _, dofs)
+                        in zip(defs, meta["geo"])]
+
+            def prog(t, seg, rsrc, rdst, *geo_arrs):
+                seg, rsrc, rdst = seg[0], rsrc[0], rdst[0]
+                flats = []
+                for (dim_b, fe_b, dofs, fn, flag), i in zip(
+                        geo_meta, range(len(geo_meta))):
+                    vc, valid = geo_arrs[2 * i][0], geo_arrs[2 * i + 1][0]
+                    src = (lambda f: (lambda x: f(x, t)))(fn)
+                    if flag is None:
+                        vec = asm.elem_rhs(vc, dim_b, fe_b, src,
+                                           n_comp=dofs)
+                    else:
+                        vec = asm.elem_surface_rhs(vc, dim_b, fe_b, src)
+                    v = vec * (valid[:, None, None] if vec.ndim == 3
+                               else valid[:, None])
+                    flats.append(v.reshape(-1))
+                flat = jnp.concatenate(flats)
+                acc = jax.ops.segment_sum(flat, seg,
+                                          num_segments=N_o + S_r + 1)
+                local, send = acc[:N_o], acc[N_o:N_o + S_r]
+                buf = lax.all_gather(send, AXIS)
+                add = jax.ops.segment_sum(buf.reshape(-1)[rsrc], rdst,
+                                          num_segments=N_o + 1)[:N_o]
+                return (local + add)[None]
+
+            n_geo = 2 * len(defs)
+            in_specs = tuple([P()] + [P(AXIS)] * (3 + n_geo))
+            self._rhs_fn = jax.jit(
+                self.axis.shard_map(prog, in_specs, P(AXIS)))
+        geo_arrs = []
+        for vc, valid, _ in meta["geo"]:
+            geo_arrs += [vc, valid]
+        return self._rhs_fn(jnp.asarray(float(t)), meta["seg"],
+                            meta["rsrc"], meta["rdst"], *geo_arrs)
+
     # -- boundary conditions -----------------------------------------------------
     def dirichlet_arrays(self, mask_global: np.ndarray,
                          g_global: Optional[np.ndarray] = None):

@@ -333,3 +333,65 @@ def test_use_device_pipeline_navier_stokes_newton():
     assert results["pipeline"][0] == results["serial"][0]
     np.testing.assert_allclose(results["pipeline"][1],
                                results["serial"][1], atol=1e-6)
+
+
+def test_device_rhs_volume_and_surface():
+    """Device-resident RHS program (volume + Neumann surface loads,
+    time-dependent) matches the serial assemblies at each t — per-step
+    reassembly is a pure device re-run (FE_def.hpp:4511,4694)."""
+    import jax.numpy as jnp
+    from feddlib_tpu.fe import ops
+    from feddlib_tpu.fe.domain import Domain
+    from feddlib_tpu.mesh.partition import MeshPartition
+    from feddlib_tpu.parallel.pipeline import DistributedPipeline
+    from feddlib_tpu.parallel.spmd import collect_vector
+
+    dom = Domain.structured(2, 8)
+    part = MeshPartition(dom.mesh, 4)
+    pipe = DistributedPipeline(part, [(dom, 1)])
+    pipe.add_block(0, 0, "laplace")
+    pipe.finalize()
+
+    def f(x, t):
+        return jnp.sin(3.0 * x[0]) * (1.0 + t) + x[1]
+
+    def g(x, t):
+        return x[0] * (2.0 - t)
+
+    pipe.add_rhs(0, f)
+    pipe.add_surface_rhs(0, g, flag=1)
+    for t in (0.0, 0.7):
+        b_dev = collect_vector(pipe.assemble_rhs_device(t=t), pipe.dof_map)
+        b_ref = np.asarray(ops.assemble_rhs(
+            dom, lambda x, tt=t: f(x, tt)))
+        b_ref = b_ref + np.asarray(ops.assemble_surface_rhs(
+            dom, lambda x, tt=t: g(x, tt), flag=1))
+        assert np.abs(b_dev - b_ref).max() < 1e-12 * max(
+            np.abs(b_ref).max(), 1.0)
+
+
+def test_device_rhs_vector_field():
+    """Vector-valued volume source on a P2 velocity space."""
+    import jax.numpy as jnp
+    from feddlib_tpu.fe import ops
+    from feddlib_tpu.fe.domain import Domain
+    from feddlib_tpu.mesh.partition import MeshPartition
+    from feddlib_tpu.parallel.pipeline import DistributedPipeline
+    from feddlib_tpu.parallel.spmd import collect_vector
+
+    dom_p1 = Domain.structured(2, 6)
+    dom = dom_p1.p2_domain()
+    part = MeshPartition(dom_p1.mesh, 4)
+    pipe = DistributedPipeline(part, [(dom, 2)])
+    pipe.add_block(0, 0, "laplace_vec")
+    pipe.finalize()
+
+    def f(x, t):
+        return jnp.stack([x[0] + t, x[0] * x[1]])
+
+    pipe.add_rhs(0, f)
+    b_dev = collect_vector(pipe.assemble_rhs_device(t=0.3), pipe.dof_map)
+    b_ref = np.asarray(ops.assemble_rhs(
+        dom, lambda x: f(x, 0.3), dofs_per_node=2))
+    assert np.abs(b_dev - b_ref).max() < 1e-12 * max(
+        np.abs(b_ref).max(), 1.0)
