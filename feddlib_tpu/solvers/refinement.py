@@ -25,6 +25,53 @@ import jax.numpy as jnp
 from feddlib_tpu.solvers.krylov import KrylovResult
 
 
+def adaptive_solve_cycles(mesh0, source, cycles: int, theta: float = 0.5,
+                          strategy: str = "Doerfler", params=None,
+                          source_np=None, bc_flags=(1,)):
+    """Adaptive Poisson loop — the laplaceAdaptive driver parity
+    (reference problems/tests/laplaceAdaptive;
+    MeshUnstructuredRefinement_decl.hpp:90-99): per cycle
+
+        solve → estimate (P1 jump estimator) → mark (Dörfler/Maximum)
+        → refine (conforming closure) → RE-PARTITION → rebuild plans
+        → continue solving.
+
+    The refinement runs on the host-replicated mesh, so the tagged-edge
+    closure is deterministic REGARDLESS of the partition count (the
+    cross-rank reconciliation the reference performs on its distributed
+    mesh is consistent by construction here); each cycle builds a fresh
+    problem on the refined mesh, so the distributed paths ('Use
+    Distributed Solve' / 'Use Device Pipeline') re-partition and rebuild
+    every communication/assembly plan.
+
+    Returns a history list of dicts (n_elements, eta, iters)."""
+    import numpy as np
+
+    from feddlib_tpu.fe.domain import Domain
+    from feddlib_tpu.mesh.refine import adapt, error_estimate_p1
+    from feddlib_tpu.problems.laplace import Laplace
+
+    mesh = mesh0
+    history = []
+    f_np = source_np or source
+    for c in range(cycles):
+        dom = Domain(mesh)
+        prob = Laplace(dom, parameter_list=params)
+        prob.assemble()
+        prob.assemble_source(source)
+        for flag in bc_flags:
+            prob.add_bc(lambda x, t: 0.0, flag, 0)
+        iters = prob.solve()
+        u = np.asarray(prob.solution[0])
+        eta = error_estimate_p1(mesh, u, f_np)
+        history.append(dict(n_elements=mesh.n_elements,
+                            eta=float(np.sqrt((eta ** 2).sum())),
+                            iters=iters))
+        if c < cycles - 1:
+            mesh, _ = adapt(mesh, u, f_np, strategy=strategy, theta=theta)
+    return history
+
+
 def iterative_refinement(A64: Callable, inner_solve: Callable,
                          b: jnp.ndarray, tol: float = 1e-8,
                          max_passes: int = 8,

@@ -324,3 +324,44 @@ def test_amr_3d_beats_uniform():
     eta_un = np.sqrt((error_estimate_p1(uni, u_un, fnp) ** 2).sum())
     assert cur.n_elements < uni.n_elements
     assert eta_ad < eta_un, (eta_ad, eta_un, cur.n_elements, uni.n_elements)
+
+
+def test_amr_distributed_loop():
+    """AMR under 'Use Distributed Solve': 2 adaptive cycles re-partition
+    the refined mesh and rebuild all plans; the estimated error decays
+    monotonically, and the refinement history is IDENTICAL to the serial
+    loop (the replicated-mesh closure is partition-count independent —
+    MeshUnstructuredRefinement_decl.hpp:90-99 reconciliation parity)."""
+    from feddlib_tpu.solvers.refinement import adaptive_solve_cycles
+    from feddlib_tpu.utils.config import ParameterList
+
+    mesh = build_structured_mesh(2, 6)
+
+    def f(x):
+        return jnp.exp(-100 * ((x[0] - 0.5) ** 2 + (x[1] - 0.5) ** 2))
+
+    def f_np(x):
+        return float(np.exp(-100 * ((x[0] - .5) ** 2 + (x[1] - .5) ** 2)))
+
+    base = {"Preconditioner Type": "SchwarzOneLevel", "Subdomains": 4,
+            "Convergence Tolerance": 1e-10, "Maximum Iterations": 2000}
+    hist = {}
+    for dist in (False, True):
+        pl = ParameterList("P")
+        opts = dict(base)
+        if dist:
+            opts.update({"Use Distributed Solve": True, "Devices": 4,
+                         "Use Device Pipeline": True})
+        for k, v in opts.items():
+            pl[k] = v
+        hist[dist] = adaptive_solve_cycles(mesh, f, cycles=3, theta=0.6,
+                                           params=pl, source_np=f_np)
+    for h in hist.values():
+        assert h[1]["eta"] < h[0]["eta"]
+        assert h[2]["eta"] < h[1]["eta"]
+        assert h[2]["n_elements"] > h[0]["n_elements"]
+    # identical refinement history distributed vs serial
+    assert [c["n_elements"] for c in hist[True]] == \
+        [c["n_elements"] for c in hist[False]]
+    for a, b in zip(hist[True], hist[False]):
+        assert np.isclose(a["eta"], b["eta"], rtol=1e-8)
