@@ -590,3 +590,48 @@ class FSI(NonLinearProblem):
         i = int(np.argmin(np.linalg.norm(
             dom_d.mesh.points - np.asarray(point), axis=1)))
         return np.asarray(self.solution[2]).reshape(-1, self.dim)[i]
+
+    def surface_forces(self, flags) -> np.ndarray:
+        """Consistent drag/lift on flagged fluid boundaries (cylinder +
+        beam): the momentum residual summed over the flagged dofs without
+        BC masking — equivalent to the reference's viscous+pressure
+        surface integrals (getValuesOfInterest2DBenchmark,
+        FSI_def.hpp:1343) and exact for the discrete system."""
+        dom_u = self.variables[0][0]
+        dim = self.dim
+        u, p = self.solution[0], self.solution[1]
+        N = ops.assemble_advection(dom_u, u * self.density_f)
+        Fu = (self.Af.matvec(u) + N.matvec(u) + self.BfT.matvec(p))
+        mask = np.isin(dom_u.mesh.point_flags, np.asarray(flags))
+        Fn = np.asarray(Fu).reshape(-1, dim)
+        return -Fn[np.nonzero(mask)[0]].sum(axis=0)
+
+    def values_of_interest(self, tip_point=(0.6, 0.2),
+                           force_flags=(4, 5)) -> dict:
+        """The FSI2 benchmark observables in one record (reference
+        getValuesOfInterest2DBenchmark, FSI_def.hpp:1343): tip
+        displacement at A=(0.6, 0.2) and total fluid force (drag, lift)
+        on the cylinder+interface boundaries."""
+        tip = self.tip_displacement(tip_point)
+        F = self.surface_forces(force_flags)
+        return {"tip_x": float(tip[0]), "tip_y": float(tip[1]),
+                "drag": float(F[0]), "lift": float(F[1])}
+
+
+def oscillation_stats(times, values) -> dict:
+    """Amplitude / mean / frequency of a (developed) periodic observable
+    series — the published FSI2 reporting quantities (mean ± amplitude,
+    frequency).  Frequency from zero crossings of the demeaned signal."""
+    t = np.asarray(times, dtype=float)
+    v = np.asarray(values, dtype=float)
+    mean = 0.5 * (v.max() + v.min())
+    amp = 0.5 * (v.max() - v.min())
+    d = v - mean
+    s = np.sign(d)
+    cross = np.flatnonzero(np.diff(s) != 0)
+    freq = 0.0
+    if len(cross) >= 2 and t[cross[-1]] > t[cross[0]]:
+        # two zero crossings per period
+        freq = 0.5 * (len(cross) - 1) / (t[cross[-1]] - t[cross[0]])
+    return {"mean": float(mean), "amplitude": float(amp),
+            "frequency": float(freq)}

@@ -359,7 +359,50 @@ def test_turek_fsi_reference_meshes_tip_displacement():
     prob.add_bc(inflow, 2, 0)
     prob.add_bc(lambda x, t: jnp.zeros(2), 4, 0)
     prob.add_bc(lambda x, t: jnp.zeros(2), 1, 2)
-    prob.advance(t_end=0.02)
+    # record the FSI2 observables per step (reference
+    # getValuesOfInterest2DBenchmark, FSI_def.hpp:1343)
+    times, tips_y = [], []
+
+    def observer(t, sol):
+        voi = prob.values_of_interest(tip_point=(0.6, 0.2),
+                                      force_flags=(4, 5))
+        times.append(t)
+        tips_y.append(voi["tip_y"])
+        assert np.isfinite([voi["drag"], voi["lift"]]).all()
+
+    prob.advance(t_end=0.02, observer=observer)
     tip = prob.tip_displacement([0.6, 0.2])
     assert np.isfinite(tip).all()
     np.testing.assert_allclose(tip, [3.141e-05, -5.002e-05], rtol=0.05)
+    from feddlib_tpu.problems.fsi import oscillation_stats
+
+    stats = oscillation_stats(times, tips_y)
+    # startup transient: tiny amplitude, no developed oscillation yet —
+    # the published FSI2 band (amplitude ~0.08, f ~2 Hz) needs ~10 s of
+    # simulated time; this pins the observable MACHINERY and the early
+    # trajectory
+    assert stats["amplitude"] < 1e-3
+
+
+def test_fsi_values_of_interest_and_oscillation_stats():
+    """Observable machinery: values_of_interest on the two-box problem and
+    amplitude/frequency extraction on a synthetic signal (reference
+    getValuesOfInterest2DBenchmark, FSI_def.hpp:1343)."""
+    from feddlib_tpu.problems.fsi import FSI, oscillation_stats
+
+    dom_u, dom_p, dom_d = _two_box_domains(n=3)
+    pl = _params(Viscosity=0.1, dt=0.02)
+    prob = FSI(dom_u, dom_p, dom_d, [IFACE], parameter_list=pl)
+    prob.assemble()
+    prob.init_vectors()
+    voi = prob.values_of_interest(tip_point=(0.5, 0.25),
+                                  force_flags=(IFACE,))
+    assert set(voi) == {"tip_x", "tip_y", "drag", "lift"}
+    assert all(np.isfinite(v) for v in voi.values())
+
+    t = np.linspace(0.0, 5.0, 1000)
+    y = 1.2 + 0.08 * np.sin(2 * np.pi * 2.0 * t)
+    st = oscillation_stats(t, y)
+    assert abs(st["mean"] - 1.2) < 1e-3
+    assert abs(st["amplitude"] - 0.08) < 1e-3
+    assert abs(st["frequency"] - 2.0) < 0.05
