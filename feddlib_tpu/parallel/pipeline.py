@@ -197,16 +197,20 @@ def _block_eval(kind: str, dim: int, fe_r: str, fe_c: str, params: dict):
 
         return f
     if kind == "divergence":  # rows = pressure (fe_r), cols = velocity
+        coeff = float(params.get("coeff", 1.0))
+
         def f(vc):
             B = asm.elem_divergence(vc, dim, fe_c, fe_r)  # [E, nbp, nbu, d]
-            return B.reshape(B.shape[0], B.shape[1], -1)
+            return B.reshape(B.shape[0], B.shape[1], -1) * coeff
 
         return f
     if kind == "divergence_T":  # rows = velocity, cols = pressure (fe_c)
+        coeff = float(params.get("coeff", 1.0))
+
         def f(vc):
             B = asm.elem_divergence(vc, dim, fe_r, fe_c)
             return B.transpose(0, 2, 3, 1).reshape(
-                B.shape[0], B.shape[2] * B.shape[3], B.shape[1])
+                B.shape[0], B.shape[2] * B.shape[3], B.shape[1]) * coeff
 
         return f
     if kind == "bd_stab":

@@ -62,6 +62,12 @@ class NonLinElasticity(NonLinearProblem):
         Kf = Ks[0] if len(Ks) == 1 else jnp.concatenate(Ks)
         return Rf, Kf
 
+    def pipeline_blocks(self):
+        """Hyperelastic consistent-tangent kind for the device pipeline
+        (reference AceGen tangents, FE_def.hpp:6969,7259,7559)."""
+        return [(0, 0, "hyperelastic",
+                 {"material": self.material, "mat_params": self.params})]
+
     def assemble(self) -> None:
         self.init_vectors()
         self.reassemble("Newton")

@@ -60,6 +60,16 @@ class TPM(Problem):
         self.system = S
         self.init_vectors()
 
+    def pipeline_blocks(self):
+        """Linear quasi-static Biot blocks for the device-resident
+        distributed pipeline ('Use Device Pipeline'; reference TPM AceGen
+        elements, FE_def.hpp:131,338)."""
+        return [(0, 0, "lin_elasticity", {"mu": self.mu, "lam": self.lam}),
+                (0, 1, "divergence_T", {"coeff": self.alpha}),
+                (1, 0, "divergence", {"coeff": -self.alpha / self.dt}),
+                (1, 1, "laplace", {"coeff": self.kappa}),
+                (1, 1, "mass", {"coeff": self.storativity / self.dt})]
+
     def assemble_source(self, f: Callable) -> None:
         dom_u = self.variables[0][0]
         self.init_vectors()

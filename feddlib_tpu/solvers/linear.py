@@ -560,8 +560,14 @@ class LinearSolver:
         pblocks = (hook() if (hook is not None
                               and bool(params.get("Use Device Pipeline",
                                                   False))) else None)
+        def _hashable(v):
+            # per-element data arrays key by identity (plan constants)
+            return (("ndarray", id(v)) if isinstance(v, np.ndarray)
+                    else (tuple(v) if isinstance(v, (list, tuple)) else v))
+
         pkey = None if pblocks is None else tuple(
-            (i, j, kind, tuple(sorted(prm.items())))
+            (i, j, kind, tuple(sorted((k, _hashable(v))
+                                      for k, v in prm.items())))
             for i, j, kind, prm in pblocks)
         if pkey is not None:
             from feddlib_tpu.parallel.pipeline import DistributedPipeline
@@ -579,7 +585,8 @@ class LinearSolver:
                 problem._pipe_cache = pc
                 problem._dist_cache = None  # plans changed → prec rebuild
             pipe, part = pc["pipe"], pc["part"]
-            needs_field = any(k in ("advection", "advection_in_u")
+            needs_field = any(k in ("advection", "advection_in_u",
+                                    "hyperelastic")
                               for _, _, k, _ in pblocks)
             x_dist = (pipe.distribute(np.asarray(problem.solution.concat()))
                       if needs_field and problem.solution is not None

@@ -395,3 +395,66 @@ def test_device_rhs_vector_field():
         dom, lambda x: f(x, 0.3), dofs_per_node=2))
     assert np.abs(b_dev - b_ref).max() < 1e-12 * max(
         np.abs(b_ref).max(), 1.0)
+
+
+@pytest.mark.parametrize("which", ["tpm", "geometry_scaled", "hyper"])
+def test_problem_pipeline_blocks_match_serial(which):
+    """TPM Biot / distance-scaled harmonic extension / hyperelastic
+    tangent pipeline kinds reproduce the serial merged matrices entry for
+    entry (FE_def.hpp:131,2225,6969 parity on the device pipeline)."""
+    import scipy.sparse as sps
+    from feddlib_tpu.fe.domain import Domain
+    from feddlib_tpu.mesh.partition import MeshPartition
+    from feddlib_tpu.parallel.pipeline import DistributedPipeline
+
+    if which == "tpm":
+        from feddlib_tpu.problems.tpm import TPM
+
+        dom_p1 = Domain.structured(2, 4)
+        dom_u = dom_p1.p2_domain()
+        prob = TPM(dom_u, dom_p1)
+        base = dom_p1
+    elif which == "geometry_scaled":
+        from feddlib_tpu.problems.geometry import Geometry
+
+        dom = Domain.structured(2, 6)
+        rng = np.random.default_rng(0)
+        dist = rng.random(dom.mesh.n_points) + 0.1
+        prob = Geometry(dom, distances=dist)
+        base = dom
+    else:
+        from feddlib_tpu.problems.nonlin_elasticity import NonLinElasticity
+
+        dom = Domain.structured(2, 4)
+        prob = NonLinElasticity(dom)
+        base = dom
+    prob.assemble()
+    if which == "hyper":
+        rng = np.random.default_rng(1)
+        prob.solution[0] = jnp.asarray(
+            0.02 * rng.standard_normal(prob.block_sizes()[0]))
+        prob.reassemble("Newton")
+    S = prob.system.merge().to_scipy().tocsr()
+
+    part = MeshPartition(base.mesh, 4)
+    pipe = DistributedPipeline(
+        part, [(dom_, dofs_) for dom_, dofs_, _ in prob.variables])
+    for i, j, kind, prm in prob.pipeline_blocks():
+        pipe.add_block(i, j, kind, **prm)
+    pipe.finalize()
+    x = (pipe.distribute(np.asarray(prob.solution.concat()))
+         if which == "hyper" else None)
+    dmat = pipe.assemble(x=x)
+
+    rows_l, cols_l, vals_l = [], [], []
+    for p in range(dmat.n_dev):
+        owned, R = dmat.local_rows(p)
+        if len(owned):
+            coo = R.tocoo()
+            rows_l.append(owned[coo.row])
+            cols_l.append(coo.col)
+            vals_l.append(coo.data)
+    D = sps.csr_matrix((np.concatenate(vals_l),
+                        (np.concatenate(rows_l), np.concatenate(cols_l))),
+                       shape=S.shape)
+    assert abs(S - D).max() < 1e-10 * max(abs(S).max(), 1.0)
