@@ -36,7 +36,11 @@ def test_laplace_driver_structured_3d():
     r = _run(["drivers/laplace.py", "--cpu", "--dim", "3", "--n", "8",
               "--subdomains", "8"])
     assert r.returncode == 0, r.stderr[-2000:]
-    assert "GMRES iterations:" in r.stdout
+    # golden iteration count (f64, deterministic RCB, 8 subdomains)
+    it_line = [l for l in r.stdout.splitlines()
+               if "GMRES iterations:" in l][0]
+    iters = int(it_line.split("GMRES iterations:")[1].split()[0])
+    assert abs(iters - 10) <= 1, iters
 
 
 @pytest.mark.slow
@@ -101,4 +105,10 @@ def test_fsi_driver_tube():
               "--t-end", "0.04", "--dt", "0.02", "--prec", "Jacobi"],
              timeout=400)
     assert r.returncode == 0, r.stderr[-2000:]
-    assert "max |d|" in r.stdout
+    # golden observables (f64, deterministic): tube wall displacement and
+    # interface traction after 2 steps
+    d_line = [l for l in r.stdout.splitlines() if "max |d|" in l][0]
+    dmax = float(d_line.split("max |d| =")[1].split()[0])
+    lmax = float(d_line.split("max |lambda| =")[1].split()[0])
+    assert abs(dmax - 1.13975e-03) / 1.13975e-03 < 1e-2, dmax
+    assert abs(lmax - 2.28796e-01) / 2.28796e-01 < 1e-2, lmax
