@@ -74,7 +74,7 @@ def main():
     from feddlib_tpu.la.csr import CsrMatrix
     from feddlib_tpu.la.dense_blocks import DenseBlockSpMV
     from feddlib_tpu.la.dia import auto_spmv
-    from feddlib_tpu.la.sell import SellMatrix, sell_padded_from
+    from feddlib_tpu.la.sell import PaddedSplitSpMV, SellMatrix
     from feddlib_tpu.mesh.partition import MeshPartition
     from feddlib_tpu.solvers.krylov import solve_jit
     from feddlib_tpu.solvers.refinement import iterative_refinement
@@ -198,10 +198,10 @@ def main():
         db32 = DenseBlockSpMV.from_csr(Kb, cluster, dtype=jnp.float32)
         t_blocks = time.perf_counter() - t0
         t0 = time.perf_counter()
-        Ap32 = sell_padded_from(Kb, db32, dtype=jnp.float32)
+        Ap32 = PaddedSplitSpMV(Kb, db32, dtype=jnp.float32)
         t_sellp = time.perf_counter() - t0
-        note(f"padded SELL K={Ap32.K} spill="
-             f"{0 if Ap32.spill_rows is None else int(Ap32.spill_rows.size)}")
+        note(f"padded split SELL K_loc={Ap32.A_loc.K} K_gst={Ap32.B.K} "
+             f"E_gst={Ap32.B.E}")
         A_fn, A_ops = Ap32.operator()
         # production preconditioner: padded-space TWO-LEVEL Schwarz
         # (restricted dense-block level 1 with the bf16 inverse store +

@@ -372,7 +372,7 @@ class LinearSolver:
         solvers/refinement.py)."""
         from feddlib_tpu.la.dense_blocks import (DenseBlockSchwarz,
                                                  DenseBlockSpMV)
-        from feddlib_tpu.la.sell import sell_padded_from
+        from feddlib_tpu.la.sell import PaddedSplitSpMV
         from feddlib_tpu.solvers.krylov import solve_jit
         from feddlib_tpu.solvers.refinement import iterative_refinement
 
@@ -430,7 +430,9 @@ class LinearSolver:
                 db32 = DenseBlockSpMV.from_csr(A, cluster,
                                                dtype=jnp.float32,
                                                balance=True)
-            sell32 = sell_padded_from(A, db32, dtype=jnp.float32)
+            # split padded operator: block-diagonal local + compact-ghost
+            # parts (the monolithic padded SELL pays K~12 window passes)
+            sell32 = PaddedSplitSpMV(A, db32, dtype=jnp.float32)
             if two_level and len(problem.domains) == 1:
                 # padded-space GDSW coarse level on top of the restricted
                 # dense-block Schwarz (parametersPrec.xml TwoLevel=true)

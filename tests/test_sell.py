@@ -213,3 +213,31 @@ def test_auto_spmv_block_sell_for_unstructured_vector():
     K = ops.assemble_lin_elasticity(dom, 1.0, 1.0)
     A = auto_spmv(K, dtype=jnp.float32, dofs_per_node=3)
     assert isinstance(A, BlockSellMatrix)
+
+
+def test_padded_split_spmv_matches_monolithic():
+    """PaddedSplitSpMV (block-diagonal local + compact-ghost parts) equals
+    the monolithic padded SELL apply, including after with_data."""
+    import jax.numpy as jnp
+    from feddlib_tpu.fe import ops
+    from feddlib_tpu.fe.domain import Domain
+    from feddlib_tpu.la.dense_blocks import DenseBlockSpMV
+    from feddlib_tpu.la.sell import PaddedSplitSpMV, sell_padded_from
+    from feddlib_tpu.mesh.partition import partition_points
+
+    dom = Domain.structured(3, 8)
+    K = ops.assemble_laplace(dom)
+    cluster = partition_points(dom.mesh.points, 16)
+    db = DenseBlockSpMV.from_csr(K, cluster, dtype=jnp.float32)
+    mono = sell_padded_from(K, db, dtype=jnp.float32)
+    split = PaddedSplitSpMV(K, db, dtype=jnp.float32)
+    assert split.A_loc.K <= mono.K
+    rng = np.random.default_rng(0)
+    xp = jnp.asarray(rng.standard_normal(db.P * db.R), jnp.float32)
+    y0 = np.asarray(mono.matvec(xp))
+    y1 = np.asarray(split.matvec(xp))
+    assert np.abs(y1 - y0).max() < 1e-4 * np.abs(y0).max()
+
+    d2 = jnp.asarray(K.data) * 2.0
+    y2 = np.asarray(split.with_data(d2).matvec(xp))
+    assert np.abs(y2 - 2.0 * y1).max() < 1e-4 * np.abs(y0).max()
