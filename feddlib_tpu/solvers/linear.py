@@ -514,7 +514,8 @@ class LinearSolver:
                     coarse_procs=0 if cprocs <= 1 else cprocs,
                     level_combination=params.get("Level Combination",
                                                  "Additive"),
-                    coarse_solver=params.get("Coarse Solver", "dense"),
+                    coarse_solver=("dense" if cprocs > 1 else
+                                       params.get("Coarse Solver", "dense")),
                     blocks=block_specs)
                 precond = (build, arrs)
             elif prec_type == "Jacobi":
@@ -642,7 +643,8 @@ class LinearSolver:
                         variant=variant, ipou=ipou, coarse_procs=cprocs,
                         level_combination=params.get("Level Combination",
                                                      "Additive"),
-                        coarse_solver=params.get("Coarse Solver", "dense"))
+                        coarse_solver=("dense" if cprocs > 1 else
+                                       params.get("Coarse Solver", "dense")))
                 else:
                     # monolithic block GDSW (the FROSch MONOLITHIC feed,
                     # Preconditioner_def.hpp:295-383) — now available on
@@ -653,7 +655,8 @@ class LinearSolver:
                         variant=variant, ipou=ipou, coarse_procs=cprocs,
                         level_combination=params.get("Level Combination",
                                                      "Additive"),
-                        coarse_solver=params.get("Coarse Solver", "dense"),
+                        coarse_solver=("dense" if cprocs > 1 else
+                                       params.get("Coarse Solver", "dense")),
                         blocks=problem.preconditioner._block_specs(part, nsp))
             elif prec_type == "Jacobi":
                 build, arrs = "jacobi", None

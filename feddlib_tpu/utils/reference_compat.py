@@ -94,6 +94,15 @@ def translate_prec(p: ParameterList, out: ParameterList) -> None:
     dist = _find(fr, cot, "Distribution") or _find(fr, "Distribution")
     if isinstance(dist, ParameterList):
         out["Coarse NumProcs"] = int(dist.get("NumProcs", 1))
+    # CoarseSolver sublist: Amesos2/KLU (exact direct) → the batched
+    # sparse-LU wavefront solve; Belos (iterative GMRES tol 1e-6) → the
+    # fixed-iteration device CG on sparse-ELL A₀ (precond/gdsw.py
+    # distributed_two_level coarse_solver)
+    cs = _find(fr, cot, "ExtensionSolver") or _find(fr, cot, "CoarseSolver") \
+        or _find(fr, "CoarseSolver")
+    if isinstance(cs, ParameterList):
+        st = str(cs.get("SolverType", "Amesos2"))
+        out["Coarse Solver"] = "iterative" if "Belos" in st else "sparse"
 
 
 def translate_problem(p: ParameterList, out: ParameterList) -> None:
