@@ -216,6 +216,7 @@ def main():
                                        dirichlet_mask=mask_d,
                                        level_combination="Additive",
                                        l1_store_dtype=jnp.bfloat16,
+                                       coarse_store_dtype=jnp.bfloat16,
                                        A_padded_op=(A_fn, A_ops))
         t_prec = time.perf_counter() - t0
         setup_s = time.perf_counter() - t_setup

@@ -328,10 +328,12 @@ class DenseBlockSchwarz:
     `store_dtype=jnp.bfloat16` halves the inverse's HBM stream (the
     dominant bytes of a Schwarz apply) with f32 accumulation on the MXU —
     measured on v5e: identical GMRES iteration counts at fixed tolerance,
-    31% faster iterations.  CAVEAT: use only for standalone fixed-tol
-    solves — inside iterative refinement the bf16-perturbed M caps the
-    per-pass contraction at ~1e-2 (measured: 2 passes → 4-5), which costs
-    more than the per-iteration win."""
+    31% faster iterations.  Inside iterative refinement the bf16-
+    perturbed M caps the per-pass contraction at ~1e-2 (measured: ONE-
+    LEVEL bf16 took 2 passes → 4-5); with a TWO-LEVEL coarse correction
+    on top the contraction stays strong enough that the per-iteration win
+    dominates (r4 bench default: bf16 level 1 + bf16 coarse, additive —
+    IR reaches 1e-8 in ~4 passes)."""
 
     def __init__(self, A: CsrMatrix, db: DenseBlockSpMV, dtype=None,
                  device_factor: Optional[bool] = None, shift: float = 0.0,

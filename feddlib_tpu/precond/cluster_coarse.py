@@ -41,9 +41,15 @@ def _round_up(x, m):
 
 class PaddedClusterCoarse:
     """GDSW coarse level re-laid out over the padded clusters of a
-    DenseBlockSpMV; apply acts on padded vectors [P*R]."""
+    DenseBlockSpMV; apply acts on padded vectors [P*R].
 
-    def __init__(self, phi: sps.csr_matrix, A0_inv, db, dtype=jnp.float32):
+    `store_dtype=jnp.bfloat16` stores Φ blocks and A₀⁻¹ in bf16 with f32
+    MXU accumulation — the coarse analog of the level-1 bf16 store
+    (measured v5e, nc=2863: 101 → 68 us/apply; the f64 outer refinement
+    absorbs the perturbation)."""
+
+    def __init__(self, phi: sps.csr_matrix, A0_inv, db, dtype=jnp.float32,
+                 store_dtype=None):
         phi = phi.tocsr()
         n, nc = phi.shape
         P, R = db.P, db.R
@@ -71,7 +77,8 @@ class PaddedClusterCoarse:
         phi_blocks = np.zeros((P, c, R), np.float64)
         phi_blocks[pcl, local_c[inv], r_loc] = sub.data
         self.c = c
-        self.phi_blocks = jnp.asarray(phi_blocks, dtype)
+        self.store_dtype = store_dtype or dtype
+        self.phi_blocks = jnp.asarray(phi_blocks, self.store_dtype)
 
         # 0/1 plan matrix S [nc, P*c]: rc = S @ q.ravel()
         pp, cc = np.nonzero(coarse_idx < nc)
@@ -81,7 +88,7 @@ class PaddedClusterCoarse:
         from feddlib_tpu.la.sell import SellMatrix
 
         self.plan = SellMatrix.from_csr(plan, dtype=dtype)
-        self.A0_inv = jnp.asarray(A0_inv, dtype)
+        self.A0_inv = jnp.asarray(A0_inv, self.store_dtype)
 
         # spread: zc gather as 128-lane row reads + one-hot lane extraction
         ncp = _round_up(nc + 1, _LANES)          # slot nc = zero pad
@@ -104,15 +111,19 @@ class PaddedClusterCoarse:
 
         def fn(ops, rp):
             phi_b, plan_ops, A0_inv, idx_rows, onehot = ops
-            q = jnp.einsum("pcr,pr->pc", phi_b, rp.reshape(P, R),
+            # low-precision stores accumulate in the VECTOR dtype on the
+            # MXU (bf16 Φ/A₀⁻¹ inputs, f32 outputs)
+            q = jnp.einsum("pcr,pr->pc", phi_b,
+                           rp.reshape(P, R).astype(phi_b.dtype),
                            preferred_element_type=rp.dtype)
             rc = plan_fn(plan_ops, q.reshape(-1))
-            zc = (A0_inv @ rc.astype(A0_inv.dtype)).astype(rp.dtype)
+            zc = jnp.einsum("ij,j->i", A0_inv, rc.astype(A0_inv.dtype),
+                            preferred_element_type=rp.dtype)
             z2 = jnp.zeros(nc_pad, zc.dtype).at[:nc].set(zc).reshape(
                 -1, _LANES)
             rows = z2[idx_rows]                     # [P, c, 128]
             zg = jnp.einsum("pcl,pcl->pc", rows, onehot.astype(zc.dtype))
-            z = jnp.einsum("pcr,pc->pr", phi_b, zg,
+            z = jnp.einsum("pcr,pc->pr", phi_b, zg.astype(phi_b.dtype),
                            preferred_element_type=rp.dtype)
             return z.reshape(-1)
 
@@ -128,7 +139,8 @@ class PaddedTwoLevelSchwarz:
                  null_space: str = "laplace", variant: str = "GDSW",
                  dirichlet_mask=None, dtype=jnp.float32,
                  dof_map=None, level_combination: str = "Multiplicative",
-                 A_padded_op=None, l1_store_dtype=None):
+                 A_padded_op=None, l1_store_dtype=None,
+                 coarse_store_dtype=None):
         """l1_store_dtype=jnp.bfloat16 halves the level-1 inverse's HBM
         stream (the dominant bytes of the whole apply) with f32 MXU
         accumulation; the f32 multiplicative coarse level compensates the
@@ -169,7 +181,8 @@ class PaddedTwoLevelSchwarz:
         t2 = _time.perf_counter()
         self.coarse = PaddedClusterCoarse(co.phi.to_scipy(),
                                           np.asarray(co.A0_inv), db,
-                                          dtype=dtype)
+                                          dtype=dtype,
+                                          store_dtype=coarse_store_dtype)
         t3 = _time.perf_counter()
         self.timings = {"level1_s": t1 - t0, "gdsw_s": t2 - t1,
                         "coarse_layout_s": t3 - t2}
