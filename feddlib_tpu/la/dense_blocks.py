@@ -399,8 +399,24 @@ class DenseBlockSchwarz:
         # triangular-solve columns).
         if device_factor:
             eye_r = jnp.eye(W, R, dtype=blocks_sq.dtype)
-            x = jnp.linalg.solve(jnp.swapaxes(blocks_sq, 1, 2), eye_r)
-            self.inv = jnp.swapaxes(x, 1, 2)  # [P, R, W]
+            # SPD subdomains (Poisson/elasticity with the Dirichlet
+            # shift): batched Cholesky — W³/3 flops and XLA's blocked
+            # MXU-friendly factorization instead of the pivoted-LU while
+            # loop.  A NaN anywhere (indefinite saddle-point block) falls
+            # back to the LU solve; symmetry is checked on the host plan.
+            self.inv = None
+            if _blocks_symmetric(A):
+                L = jnp.linalg.cholesky(blocks_sq)
+                eye_b = jnp.broadcast_to(eye_r, (P, W, R))
+                z = jax.scipy.linalg.solve_triangular(L, eye_b, lower=True)
+                x = jax.scipy.linalg.solve_triangular(
+                    jnp.swapaxes(L, 1, 2), z, lower=False)  # A⁻¹[:, :R]
+                xv = jnp.swapaxes(x, 1, 2)
+                if bool(jnp.isfinite(xv).all()):
+                    self.inv = xv  # symmetric A ⇒ rows == columns
+            if self.inv is None:
+                x = jnp.linalg.solve(jnp.swapaxes(blocks_sq, 1, 2), eye_r)
+                self.inv = jnp.swapaxes(x, 1, 2)  # [P, R, W]
         else:
             from feddlib_tpu.la.sparse_lu import _parallel_map
 
@@ -458,6 +474,18 @@ def dense_block_schwarz_op(ops, rp):
     else:
         z = _batched_gemv(inv, rs)  # [P, R]
     return z.reshape(-1)  # Restricted combine = owned rows only
+
+
+def _blocks_symmetric(A: CsrMatrix, tol: float = 1e-12) -> bool:
+    """Host check that A is (numerically) symmetric — gate for the
+    batched-Cholesky subdomain factorization."""
+    try:
+        sp = A.to_scipy().tocsr()
+        d = abs(sp - sp.T)
+        scale = max(abs(sp).max(), 1e-300)
+        return bool(d.max() <= tol * scale)
+    except Exception:
+        return False
 
 
 def _np_robust_inverse(block):

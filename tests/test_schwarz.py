@@ -307,3 +307,45 @@ def test_mixed_precision_two_level_cuts_iterations():
     it2, r2 = run(True)
     assert r1 <= 1e-8 and r2 <= 1e-8
     assert it2 < it1
+
+
+def test_dense_block_schwarz_cholesky_device_factor():
+    """The batched-Cholesky device factorization (SPD subdomains) matches
+    the host-LU owned-row inverses; a nonsymmetric matrix falls back to
+    the batched LU solve."""
+    import jax.numpy as jnp
+    from feddlib_tpu.fe import ops as fops
+    from feddlib_tpu.fe.domain import Domain
+    from feddlib_tpu.la.dense_blocks import DenseBlockSchwarz, DenseBlockSpMV
+    from feddlib_tpu.mesh.partition import partition_points
+
+    dom = Domain.structured(2, 10)
+    K = fops.assemble_laplace(dom)
+    cluster = partition_points(dom.mesh.points, 8)
+    db = DenseBlockSpMV.from_csr(K, cluster, dtype=jnp.float32)
+    host = DenseBlockSchwarz(K, db, dtype=jnp.float32, device_factor=False)
+    dev = DenseBlockSchwarz(K, db, dtype=jnp.float32, device_factor=True)
+    # device path adds a 1e-6 diagonal shift; compare applies loosely
+    rng = np.random.default_rng(0)
+    rp = jnp.asarray(rng.standard_normal(db.P * db.R), jnp.float32)
+    zh = np.asarray(host.apply_padded(rp))
+    zd = np.asarray(dev.apply_padded(rp))
+    assert np.abs(zh - zd).max() < 1e-3 * np.abs(zh).max()
+
+    # nonsymmetric: advection-dominated operator → LU fallback still exact
+    Kn = fops.assemble_laplace(dom)
+    import scipy.sparse as sps
+
+    spn = Kn.to_scipy().tolil()
+    spn[0, 1] += 0.5  # break symmetry
+    from feddlib_tpu.la.csr import CsrMatrix
+
+    Kn2 = CsrMatrix.from_scipy(spn.tocsr())
+    db2 = DenseBlockSpMV.from_csr(Kn2, cluster, dtype=jnp.float32)
+    host2 = DenseBlockSchwarz(Kn2, db2, dtype=jnp.float32,
+                              device_factor=False)
+    dev2 = DenseBlockSchwarz(Kn2, db2, dtype=jnp.float32,
+                             device_factor=True)
+    z2h = np.asarray(host2.apply_padded(rp))
+    z2d = np.asarray(dev2.apply_padded(rp))
+    assert np.abs(z2h - z2d).max() < 1e-3 * np.abs(z2h).max()
