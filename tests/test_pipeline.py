@@ -458,3 +458,98 @@ def test_problem_pipeline_blocks_match_serial(which):
                         (np.concatenate(rows_l), np.concatenate(cols_l))),
                        shape=S.shape)
     assert abs(S - D).max() < 1e-10 * max(abs(S).max(), 1.0)
+
+
+def test_unsteady_heat_distributed_device_rhs():
+    """Implicit-Euler heat equation driven END-TO-END device-resident:
+    matrix from the pipeline, the time-dependent source via
+    assemble_rhs_device(t) (zero host sync per step), distributed CG —
+    matches the serial implicit-Euler trajectory."""
+    import jax.numpy as jnp
+    from feddlib_tpu.bc import BCBuilder
+    from feddlib_tpu.fe import ops
+    from feddlib_tpu.fe.domain import Domain
+    from feddlib_tpu.mesh.partition import MeshPartition
+    from feddlib_tpu.parallel.pipeline import DistributedPipeline
+    from feddlib_tpu.parallel.solve import DistributedSolver
+    from feddlib_tpu.parallel.spmd import collect_vector, distribute_vector
+
+    dom = Domain.structured(2, 8)
+    n = dom.n_nodes
+    dt = 0.05
+
+    def f(x, t):
+        return jnp.sin(2.0 * x[0]) * jnp.cos(1.0 + 3.0 * t)
+
+    bcb = BCBuilder()
+    bcb.add_bc(lambda x, t: 0.0, 1, 0, dom, "Dirichlet", 1)
+    dmask = np.asarray(bcb.dirichlet_mask(0, n))
+
+    # serial reference
+    K = ops.assemble_laplace(dom)
+    M = ops.assemble_mass(dom)
+    A_ser = M.scale(1.0 / dt).add(K)
+    import scipy.sparse.linalg as spla
+
+    As = A_ser.to_scipy().tolil()
+    As[dmask] = 0.0
+    for i in np.flatnonzero(dmask):
+        As[i, i] = 1.0
+    As = As.tocsc()
+    Ms = M.to_scipy()
+    u_ser = np.zeros(n)
+    for k in range(3):
+        t = (k + 1) * dt
+        b = np.asarray(ops.assemble_rhs(dom, lambda x, tt=t: f(x, tt)))
+        rhs = Ms @ u_ser / dt + b
+        rhs[dmask] = 0.0
+        u_ser = spla.spsolve(As, rhs)
+
+    # distributed: pipeline matrix + device RHS program per step
+    part = MeshPartition(dom.mesh, 4)
+    pipe = DistributedPipeline(part, [(dom, 1)])
+    pipe.add_block(0, 0, "laplace")
+    pipe.add_block(0, 0, "mass", coeff=1.0 / dt)
+    pipe.add_rhs(0, f)
+    pipe.finalize()
+    dmat = pipe.assemble()
+    dmat, _ = pipe.apply_dirichlet(dmat, None, dmask)
+    solver = DistributedSolver(dmat, pipe.axis)
+
+    # mass-matrix action for the history term, via a second pipeline
+    pipeM = DistributedPipeline(part, [(dom, 1)])
+    pipeM.add_block(0, 0, "mass", coeff=1.0 / dt)
+    pipeM.finalize(pipe.axis)
+    dM = pipeM.assemble()
+
+    u = np.zeros(n)
+    m_dist, _ = pipe.dirichlet_arrays(dmask)
+    for k in range(3):
+        t = (k + 1) * dt
+        b_dev = pipe.assemble_rhs_device(t=t)  # compiled once, traced t
+        # history term (M u)/dt as a distributed SpMV
+        u_dist = distribute_vector(u, pipe.dof_map, dmat.plan.N_o)
+        b_tot = b_dev + _dist_matvec(dM, pipe, u_dist)
+        b_tot = jnp.where(m_dist > 0, 0.0, b_tot)
+        x, it, rel = solver.solve(b_tot, method="cg", tol=1e-12,
+                                  maxiter=2000)
+        u = collect_vector(x, pipe.dof_map)
+    assert np.abs(u - u_ser).max() < 1e-8 * max(np.abs(u_ser).max(), 1.0)
+
+
+def _dist_matvec(dmat, pipe, x_dist):
+    """Distributed SpMV helper (shard_map one-shot)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from feddlib_tpu.parallel.spmd import AXIS, DistributedCsr
+
+    imp = dmat.plan.importer()
+
+    def prog(xo, ed, ec, himp):
+        xo, ed, ec = xo[0], ed[0], ec[0]
+        himp = jax.tree.map(lambda a: a[0], himp)
+        return DistributedCsr.local_matvec(ed, ec, imp(xo, himp))[None]
+
+    f = jax.jit(pipe.axis.shard_map(
+        prog, (P(AXIS),) * 3 + (P(AXIS),), P(AXIS)))
+    return f(x_dist, dmat.ell_data, dmat.ell_cols, dmat.plan.import_arrays)
