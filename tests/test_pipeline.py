@@ -553,3 +553,71 @@ def _dist_matvec(dmat, pipe, x_dist):
     f = jax.jit(pipe.axis.shard_map(
         prog, (P(AXIS),) * 3 + (P(AXIS),), P(AXIS)))
     return f(x_dist, dmat.ell_data, dmat.ell_cols, dmat.plan.import_arrays)
+
+
+def test_tpm_consolidation_device_pipeline_matches_serial():
+    """TPM consolidation stepping with 'Use Device Pipeline': the Biot
+    system assembles device-resident each solve; the trajectory matches
+    the serial path."""
+    from feddlib_tpu.fe.domain import Domain
+    from feddlib_tpu.problems.tpm import TPM
+    from feddlib_tpu.utils.config import ParameterList
+
+    results = {}
+    for pipe_on in (False, True):
+        dom_p1 = Domain.structured(2, 4)
+        dom_u = dom_p1.p2_domain()
+        pl = ParameterList("P")
+        opts = {"dt": 0.05, "Preconditioner Type": "SchwarzOneLevel",
+                "Subdomains": 4, "Convergence Tolerance": 1e-10,
+                "Maximum Iterations": 3000}
+        if pipe_on:
+            opts.update({"Use Distributed Solve": True, "Devices": 4,
+                         "Use Device Pipeline": True})
+        for k, v in opts.items():
+            pl[k] = v
+        prob = TPM(dom_u, dom_p1, parameter_list=pl)
+        prob.assemble()
+        # consolidation: load on top (flag 3), drained top, clamped bottom
+        prob.add_bc(lambda x, t: jnp.zeros(2), 1, 0)
+        prob.add_bc(lambda x, t: 0.0, 3, 1)
+        prob.assemble_source(lambda x: jnp.array([0.0, -1.0]))
+        prob.advance(t_end=0.1)
+        results[pipe_on] = np.asarray(prob.solution.concat())
+    assert np.abs(results[True] - results[False]).max() < 1e-6 * max(
+        np.abs(results[False]).max(), 1.0)
+
+
+def test_hyperelastic_newton_device_pipeline_matches_serial():
+    """NonLinElasticity Newton with 'Use Device Pipeline': the consistent
+    tangent assembles device-resident from the current iterate; the
+    converged displacement matches the serial Newton."""
+    from feddlib_tpu.fe.domain import Domain
+    from feddlib_tpu.problems.nonlin_elasticity import NonLinElasticity
+    from feddlib_tpu.solvers.nonlinear import NonLinearSolver
+    from feddlib_tpu.utils.config import ParameterList
+
+    results = {}
+    for pipe_on in (False, True):
+        dom = Domain.structured(2, 4)
+        pl = ParameterList("P")
+        opts = {"E": 5.0, "Poisson Ratio": 0.3,
+                "Material Model": "Neo-Hooke",
+                "Preconditioner Type": "SchwarzOneLevel", "Subdomains": 4,
+                "Convergence Tolerance": 1e-11,
+                "Maximum Iterations": 3000,
+                "relNonLinTol": 1e-9, "MaxNonLinIts": 15}
+        if pipe_on:
+            opts.update({"Use Distributed Solve": True, "Devices": 4,
+                         "Use Device Pipeline": True})
+        for k, v in opts.items():
+            pl[k] = v
+        prob = NonLinElasticity(dom, parameter_list=pl)
+        prob.assemble()
+        prob.add_bc(lambda x, t: jnp.zeros(2), 1, 0)
+        prob.assemble_source(lambda x: jnp.array([0.0, -0.4]))
+        solver = NonLinearSolver("Newton")
+        solver.solve(prob)
+        results[pipe_on] = np.asarray(prob.solution[0])
+    assert np.abs(results[True] - results[False]).max() < 1e-6 * max(
+        np.abs(results[False]).max(), 1.0)
