@@ -489,11 +489,10 @@ def _blocks_symmetric(A: CsrMatrix, tol: float = 1e-12) -> bool:
 
 
 def _np_robust_inverse(block):
-    try:
-        return np.linalg.inv(block)
-    except np.linalg.LinAlgError:
-        scale = np.abs(block).max() or 1.0
-        return np.linalg.inv(block + 1e-10 * scale * np.eye(len(block)))
+    # shared structured fallbacks (pressure-dof pinning → shift → pinv)
+    from feddlib_tpu.precond.schwarz import _robust_inverse
+
+    return _robust_inverse(block)
 
 
 @partial(jax.jit, static_argnames=("P", "R", "G"))

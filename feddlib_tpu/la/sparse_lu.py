@@ -231,6 +231,21 @@ def _robust_splu_local(A_csc):
         return spla.splu(A_csc)
     except RuntimeError:
         scale = max(np.abs(A_csc.data).max(), 1.0) if A_csc.nnz else 1.0
+        # structured first fallback: pin one zero-diagonal (pressure) dof —
+        # the exact deflation of a saddle-point subdomain's local
+        # constant-pressure null space (see precond/schwarz._robust_inverse)
+        d = A_csc.diagonal()
+        zd = np.flatnonzero(np.abs(d) <= 1e-14 * scale)
+        if len(zd):
+            j = int(zd[0])
+            P = A_csc.tolil()
+            P[j, :] = 0.0
+            P[:, j] = 0.0
+            P[j, j] = scale
+            try:
+                return spla.splu(P.tocsc())
+            except RuntimeError:
+                pass
         eye = sps.identity(A_csc.shape[0], format="csc")
         for eps in (1e-12, 1e-10, 1e-8):
             try:

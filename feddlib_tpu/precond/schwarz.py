@@ -56,43 +56,77 @@ def grow_overlap(csr: sps.csr_matrix, seed_rows: np.ndarray,
 
 
 #: counters of regularized subdomain factorizations since process start —
-#: {"shifted": diagonal-shift fallbacks, "pinv": pseudo-inverse last
-#: resorts}.  The reference relies on KLU pivot perturbations and is silent
-#: about them; we count and WARN (round-1 review: a shifted/pseudo-inverse
-#: silently changes the preconditioner).
-ROBUST_INVERSE_STATS = {"shifted": 0, "pinv": 0}
+#: {"pinned": per-subdomain pressure-dof pins, "shifted": diagonal-shift
+#: fallbacks, "pinv": pseudo-inverse last resorts}.  The reference relies
+#: on KLU pivot perturbations and is silent about them; we count and WARN
+#: (round-1 review: a shifted/pseudo-inverse silently changes the
+#: preconditioner).
+ROBUST_INVERSE_STATS = {"pinned": 0, "shifted": 0, "pinv": 0}
 
 
 def _robust_inverse(block: np.ndarray) -> np.ndarray:
-    """Dense inverse with a regularized fallback: subdomain blocks of
-    saddle-point systems (Stokes/NS) carry a local constant-pressure null
-    space and are exactly singular — the reference's KLU factors them thanks
-    to pivot perturbations; we shift the diagonal by ~machine-eps·‖A‖
-    instead (preconditioner quality is unaffected).  Every fallback is
-    counted in ROBUST_INVERSE_STATS and reported once per call site."""
+    """Dense inverse with structured fallbacks for singular subdomain
+    blocks.  Saddle-point subdomains (Stokes/NS) carry a local
+    constant-pressure null space: interior subdomains see div u = 0 with
+    no pressure anchor, so the block is EXACTLY singular.  The reference
+    gets by on KLU pivot perturbations; here the first fallback is the
+    structured fix — PIN one zero-diagonal (pressure) dof per subdomain
+    (unit row/column), which deflates the constant-pressure mode exactly
+    and leaves every other dof's solve untouched.  Only if that still
+    fails (singularity not of pressure type) do we fall back to a
+    diagonal shift, then pseudo-inverse.  Every fallback is counted in
+    ROBUST_INVERSE_STATS and reported."""
     import warnings
 
+    scale = np.abs(block).max() or 1.0
+    zd_all = np.flatnonzero(np.abs(np.diag(block)) <= 1e-14 * scale)
     try:
-        return np.linalg.inv(block)
+        out = np.linalg.inv(block)
+        # LAPACK getri "succeeds" on numerically singular blocks with
+        # ~1/eps entries — verify before accepting, sampling the ZERO-
+        # DIAGONAL (pressure) columns where the null space lives
+        cols = zd_all[:8] if len(zd_all) else np.arange(
+            min(8, block.shape[0]))
+        err = np.abs(block @ out[:, cols]
+                     - np.eye(block.shape[0])[:, cols]).max()
+        if np.isfinite(err) and err < 1e-6:
+            return out
     except np.linalg.LinAlgError:
-        scale = np.abs(block).max() or 1.0
-        for eps in (1e-12, 1e-10, 1e-8):
-            try:
-                out = np.linalg.inv(block + eps * scale * np.eye(len(block)))
-                ROBUST_INVERSE_STATS["shifted"] += 1
-                warnings.warn(
-                    f"singular subdomain block regularized with diagonal "
-                    f"shift {eps:g}*|A| (total shifted: "
-                    f"{ROBUST_INVERSE_STATS['shifted']})", RuntimeWarning)
-                return out
-            except np.linalg.LinAlgError:
-                continue
-        ROBUST_INVERSE_STATS["pinv"] += 1
-        warnings.warn(
-            f"subdomain block pseudo-inverted (total pinv: "
-            f"{ROBUST_INVERSE_STATS['pinv']}) — preconditioner differs "
-            f"from an exact subdomain solve", RuntimeWarning)
-        return np.linalg.pinv(block)
+        pass
+    zd = zd_all
+    if len(zd):
+        pinned = block.copy()
+        j = int(zd[0])
+        pinned[j, :] = 0.0
+        pinned[:, j] = 0.0
+        pinned[j, j] = scale
+        try:
+            out = np.linalg.inv(pinned)
+            ROBUST_INVERSE_STATS["pinned"] += 1
+            warnings.warn(
+                f"singular subdomain block: pinned local pressure dof "
+                f"{j} (constant-pressure deflation; total pinned: "
+                f"{ROBUST_INVERSE_STATS['pinned']})", RuntimeWarning)
+            return out
+        except np.linalg.LinAlgError:
+            pass
+    for eps in (1e-12, 1e-10, 1e-8):
+        try:
+            out = np.linalg.inv(block + eps * scale * np.eye(len(block)))
+            ROBUST_INVERSE_STATS["shifted"] += 1
+            warnings.warn(
+                f"singular subdomain block regularized with diagonal "
+                f"shift {eps:g}*|A| (total shifted: "
+                f"{ROBUST_INVERSE_STATS['shifted']})", RuntimeWarning)
+            return out
+        except np.linalg.LinAlgError:
+            continue
+    ROBUST_INVERSE_STATS["pinv"] += 1
+    warnings.warn(
+        f"subdomain block pseudo-inverted (total pinv: "
+        f"{ROBUST_INVERSE_STATS['pinv']}) — preconditioner differs "
+        f"from an exact subdomain solve", RuntimeWarning)
+    return np.linalg.pinv(block)
 
 
 class SchwarzPreconditioner:

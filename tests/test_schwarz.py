@@ -349,3 +349,52 @@ def test_dense_block_schwarz_cholesky_device_factor():
     z2h = np.asarray(host2.apply_padded(rp))
     z2d = np.asarray(dev2.apply_padded(rp))
     assert np.abs(z2h - z2d).max() < 1e-3 * np.abs(z2h).max()
+
+
+def test_saddle_point_subdomain_pressure_pinning():
+    """_robust_inverse pins one zero-diagonal (pressure) dof — exact
+    constant-pressure deflation — before falling back to diagonal shifts.
+    (Overlap-truncated Stokes subdomain blocks are usually regularized by
+    the RAS truncation itself; the fallback covers the exactly singular
+    cases the reference hands to KLU pivot perturbation.)"""
+    import warnings
+    from feddlib_tpu.precond import schwarz as sz
+
+    # exactly singular saddle block: velocity part SPD, pressure row/col
+    # couple but the pressure "mass" diagonal is zero and the div rows are
+    # linearly dependent (constant-pressure mode)
+    rng = np.random.default_rng(0)
+    n_u, n_p = 12, 3
+    Q = rng.standard_normal((n_u, n_u))
+    Auu = Q @ Q.T + n_u * np.eye(n_u)
+    Bp = rng.standard_normal((n_p - 1, n_u))
+    B = np.vstack([Bp, -Bp.sum(axis=0)])  # rows sum to 0: B^T 1 in range
+    # make the pressure null space exact: columns of B^T annihilated by 1
+    blk = np.zeros((n_u + n_p, n_u + n_p))
+    blk[:n_u, :n_u] = Auu
+    blk[:n_u, n_u:] = B.T
+    blk[n_u:, :n_u] = B
+    ones = np.zeros(n_u + n_p)
+    ones[n_u:] = 1.0
+    assert np.abs(blk @ ones).max() < 1e-12  # exact null vector
+    before = dict(sz.ROBUST_INVERSE_STATS)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        inv = sz._robust_inverse(blk)
+    after = dict(sz.ROBUST_INVERSE_STATS)
+    assert after["pinned"] == before["pinned"] + 1
+    assert after["shifted"] == before["shifted"]
+    # pinning keeps the inverse bounded (a raw inverse of the singular
+    # block would carry ~1/eps entries) ...
+    assert np.isfinite(inv).all() and np.abs(inv).max() < 1e4
+    # ... and it is an effective preconditioner for the compatible
+    # singular system: GMRES drives the residual to zero quickly
+    import jax.numpy as jnp
+    from feddlib_tpu.solvers.krylov import gmres
+
+    b = rng.standard_normal(n_u + n_p)
+    b = b - (ones @ b / (ones @ ones)) * ones  # project off the null space
+    res = gmres(lambda x: jnp.asarray(blk) @ x, jnp.asarray(b),
+                M=lambda r: jnp.asarray(inv) @ r, tol=1e-10, maxiter=60)
+    r = blk @ np.asarray(res.x) - b
+    assert np.linalg.norm(r) < 1e-8 * np.linalg.norm(b)
