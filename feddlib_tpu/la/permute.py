@@ -133,6 +133,12 @@ _op_cache: dict = {}
 def _permute_apply(midx, mask, gwin, spill_out, spill_src, x, n_out, n_in):
     out_dtype = x.dtype
     use_pallas = _use_pallas() and jnp.dtype(out_dtype) == jnp.float32
+    # x rides VMEM-resident in the kernel (same budget as the SELL SpMV's
+    # x2d, la/sell.py: per-device vectors up to ~2M f32 entries); beyond
+    # ~3M entries fall back to the XLA path instead of failing Mosaic
+    # allocation
+    if n_in > 3_000_000:
+        use_pallas = False
     nx2 = max(_round_up(n_in, _LANES) // _LANES, 1)
     xf = x.reshape(-1)
     wdtype = jnp.float32 if use_pallas else out_dtype

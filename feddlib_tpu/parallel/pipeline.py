@@ -285,9 +285,15 @@ class DistributedPipeline:
         self.var_owner: List[int] = []
         for v in variables:
             if isinstance(v, dict):
+                owner = int(v.get("owner", 0))
+                if not (0 <= owner < base):
+                    raise ValueError(
+                        f"extra-variable owner {owner} outside the "
+                        f"matrix-owning devices [0, {base}) (free coarse "
+                        f"devices own no rows)")
                 self.variables.append((None, int(v["extra"])))
                 self.var_mesh.append(None)
-                self.var_owner.append(int(v.get("owner", 0)))
+                self.var_owner.append(owner)
             else:
                 dom, dofs = v[0], int(v[1])
                 m = int(v[2]) if len(v) > 2 else 0

@@ -717,6 +717,19 @@ def distributed_two_level(dmat, part=None, points: Optional[np.ndarray] = None,
     sel = None
     lu_dims = None
     it_steps = 0
+    if coarse_solver == "iterative":
+        # CG needs a symmetric A₀ — nonsymmetric coarse operators (NS
+        # block GDSW) silently degrade, so downgrade them to the exact
+        # sparse-LU solve
+        A0chk = coarse.A0_sparse()
+        if abs(A0chk - A0chk.T).max() > 1e-10 * max(abs(A0chk).max(),
+                                                    1e-300):
+            import warnings
+
+            warnings.warn("coarse_solver='iterative' needs symmetric A0; "
+                          "nonsymmetric coarse operator routed to the "
+                          "exact sparse-LU solve", RuntimeWarning)
+            coarse_solver = "sparse"
     if coarse_solver == "sparse":
         # exact sparse-LU wavefront solve, replicated: setup O(nnz·fill),
         # apply memory O(nnz(LU)) — no dense nc x nc anywhere

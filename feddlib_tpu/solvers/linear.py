@@ -564,9 +564,16 @@ class LinearSolver:
                               and bool(params.get("Use Device Pipeline",
                                                   False))) else None)
         def _hashable(v):
-            # per-element data arrays key by identity (plan constants)
-            return (("ndarray", id(v)) if isinstance(v, np.ndarray)
-                    else (tuple(v) if isinstance(v, (list, tuple)) else v))
+            # per-element data arrays key by CONTENT (id() would both
+            # defeat the cache for freshly-built arrays and alias freed
+            # addresses onto stale pipelines)
+            if isinstance(v, np.ndarray):
+                import hashlib
+
+                return ("ndarray", v.shape,
+                        hashlib.sha1(np.ascontiguousarray(v).tobytes())
+                        .hexdigest())
+            return tuple(v) if isinstance(v, (list, tuple)) else v
 
         pkey = None if pblocks is None else tuple(
             (i, j, kind, tuple(sorted((k, _hashable(v))

@@ -98,8 +98,9 @@ def translate_prec(p: ParameterList, out: ParameterList) -> None:
     # sparse-LU wavefront solve; Belos (iterative GMRES tol 1e-6) → the
     # fixed-iteration device CG on sparse-ELL A₀ (precond/gdsw.py
     # distributed_two_level coarse_solver)
-    cs = _find(fr, cot, "ExtensionSolver") or _find(fr, cot, "CoarseSolver") \
-        or _find(fr, "CoarseSolver")
+    # (the ExtensionSolver sublist configures the interior harmonic-
+    # extension solve of Φ, NOT the coarse solve — do not read it here)
+    cs = _find(fr, cot, "CoarseSolver") or _find(fr, "CoarseSolver")
     if isinstance(cs, ParameterList):
         st = str(cs.get("SolverType", "Amesos2"))
         out["Coarse Solver"] = "iterative" if "Belos" in st else "sparse"
