@@ -30,13 +30,13 @@ def reference_mesh(name: str) -> str:
 # ---- slow-suite wall-clock budget ------------------------------------------
 # The `slow` benchmark tests are genuinely long (the DFG3D north star ran
 # >15 min on a judged checkout).  Goldens only help if they actually run:
-# each slow test gets FEDD_SLOW_BUDGET_S seconds (default 20 min); on
+# each slow test gets FEDD_SLOW_BUDGET_S seconds (default 40 min); on
 # exceeding it the test SKIPS with a message instead of wedging the suite.
 import signal  # noqa: E402
 
 import pytest  # noqa: E402
 
-SLOW_BUDGET_S = int(float(os.environ.get("FEDD_SLOW_BUDGET_S", "1200")))
+SLOW_BUDGET_S = int(float(os.environ.get("FEDD_SLOW_BUDGET_S", "2400")))
 
 
 @pytest.hookimpl(hookwrapper=True)
