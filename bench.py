@@ -99,7 +99,9 @@ def main():
     nnz_h = Khb.nnz
     note(f"headline operator n={dom_h.n_nodes} nnz={nnz_h}")
 
-    def time_chain(fn, opnds, nx, lo, hi):
+    compile_s = {}
+
+    def time_chain(fn, opnds, nx, lo, hi, label=None):
         @jax.jit
         def chain(opnds, x0, steps):
             def body(i, xx):
@@ -109,8 +111,11 @@ def main():
             return lax.fori_loop(0, steps, body, x0)
 
         x0 = jnp.ones(nx, jnp.float32)  # nx: int or shape tuple
+        t0 = time.perf_counter()
         r = chain(opnds, x0, 2)
         _ = float(jnp.asarray(r).ravel()[0])  # compile + sync
+        if label:  # compile time reported separately — it contaminates
+            compile_s[label] = round(time.perf_counter() - t0, 2)
         # wide loop-length difference: the axon tunnel adds ~ms fetch
         # jitter, so the extra applies must dominate it
 
@@ -137,7 +142,7 @@ def main():
          + (f" n_offsets={len(Ah.offsets)}" if hasattr(Ah, "offsets") else ""))
     fn_h, ops_h = Ah.operator()
     dt = time_chain(fn_h, ops_h, dom_h.n_nodes,
-                    *((5, 1205) if on_tpu else (2, 30)))
+                    *((5, 1205) if on_tpu else (2, 30)), label="headline")
     nnz_per_s = nnz_h / dt
     vs = nnz_per_s / sol_nnz_per_s
     note(f"{fmt} spmv {dt*1e3:.3f} ms = {nnz_per_s/1e9:.2f} Gnnz/s "
@@ -233,7 +238,7 @@ def main():
             return M_fn(m_ops, A_fn(a_ops, x))
 
         dt_ma = time_chain(ma_fn, (A_ops, M_ops), db32.P * db32.R,
-                           *((5, 105) if on_tpu else (2, 6)))
+                           *((5, 105) if on_tpu else (2, 6)), label="chain")
         ma_nnz_per_s = nnz / dt_ma
         note(f"SpMV+two-level-Schwarz apply {dt_ma*1e3:.3f} ms = "
              f"{ma_nnz_per_s/1e9:.2f} Gnnz/s effective "
@@ -358,6 +363,7 @@ def main():
     else:
         extra["skipped"].append("assembly")
 
+    extra["compile_s"] = compile_s
     print(json.dumps({
         "metric": "spmv_nnz_per_s_f32_auto",
         "value": round(nnz_per_s),
