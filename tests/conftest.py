@@ -32,6 +32,11 @@ def reference_mesh(name: str) -> str:
 # >15 min on a judged checkout).  Goldens only help if they actually run:
 # each slow test gets FEDD_SLOW_BUDGET_S seconds (default 40 min); on
 # exceeding it the test SKIPS with a message instead of wedging the suite.
+# LIMITATION: SIGALRM fires only when control returns to Python — a whole
+# GMRES solve is ONE XLA while_loop call, so a test wedged inside a single
+# long solve skips only after that call returns.  For a hard cap, run the
+# slow suite under `timeout` per test (pytest -m slow --deselect ... or
+# one nodeid per invocation).
 import signal  # noqa: E402
 
 import pytest  # noqa: E402
