@@ -493,28 +493,63 @@ class DistributedPipeline:
                 spos += Eq * w
         self.seg_ids = jnp.asarray(seg_stacked.astype(np.int32))
 
-        # ------- recv plans: owner p gathers from q's send buffers ----------
-        recv_src, recv_dst = [], []
-        for p in range(n_dev):
-            src_l, dst_l = [], []
-            for q in range(n_dev):
-                if q == p:
+        # ------- contribution exchange: NEIGHBOR-WISE ppermute rounds -------
+        # (round 3 used one all_gather of the [n_dev, S] send buffers —
+        # O(n_dev·S) per device per reassembly; like the SpMV halo, the
+        # partition neighbor graph is edge-colored and each color moves
+        # only that pair's contributions, O(local cut) per Newton step)
+        pair_pos = {}
+        for q in range(n_dev):
+            sk = send_keys[q]
+            if not len(sk):
+                continue
+            ko = owner[sk // n_total]
+            for p in np.unique(ko):
+                if p == q:
                     continue
-                sk = send_keys[q]
-                if not len(sk):
+                sel = np.flatnonzero(ko == p)
+                dst = np.searchsorted(loc_patterns[p], sk[sel])
+                pair_pos[(int(q), int(p))] = (sel, dst)
+        edges = sorted({tuple(sorted(e)) for e in pair_pos})
+        color_of = {}
+        used = [set() for _ in range(n_dev)]
+        for e in edges:
+            c = 0
+            while c in used[e[0]] or c in used[e[1]]:
+                c += 1
+            color_of[e] = c
+            used[e[0]].add(c)
+            used[e[1]].add(c)
+        n_rounds = 1 + max(color_of.values()) if color_of else 0
+        self._xc_meta = []        # [(perm, W_r)] static, closed over
+        self._xc_sidx = []        # per round [n_dev, W_r] send positions
+        self._xc_rdst = []        # per round [n_dev, W_r] local slots (pad L)
+        for r in range(n_rounds):
+            perm = []
+            members = {}
+            W = 1
+            for e, c in color_of.items():
+                if c != r:
                     continue
-                sel = np.nonzero(owner[sk // n_total] == p)[0]
-                src_l.append(q * self.S + sel)
-                dst_l.append(np.searchsorted(loc_patterns[p], sk[sel]))
-            recv_src.append(np.concatenate(src_l) if src_l
-                            else np.zeros(0, np.int64))
-            recv_dst.append(np.concatenate(dst_l) if dst_l
-                            else np.zeros(0, np.int64))
-        self.Rx = max(max((len(s) for s in recv_src), default=0), 1)
-        self.recv_src = jnp.asarray(_pad_stack(recv_src, 0, self.Rx, np.int64)
-                                    .astype(np.int32))
-        self.recv_dst = jnp.asarray(_pad_stack(recv_dst, self.L, self.Rx,
-                                               np.int64).astype(np.int32))
+                a, bdev = e
+                perm += [(a, bdev), (bdev, a)]
+                members[a] = bdev
+                members[bdev] = a
+                W = max(W,
+                        len(pair_pos.get((a, bdev), ((), ()))[0]),
+                        len(pair_pos.get((bdev, a), ((), ()))[0]))
+            sidx = np.zeros((n_dev, W), np.int64)
+            rdst = np.full((n_dev, W), self.L, np.int64)
+            for q, p in members.items():
+                snd = pair_pos.get((q, p))
+                if snd is not None:
+                    sidx[q, : len(snd[0])] = snd[0]
+                rcv = pair_pos.get((p, q))
+                if rcv is not None:
+                    rdst[q, : len(rcv[1])] = rcv[1]
+            self._xc_meta.append((perm, W))
+            self._xc_sidx.append(jnp.asarray(sidx.astype(np.int32)))
+            self._xc_rdst.append(jnp.asarray(rdst.astype(np.int32)))
 
         # ------- ELL layout + halo plan --------------------------------------
         N_o = self.dof_map.max_local_size
@@ -663,7 +698,7 @@ class DistributedPipeline:
         """Build (once) the jitted shard_map assembly program."""
         if self._asm_fn is not None:
             return self._asm_fn
-        L, S, Rx, K, N_o = self.L, self.S, self.Rx, self.K, self.N_o
+        L, S, K, N_o = self.L, self.S, self.K, self.N_o
         n_mesh = self._n_meshes()
         evals = []
         for blk in self.blocks:
@@ -681,9 +716,13 @@ class DistributedPipeline:
         fplans = [self.field_plans[b] for b in field_ids]
         importers = [fp["plan"].importer() for fp in fplans]
 
-        def prog(seg, rsrc, rdst, ell_src, cvals, x, *rest):
+        xc_meta = self._xc_meta
+
+        def prog(seg, xc_sidx, xc_rdst, ell_src, cvals, x, *rest):
             seg = seg[0]
-            rsrc, rdst, ell_src = rsrc[0], rdst[0], ell_src[0]
+            xc_sidx = jax.tree.map(lambda a: a[0], xc_sidx)
+            xc_rdst = jax.tree.map(lambda a: a[0], xc_rdst)
+            ell_src = ell_src[0]
             cvals = cvals[0]
             x = x[0]
             pos = 0
@@ -729,10 +768,14 @@ class DistributedPipeline:
             flat = jnp.concatenate(vals)
             acc = jax.ops.segment_sum(flat, seg, num_segments=L + S + 1)
             local, send = acc[:L], acc[L: L + S]
-            buf = lax.all_gather(send, AXIS)  # [n_dev, S] (one-shot, setup)
-            add = jax.ops.segment_sum(buf.reshape(-1)[rsrc], rdst,
-                                      num_segments=L + 1)[:L]
-            data = jnp.concatenate([local + add + cvals,
+            # neighbor-wise exchange: one ppermute per edge color, each
+            # moving only that pair's contributions (O(local cut))
+            add = jnp.zeros(L + 1, local.dtype)
+            for (perm, _W), si, rd in zip(xc_meta, xc_sidx, xc_rdst):
+                got = lax.ppermute(send[si], AXIS, perm)
+                add = add + jax.ops.segment_sum(got, rd,
+                                                num_segments=L + 1)
+            data = jnp.concatenate([local + add[:L] + cvals,
                                     jnp.zeros(1, local.dtype)])
             return data[ell_src.reshape(-1)].reshape(K, N_o)[None]
 
@@ -774,8 +817,9 @@ class DistributedPipeline:
             fp = self.field_plans[b]
             rest += [fp["pos"], fp["mask"], fp["elem_idx"],
                      fp["plan"].import_arrays]
-        ell_data = f(self.seg_ids, self.recv_src, self.recv_dst,
-                     self.ell_src, self.const_vals, x, *rest)
+        ell_data = f(self.seg_ids, tuple(self._xc_sidx),
+                     tuple(self._xc_rdst), self.ell_src, self.const_vals,
+                     x, *rest)
         return DistributedCsr.from_parts(self.dof_map, self.col_gids,
                                          self.ell_cols, ell_data, self.K,
                                          plan=self.plan,
