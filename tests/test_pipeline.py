@@ -621,3 +621,22 @@ def test_hyperelastic_newton_device_pipeline_matches_serial():
         results[pipe_on] = np.asarray(prob.solution[0])
     assert np.abs(results[True] - results[False]).max() < 1e-6 * max(
         np.abs(results[False]).max(), 1.0)
+
+
+def test_pipeline_exchange_volume_is_local_cut():
+    """The contribution exchange moves O(local cut) per device (ppermute
+    rounds), not O(n_dev * S): total per-round volume stays well below the
+    all_gather's n_dev * S."""
+    dom = Domain.structured(2, 16)
+    part = MeshPartition(dom.mesh, 8)
+    pipe = DistributedPipeline(part, [(dom, 1)])
+    pipe.add_block(0, 0, "laplace")
+    pipe.finalize(DeviceAxis.make(8))
+    assert len(pipe._xc_meta) >= 1
+    pp_total = sum(w for _, w in pipe._xc_meta)
+    allgather_vol = 8 * pipe.S
+    assert pp_total * 3 < allgather_vol, (pp_total, allgather_vol)
+    # every send position is within the send buffer, dsts within [0, L]
+    for si, rd in zip(pipe._xc_sidx, pipe._xc_rdst):
+        assert int(np.asarray(si).max()) < pipe.S
+        assert int(np.asarray(rd).max()) <= pipe.L
