@@ -126,6 +126,66 @@ class _CooBlockDef:
     vals: np.ndarray   # [n_entries]
 
 
+
+def _exchange_rounds(send_keys, key_owner, dst_of, n_dev, pad_dst):
+    """Edge-color the contribution-exchange neighbor graph into ppermute
+    rounds (the SpMV-halo scheme applied to assembly sends).
+
+    send_keys[q]: sorted unique keys device q must ship; key_owner(keys) →
+    owning device per key; dst_of(p, keys) → destination local slots on p.
+    Returns (meta [(perm, W)], sidx [rounds][n_dev, W], rdst [...])."""
+    pair_pos = {}
+    for q in range(n_dev):
+        sk = send_keys[q]
+        if not len(sk):
+            continue
+        ko = key_owner(sk)
+        for p in np.unique(ko):
+            if p == q:
+                continue
+            sel = np.flatnonzero(ko == p)
+            pair_pos[(int(q), int(p))] = (sel, dst_of(int(p), sk[sel]))
+    edges = sorted({tuple(sorted(e)) for e in pair_pos})
+    color_of = {}
+    used = [set() for _ in range(n_dev)]
+    for e in edges:
+        c = 0
+        while c in used[e[0]] or c in used[e[1]]:
+            c += 1
+        color_of[e] = c
+        used[e[0]].add(c)
+        used[e[1]].add(c)
+    n_rounds = 1 + max(color_of.values()) if color_of else 0
+    meta, sidx_l, rdst_l = [], [], []
+    for r in range(n_rounds):
+        perm = []
+        members = {}
+        W = 1
+        for e, c in color_of.items():
+            if c != r:
+                continue
+            a, b = e
+            perm += [(a, b), (b, a)]
+            members[a] = b
+            members[b] = a
+            W = max(W,
+                    len(pair_pos.get((a, b), ((), ()))[0]),
+                    len(pair_pos.get((b, a), ((), ()))[0]))
+        sidx = np.zeros((n_dev, W), np.int64)
+        rdst = np.full((n_dev, W), pad_dst, np.int64)
+        for q, p in members.items():
+            snd = pair_pos.get((q, p))
+            if snd is not None:
+                sidx[q, : len(snd[0])] = snd[0]
+            rcv = pair_pos.get((p, q))
+            if rcv is not None:
+                rdst[q, : len(rcv[1])] = rcv[1]
+        meta.append((perm, W))
+        sidx_l.append(jnp.asarray(sidx.astype(np.int32)))
+        rdst_l.append(jnp.asarray(rdst.astype(np.int32)))
+    return meta, sidx_l, rdst_l
+
+
 def _block_eval(kind: str, dim: int, fe_r: str, fe_c: str, params: dict):
     """Returns fn(vc[, u_elem]) → [E, nr, nc] element matrices, flattened
     COO order (element, test, trial) row-major — matching the serial
@@ -498,58 +558,10 @@ class DistributedPipeline:
         # O(n_dev·S) per device per reassembly; like the SpMV halo, the
         # partition neighbor graph is edge-colored and each color moves
         # only that pair's contributions, O(local cut) per Newton step)
-        pair_pos = {}
-        for q in range(n_dev):
-            sk = send_keys[q]
-            if not len(sk):
-                continue
-            ko = owner[sk // n_total]
-            for p in np.unique(ko):
-                if p == q:
-                    continue
-                sel = np.flatnonzero(ko == p)
-                dst = np.searchsorted(loc_patterns[p], sk[sel])
-                pair_pos[(int(q), int(p))] = (sel, dst)
-        edges = sorted({tuple(sorted(e)) for e in pair_pos})
-        color_of = {}
-        used = [set() for _ in range(n_dev)]
-        for e in edges:
-            c = 0
-            while c in used[e[0]] or c in used[e[1]]:
-                c += 1
-            color_of[e] = c
-            used[e[0]].add(c)
-            used[e[1]].add(c)
-        n_rounds = 1 + max(color_of.values()) if color_of else 0
-        self._xc_meta = []        # [(perm, W_r)] static, closed over
-        self._xc_sidx = []        # per round [n_dev, W_r] send positions
-        self._xc_rdst = []        # per round [n_dev, W_r] local slots (pad L)
-        for r in range(n_rounds):
-            perm = []
-            members = {}
-            W = 1
-            for e, c in color_of.items():
-                if c != r:
-                    continue
-                a, bdev = e
-                perm += [(a, bdev), (bdev, a)]
-                members[a] = bdev
-                members[bdev] = a
-                W = max(W,
-                        len(pair_pos.get((a, bdev), ((), ()))[0]),
-                        len(pair_pos.get((bdev, a), ((), ()))[0]))
-            sidx = np.zeros((n_dev, W), np.int64)
-            rdst = np.full((n_dev, W), self.L, np.int64)
-            for q, p in members.items():
-                snd = pair_pos.get((q, p))
-                if snd is not None:
-                    sidx[q, : len(snd[0])] = snd[0]
-                rcv = pair_pos.get((p, q))
-                if rcv is not None:
-                    rdst[q, : len(rcv[1])] = rcv[1]
-            self._xc_meta.append((perm, W))
-            self._xc_sidx.append(jnp.asarray(sidx.astype(np.int32)))
-            self._xc_rdst.append(jnp.asarray(rdst.astype(np.int32)))
+        self._xc_meta, self._xc_sidx, self._xc_rdst = _exchange_rounds(
+            send_keys, lambda sk: owner[sk // n_total],
+            lambda p, sk: np.searchsorted(loc_patterns[p], sk),
+            n_dev, self.L)
 
         # ------- ELL layout + halo plan --------------------------------------
         N_o = self.dof_map.max_local_size
@@ -975,29 +987,17 @@ class DistributedPipeline:
         seg_stacked = _pad_stack(
             [np.where(s >= N_o, np.minimum(s, N_o + S_r), s) for s in segs],
             N_o + S_r, dtype=np.int64)
-        # recv: owner gathers remote contributions
-        recv_src, recv_dst = [], []
-        for p in range(n_dev):
-            owned = self.dof_map.partition_indices[p]
-            src_l, dst_l = [], []
-            for q in range(n_dev):
-                if q == p or not len(send_keys[q]):
-                    continue
-                mine = np.flatnonzero(owner[send_keys[q]] == p)
-                src_l.append(q * S_r + mine)
-                dst_l.append(np.searchsorted(owned, send_keys[q][mine]))
-            recv_src.append(np.concatenate(src_l) if src_l
-                            else np.zeros(0, np.int64))
-            recv_dst.append(np.concatenate(dst_l) if dst_l
-                            else np.zeros(0, np.int64))
-        Rr = max(max((len(s) for s in recv_src), default=0), 1)
+        # recv: neighbor-wise ppermute rounds (same scheme as the matrix
+        # exchange — the RHS reassembles every time step)
+        owned_lists = self.dof_map.partition_indices
+        r_meta, r_sidx, r_rdst = _exchange_rounds(
+            send_keys, lambda sk: owner[sk],
+            lambda p, sk: np.searchsorted(owned_lists[p], sk),
+            n_dev, N_o)
         meta = dict(
             geo=geo,
             seg=jnp.asarray(seg_stacked.astype(np.int32)),
-            rsrc=jnp.asarray(_pad_stack(recv_src, 0, Rr,
-                                        np.int64).astype(np.int32)),
-            rdst=jnp.asarray(_pad_stack(recv_dst, N_o, Rr,
-                                        np.int64).astype(np.int32)),
+            xc_meta=r_meta, xc_sidx=tuple(r_sidx), xc_rdst=tuple(r_rdst),
             S_r=S_r)
         self._rhs_meta = meta
         return meta
@@ -1015,8 +1015,12 @@ class DistributedPipeline:
                         for (b, fn, flag), (_, _, dofs)
                         in zip(defs, meta["geo"])]
 
-            def prog(t, seg, rsrc, rdst, *geo_arrs):
-                seg, rsrc, rdst = seg[0], rsrc[0], rdst[0]
+            xc_meta = meta["xc_meta"]
+
+            def prog(t, seg, xc_sidx, xc_rdst, *geo_arrs):
+                seg = seg[0]
+                xc_sidx = jax.tree.map(lambda a: a[0], xc_sidx)
+                xc_rdst = jax.tree.map(lambda a: a[0], xc_rdst)
                 flats = []
                 for (dim_b, fe_b, dofs, fn, flag), i in zip(
                         geo_meta, range(len(geo_meta))):
@@ -1034,10 +1038,12 @@ class DistributedPipeline:
                 acc = jax.ops.segment_sum(flat, seg,
                                           num_segments=N_o + S_r + 1)
                 local, send = acc[:N_o], acc[N_o:N_o + S_r]
-                buf = lax.all_gather(send, AXIS)
-                add = jax.ops.segment_sum(buf.reshape(-1)[rsrc], rdst,
-                                          num_segments=N_o + 1)[:N_o]
-                return (local + add)[None]
+                add = jnp.zeros(N_o + 1, local.dtype)
+                for (perm, _W), si, rd in zip(xc_meta, xc_sidx, xc_rdst):
+                    got = lax.ppermute(send[si], AXIS, perm)
+                    add = add + jax.ops.segment_sum(
+                        got, rd, num_segments=N_o + 1)
+                return (local + add[:N_o])[None]
 
             n_geo = 2 * len(defs)
             in_specs = tuple([P()] + [P(AXIS)] * (3 + n_geo))
@@ -1047,7 +1053,7 @@ class DistributedPipeline:
         for vc, valid, _ in meta["geo"]:
             geo_arrs += [vc, valid]
         return self._rhs_fn(jnp.asarray(float(t)), meta["seg"],
-                            meta["rsrc"], meta["rdst"], *geo_arrs)
+                            meta["xc_sidx"], meta["xc_rdst"], *geo_arrs)
 
     # -- boundary conditions -----------------------------------------------------
     def dirichlet_arrays(self, mask_global: np.ndarray,
