@@ -640,3 +640,46 @@ def test_pipeline_exchange_volume_is_local_cut():
     for si, rd in zip(pipe._xc_sidx, pipe._xc_rdst):
         assert int(np.asarray(si).max()) < pipe.S
         assert int(np.asarray(rd).max()) <= pipe.L
+
+
+def test_vert_coords_override_moved_mesh():
+    """assemble(vert_coords={0: ...}) assembles on MOVED coordinates
+    without rebuilding any plan — the ALE path: matches the serial
+    assembly on the moved mesh."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from feddlib_tpu.parallel.spmd import AXIS
+
+    dom = Domain.structured(2, 8)
+    part = MeshPartition(dom.mesh, 4)
+    pipe = DistributedPipeline(part, [(dom, 1)])
+    pipe.add_block(0, 0, "laplace")
+    pipe.finalize(DeviceAxis.make(4))
+
+    # move: smooth interior perturbation (boundary fixed)
+    pts = dom.mesh.points
+    disp = 0.03 * np.stack([np.sin(np.pi * pts[:, 0]) *
+                            np.sin(np.pi * pts[:, 1])] * 2, axis=1)
+    moved = pts + disp
+
+    # serial oracle on a moved copy
+    from feddlib_tpu.mesh.structured import build_structured_mesh
+
+    mesh2 = build_structured_mesh(2, 8)
+    mesh2.points = moved.copy()
+    K_ref = ops.assemble_laplace(Domain(mesh2))
+
+    # distributed: shard the moved coordinates into the pipeline layout
+    nv = dom.mesh.vertices_per_element
+    vc = np.zeros((pipe.n_dev, pipe.E_max_m[0], nv, 2))
+    for q in range(pipe.n_dev):
+        eids = part.elem_ids[q]
+        vc[q, : len(eids)] = moved[dom.mesh.elements[eids][:, :nv]]
+        vc[q, len(eids):] = moved[dom.mesh.elements[0][:nv]]
+    dmat = pipe.assemble(vert_coords={0: jnp.asarray(vc)})
+
+    rng = np.random.default_rng(0)
+    xg = rng.standard_normal(dom.n_nodes)
+    y = _matvec_dist(dmat, pipe, xg)
+    y_ref = np.asarray(K_ref.matvec(jnp.asarray(xg)))
+    np.testing.assert_allclose(y, y_ref, rtol=1e-11, atol=1e-11)
