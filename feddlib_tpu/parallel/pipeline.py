@@ -837,6 +837,24 @@ class DistributedPipeline:
                                          plan=self.plan,
                                          row_lens=self.row_lens)
 
+    def mesh_vert_coords(self, m: int, points: np.ndarray) -> jnp.ndarray:
+        """[n_dev, E_max_m, nv, dim] vertex-coordinate array for mesh m
+        from an overriding point set (moved/ALE meshes; Mesh::moveMesh,
+        Mesh_decl.hpp:116) — feed to assemble(vert_coords={m: ...}).  The
+        symbolic plans are coordinate-independent, so no rebuild."""
+        mp, _, _ = self._mesh_part(m)
+        msh = mp.mesh
+        nv = msh.vertices_per_element
+        pts = np.asarray(points)
+        vc = np.zeros((self.n_dev, self.E_max_m[m], nv, msh.dim))
+        for q in range(self.n_dev):
+            eids = self._eids(q, m)
+            Eq = len(eids)
+            if Eq:
+                vc[q, :Eq] = pts[msh.elements[eids][:, :nv]]
+            vc[q, Eq:] = pts[msh.elements[0][:nv]]
+        return jnp.asarray(vc)
+
     # -- RHS -------------------------------------------------------------------
     def assemble_rhs(self, sources: Dict[int, Callable]) -> jnp.ndarray:
         """Volume sources per block → merged distributed RHS [n_dev, N_o].

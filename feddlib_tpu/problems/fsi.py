@@ -294,6 +294,77 @@ class FSI(NonLinearProblem):
                             else np.zeros(int(pipe.offsets[-1])))
         return pipe.assemble(x=x, ext_fields=ext)
 
+    # -- pipeline-driven distributed Newton machinery (GE) --------------------
+    def _ensure_pipeline(self, n_dev: int, solid_devices: Optional[int]):
+        """Build/cache the multi-mesh pipeline for the distributed time
+        loop (plans are coordinate-independent — one build serves every
+        mesh move; only dt changes force a rebuild since −1/dt couplings
+        are plan constants)."""
+        key = (n_dev, solid_devices, self.dt)
+        cache = getattr(self, "_pipe_ge", None)
+        if cache is None or cache["key"] != key:
+            pipe = self.build_pipeline(n_dev, solid_devices=solid_devices)
+            cache = {"key": key, "pipe": pipe, "prec": None, "solver": None,
+                     "locator": None}
+            self._pipe_ge = cache
+        return cache
+
+    def _dist_reassemble(self, cache, w: jnp.ndarray) -> None:
+        """Device-resident GE Jacobian at the current Newton iterate and
+        moved (ALE) fluid mesh — the serial merged system is never formed
+        (the reference's per-step reassembly + Export, FE_def.hpp:637-665;
+        FaCSI initializePrec per Newton step, Preconditioner_def.hpp:789)."""
+        from feddlib_tpu.parallel.solve import DistributedSolver
+        from feddlib_tpu.precond.facsi import distributed_facsi
+
+        pipe = cache["pipe"]
+        dom_u = self.variables[0][0]
+        u = np.asarray(self.solution[0])
+        w_np = np.asarray(w)
+        ext = {"adv": pipe.distribute_field(0, u - w_np),
+               "w": pipe.distribute_field(0, w_np)}
+        x = pipe.distribute(np.asarray(self.solution.concat()))
+        vc = pipe.mesh_vert_coords(0, dom_u.mesh.points)
+        dmat = pipe.assemble(x=x, ext_fields=ext, vert_coords={0: vc})
+        dmask = self.merged_dirichlet_mask()
+        dmat, _ = pipe.apply_dirichlet(dmat, None, dmask)
+        if cache["locator"] is None:
+            cache["locator"] = dmat.locator()
+        else:  # symbolic pattern is plan-static — reuse across reassemblies
+            dmat._locator = cache["locator"]
+        pl = self.parameter_list
+        reuse = bool(pl.get("Reuse Preconditioner", False))
+        if cache["prec"] is None:
+            build, arrs = distributed_facsi(
+                dmat, pipe.offsets, self._uf_cols, self._ds_cols,
+                self._iface_rows, self.dt,
+                overlap=int(pl.get("Overlap", 1)))
+            cache["prec"] = (build, arrs)
+        elif not reuse:
+            build, _ = cache["prec"]
+            cache["prec"] = (build, build.refresh(dmat))
+        if cache["solver"] is None:
+            cache["solver"] = DistributedSolver(dmat, pipe.axis)
+        else:
+            cache["solver"].dmat = dmat  # fresh values, identical plans
+
+    def _fsi_dist_solve(self, b):
+        """The `_distributed_solve_hook` for Newton's linear solve: J δ = b
+        through the shard_map GMRES with distributed FaCSI."""
+        cache = self._pipe_ge
+        pipe = cache["pipe"]
+        pl = self.parameter_list
+        tol = float(pl.get("Convergence Tolerance", 1e-8))
+        maxiter = int(pl.get("Maximum Iterations", 1000))
+        restart = int(pl.get("Num Blocks", 200))
+        b_dist = pipe.distribute(np.asarray(b.concat()))
+        x, iters, rel = cache["solver"].solve(
+            b_dist, method="gmres", tol=tol, maxiter=maxiter,
+            restart=restart, precond=cache["prec"])
+        self.last_relres = rel
+        xg = pipe.collect(x)
+        return BlockVector.split(jnp.asarray(xg), self.block_sizes()), iters
+
     # -- time loop (GE; reference advanceInTimeFSI) --------------------------
     def advance(self, t_end: float, source_f: Optional[Callable] = None,
                 observer: Optional[Callable] = None,
@@ -310,6 +381,21 @@ class FSI(NonLinearProblem):
         solver = NonLinearSolver(newton_method)
         if self.g_prev is None:
             self.g_prev = np.zeros((dom_u.n_nodes, dim))
+        # distributed mode: every Newton Jacobian assembles device-resident
+        # through the multi-mesh pipeline and solves with distributed FaCSI
+        pl = self.parameter_list
+        dist_cache = None
+        if bool(pl.get("Use Distributed Solve", False)):
+            import jax as _jax
+
+            if newton_method != "Newton":
+                raise ValueError("the distributed FSI pipeline registers "
+                                 "the Newton linearisation W(u); use "
+                                 "newton_method='Newton'")
+            n_dev = int(pl.get("Devices", len(_jax.devices())))
+            sdev = pl.get("Solid Devices", None)
+            dist_cache = self._ensure_pipeline(
+                n_dev, None if sdev is None else int(sdev))
 
         while t < t_end - 1e-12:
             t_new = t + dt
@@ -372,16 +458,22 @@ class FSI(NonLinearProblem):
                     r, prob.solution, tt)
 
             def reassemble(mode="Newton"):
-                prob._build_system(mode, w, 1.0 / dt, newmark_m, P=Pmat)
+                if dist_cache is not None:
+                    prob._dist_reassemble(dist_cache, w)
+                else:
+                    prob._build_system(mode, w, 1.0 / dt, newmark_m, P=Pmat)
 
             base_res, base_rea = self.calculate_residual, self.reassemble
             self.calculate_residual = residual
             self.reassemble = reassemble
+            if dist_cache is not None:
+                self._distributed_solve_hook = self._fsi_dist_solve
             try:
                 solver.solve(self, t_new)
             finally:
                 self.calculate_residual = base_res
                 self.reassemble = base_rea
+                self._distributed_solve_hook = None
 
             # 4) Newmark updates
             d_new = self.solution[2]

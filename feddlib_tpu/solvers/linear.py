@@ -251,6 +251,13 @@ class LinearSolver:
             "IterationDetails" in str(params.get("Verbosity", ""))
         out_freq = int(params.get("Output Frequency", 10))
 
+        # problem-owned distributed path (e.g. FSI's multi-mesh pipeline —
+        # the merged global matrix is never formed; the hook assembles and
+        # solves device-resident and returns the split solution)
+        hook = getattr(problem, "_distributed_solve_hook", None)
+        if hook is not None:
+            return hook(b)
+
         system = problem.bc_system()
         if len(problem.variables) == 1:
             A = system.get_block(0, 0)

@@ -72,6 +72,93 @@ def test_fsi_pipeline_matches_serial_jacobian(material):
     assert diff.max() / denom < 1e-10, f"max diff {diff.max()}"
 
 
+def test_fsi_pipeline_distributed_facsi():
+    """Distributed FaCSI (per-field subdomain solves + interface
+    condensation inside one shard_map apply) preconditions the multi-mesh
+    GE system: large iteration reduction vs unpreconditioned GMRES and a
+    true-residual-correct solution (reference PrecOpFaCSI_decl.hpp:27)."""
+    from feddlib_tpu.parallel.solve import DistributedSolver
+    from feddlib_tpu.parallel.spmd import collect_vector, distribute_vector
+    from feddlib_tpu.precond.facsi import distributed_facsi
+
+    dom_u, dom_p, dom_d = _two_box_domains(n=3)
+    pl = ParameterList({"dt": 0.02, "Viscosity": 0.5, "Density Fluid": 1.0,
+                        "Density Solid": 1.0, "E": 5.0})
+    prob = FSI(dom_u, dom_p, dom_d, [IFACE], parameter_list=pl)
+    prob.assemble()
+    prob.init_vectors()
+    beta0_dt = 1.0 / prob.dt
+    newmark_m = 1.0 / (prob.newmark_beta * prob.dt * prob.dt)
+    prob._build_system("Newton", jnp.zeros(dom_u.n_dofs(prob.dim)),
+                       beta0_dt, newmark_m)
+    S = prob.system.merge()
+
+    pipe = prob.build_pipeline(6, solid_devices=2)
+    dmat = prob.assemble_distributed(pipe)
+
+    n = S.shape[0]
+    rng = np.random.default_rng(1)
+    b = rng.standard_normal(n)
+    b_dist = distribute_vector(b, pipe.dof_map, dmat.plan.N_o)
+    solver = DistributedSolver(dmat, pipe.axis)
+
+    build, arrs = distributed_facsi(
+        dmat, pipe.offsets, prob._uf_cols, prob._ds_cols, prob._iface_rows,
+        prob.dt, overlap=1)
+    x_d, iters, rel = solver.solve(b_dist, method="gmres", tol=1e-9,
+                                   maxiter=200, restart=200,
+                                   precond=(build, arrs))
+    xg = collect_vector(x_d, pipe.dof_map)
+    res = np.linalg.norm(np.asarray(S.matvec(jnp.asarray(xg))) - b)
+    assert rel < 1e-8
+    assert res / np.linalg.norm(b) < 1e-7
+    # the whole point: FaCSI beats unpreconditioned (224 iters on this
+    # system, see test below) by a wide margin
+    assert iters <= 60, f"FaCSI took {iters} iterations"
+
+
+def test_fsi_advance_distributed_matches_serial_trajectory():
+    """2-step GE time loop with 'Use Distributed Solve': every Newton
+    Jacobian assembles through the multi-mesh pipeline (moved-mesh vertex
+    override) and solves with distributed FaCSI — trajectory matches the
+    serial advance (reference DAESolverInTime::advanceInTimeFSI,
+    DAESolverInTime_def.hpp:726 with FaCSI inner solves)."""
+    from feddlib_tpu.bc import BCBuilder
+
+    def make(dist: bool):
+        dom_u, dom_p, dom_d = _two_box_domains(n=3)
+        d = {"dt": 0.02, "Viscosity": 0.5, "Density Fluid": 1.0,
+             "Density Solid": 1.0, "E": 5.0,
+             "Convergence Tolerance": 1e-10, "relNonLinTol": 1e-9}
+        if dist:
+            d.update({"Use Distributed Solve": True, "Devices": 6,
+                      "Solid Devices": 2})
+        pl = ParameterList(d)
+        prob = FSI(dom_u, dom_p, dom_d, [IFACE], parameter_list=pl)
+        prob.assemble()
+        # no-slip walls; solid clamped at the bottom
+        prob.add_bc(lambda x, t: np.zeros(2), 1, 0)
+        prob.add_bc(lambda x, t: np.zeros(2), 1, 2)
+        prob.init_vectors()
+        return prob
+
+    # rotational (curl) fluid forcing — a gradient force would be absorbed
+    # into hydrostatic pressure and leave u/d/λ at zero (vacuous test)
+    def source(x, t):
+        return jnp.stack([-8.0 * (x[1] - 0.75), 8.0 * (x[0] - 0.5)])
+
+    ser = make(False)
+    ser.advance(0.04, source_f=source)
+    dist = make(True)
+    dist.advance(0.04, source_f=source)
+
+    assert float(jnp.linalg.norm(ser.solution[2])) > 1e-4  # real motion
+    for b in range(4):
+        np.testing.assert_allclose(np.asarray(dist.solution[b]),
+                                   np.asarray(ser.solution[b]),
+                                   rtol=1e-6, atol=1e-9)
+
+
 def test_fsi_pipeline_distributed_solve_matches_serial():
     """Solve the pipeline-assembled GE system with distributed GMRES
     (unpreconditioned — the zero-diagonal λ rows make algebraic Schwarz
