@@ -430,30 +430,40 @@ class GDSWCoarseOperator:
             shape=(n, nc))
 
         if rap == "device":
-            A0 = rap_device(A, phi)
+            A0s = sps.csr_matrix(rap_device(A, phi))
         else:
-            # row-decomposed Galerkin product: ΦᵀAΦ = Σ_p Φ[rows_p]ᵀ A_p Φ
+            # row-decomposed Galerkin product ΦᵀAΦ = Σ_p Φ[rows_p]ᵀ A_p Φ,
+            # accumulated SPARSE end-to-end — O(nnz(A₀)) setup memory (the
+            # round-4 dense [nc, nc] accumulator was the O(nc²) host wall
+            # the reference's gathered coarse matrix never pays)
             phi_csc = phi.tocsc()
-            A0 = np.zeros((nc, nc))
+            A0s = sps.csr_matrix((nc, nc))
             for p in range(unique_map.n_parts):
                 owned, R = local_rows[p]
                 if len(owned):
-                    A0 += (phi_csc[owned].T @ (R @ phi_csc)).toarray()
+                    A0s = A0s + (phi_csc[owned].T @ (R @ phi_csc)).tocsr()
         # regularize exact zero diagonal (fully-Dirichlet components)
-        d0 = np.abs(np.diag(A0))
-        bad = d0 < 1e-14 * max(d0.max(), 1.0)
+        d0 = np.abs(A0s.diagonal())
+        bad = d0 < 1e-14 * max(d0.max() if nc else 1.0, 1.0)
         if bad.any():
-            A0[bad, bad] = 1.0
+            A0s = (A0s + sps.diags(bad.astype(np.float64))).tocsr()
         self.n_coarse = nc
         self.phi = CsrMatrix.from_scipy(phi, dtype=dtype)
         self.phiT = CsrMatrix.from_scipy(phi.T.tocsr(), dtype=dtype)
-        # A0 kept as data; the dense inverse is LAZY — the scalable
-        # coarse-solver paths (sparse LU wavefront / iterative, the
-        # reference's CoarseSolver sublist) never form it (O(nc³) setup +
-        # O(nc²) replicated memory are the pod-scale wall)
-        self.A0_np = A0
+        # A0 kept SPARSE; the dense form and its inverse are LAZY — the
+        # scalable coarse-solver paths (sparse LU wavefront / iterative
+        # GMRES, the reference's CoarseSolver sublist) never form them
+        # (O(nc³) setup + O(nc²) replicated memory are the pod-scale wall)
+        self._A0_sp = A0s.tocsr()
+        self._A0_np = None
         self._A0_inv = None
         self._dtype = dtype
+
+    @property
+    def A0_np(self) -> np.ndarray:
+        if self._A0_np is None:
+            self._A0_np = self._A0_sp.toarray()
+        return self._A0_np
 
     @property
     def A0_inv(self):
@@ -464,11 +474,11 @@ class GDSWCoarseOperator:
         return jnp.asarray(self._A0_inv, self._dtype)
 
     def A0_sparse(self, drop_tol: float = 0.0) -> sps.csr_matrix:
-        """A₀ as scipy CSR (RAP of sparse Φ is sparse; the dense
-        accumulation above just never stored the zeros)."""
-        A = sps.csr_matrix(self.A0_np)
+        """A₀ as scipy CSR (the native storage)."""
+        A = self._A0_sp
         if drop_tol > 0.0:
-            scale = max(np.abs(self.A0_np).max(), 1e-300)
+            A = A.copy()
+            scale = max(np.abs(A.data).max() if A.nnz else 1.0, 1e-300)
             A.data[np.abs(A.data) < drop_tol * scale] = 0.0
             A.eliminate_zeros()
         return A
@@ -627,7 +637,9 @@ def distributed_two_level(dmat, part=None, points: Optional[np.ndarray] = None,
                           ipou: Optional[dict] = None,
                           coarse_procs: int = 0,
                           level_combination: str = "Additive",
-                          coarse_solver: str = "dense"):
+                          coarse_solver: str = "dense",
+                          coarse_tol: float = 1e-6,
+                          coarse_maxiter: int = 200):
     """Two-level GDSW for the shard_map solver (DistributedSolver), built
     from the DistributedCsr ALONE — setup reads only per-device row views
     (DistributedCsr.local_rows); no global matrix is assembled anywhere.
@@ -714,64 +726,72 @@ def distributed_two_level(dmat, part=None, points: Optional[np.ndarray] = None,
                               jnp.asarray(cids.astype(np.int32))]
 
     # ---- coarse solver (reference CoarseSolver sublist) -----------------
+    # Distribution (NumProcs / dedicated coarse ranks) composes with every
+    # solver: for 'sparse'/'iterative' the k coarse devices hold the real
+    # A₀ factors/values while the rest hold a padded IDENTITY system (their
+    # solve is trivially exact on junk, then masked out), and the coarse
+    # correction is recovered with one psum of nc numbers.
+    if coarse_ranks and coarse_procs:
+        raise ValueError("choose coarse_ranks OR coarse_procs")
+    k = coarse_ranks or min(coarse_procs, n_dev)
+    first = n_dev - k if coarse_ranks else 0  # trailing vs leading devices
+    pick = (np.array([0 if first <= p < first + k else 1
+                      for p in range(n_dev)]) if k
+            else np.zeros(n_dev, np.int64))
+    wts = (np.where(pick == 0, 1.0 / k, 0.0)[:, None] if k else None)
     sel = None
     lu_dims = None
-    it_steps = 0
-    if coarse_solver == "iterative":
-        # CG needs a symmetric A₀ — nonsymmetric coarse operators (NS
-        # block GDSW) silently degrade, so downgrade them to the exact
-        # sparse-LU solve
-        A0chk = coarse.A0_sparse()
-        if abs(A0chk - A0chk.T).max() > 1e-10 * max(abs(A0chk).max(),
-                                                    1e-300):
-            import warnings
-
-            warnings.warn("coarse_solver='iterative' needs symmetric A0; "
-                          "nonsymmetric coarse operator routed to the "
-                          "exact sparse-LU solve", RuntimeWarning)
-            coarse_solver = "sparse"
     if coarse_solver == "sparse":
-        # exact sparse-LU wavefront solve, replicated: setup O(nnz·fill),
-        # apply memory O(nnz(LU)) — no dense nc x nc anywhere
-        if coarse_ranks or coarse_procs:
-            raise ValueError("coarse_solver='sparse' is replicated "
-                             "(no Distribution sublist)")
+        # exact sparse-LU wavefront solve: setup O(nnz·fill), apply memory
+        # O(nnz(LU)) — no dense nc x nc anywhere
         from feddlib_tpu.la.sparse_lu import BatchedSparseLU
 
-        lu = BatchedSparseLU([coarse.A0_sparse()])
+        mats = [coarse.A0_sparse().tocsc()]
+        if k:
+            mats.append(sps.identity(nc, format="csc"))
+        lu = BatchedSparseLU(mats)
         lu_arrs = lu.arrays()
         lu_dims = lu.dims
         for a in lu_arrs:
-            arrays.append(jnp.broadcast_to(a, (n_dev,) + a.shape))
-        n_lu = len(lu_arrs)
+            if k:
+                arrays.append(jnp.asarray(np.asarray(a)[pick][:, None]))
+            else:
+                arrays.append(jnp.broadcast_to(a, (n_dev,) + a.shape))
+        if k:
+            arrays.append(jnp.asarray(wts))
         S_lu = lu.S
     elif coarse_solver == "iterative":
-        # fixed-iteration CG on sparse-ELL A₀ (Belos GMRES tol 1e-6 role;
-        # fixed step count keeps the outer Krylov operator linear)
-        if coarse_ranks or coarse_procs:
-            raise ValueError("coarse_solver='iterative' is replicated")
+        # GMRES(m) to tolerance on sparse-ELL A₀ — the reference's Belos
+        # CoarseSolver (GMRES, tol 1e-6, ≤200 iters,
+        # parametersPrec.xml:216-225); valid for nonsymmetric A₀.  The
+        # tolerance-based inner solve makes M weakly nonlinear across
+        # outer iterations; at 1e-6 the perturbation is far below the
+        # outer 1e-8 convergence behavior (and matches the reference,
+        # which runs plain GMRES around the same inner solver).
         A0s = coarse.A0_sparse()
         kmax = max(int(np.diff(A0s.indptr).max()), 1)
-        ecols = np.zeros((nc, kmax), np.int32)
-        evals = np.zeros((nc, kmax))
+        ecols = np.zeros((2 if k else 1, nc, kmax), np.int32)
+        evals = np.zeros((2 if k else 1, nc, kmax))
         for i in range(nc):
             lo, hi = A0s.indptr[i], A0s.indptr[i + 1]
-            ecols[i, : hi - lo] = A0s.indices[lo:hi]
-            evals[i, : hi - lo] = A0s.data[lo:hi]
-        arrays += [jnp.asarray(np.broadcast_to(evals,
-                                               (n_dev,) + evals.shape)),
-                   jnp.asarray(np.broadcast_to(ecols,
-                                               (n_dev,) + ecols.shape))]
-        it_steps = 50
-    elif coarse_ranks == 0 and coarse_procs == 0:
+            ecols[0, i, : hi - lo] = A0s.indices[lo:hi]
+            evals[0, i, : hi - lo] = A0s.data[lo:hi]
+        if k:  # identity system on non-coarse devices
+            ecols[1, :, 0] = np.arange(nc)
+            evals[1, :, 0] = 1.0
+        if k:
+            arrays += [jnp.asarray(evals[pick]), jnp.asarray(ecols[pick]),
+                       jnp.asarray(wts)]
+        else:
+            arrays += [jnp.asarray(np.broadcast_to(evals[0],
+                                                   (n_dev,) + evals[0].shape)),
+                       jnp.asarray(np.broadcast_to(ecols[0],
+                                                   (n_dev,) + ecols[0].shape))]
+    elif k == 0:
         A0_inv = np.asarray(coarse.A0_inv)
         arrays.append(jnp.asarray(np.broadcast_to(A0_inv, (n_dev, nc, nc))))
     else:
         A0_inv = np.asarray(coarse.A0_inv)
-        if coarse_ranks and coarse_procs:
-            raise ValueError("choose coarse_ranks OR coarse_procs")
-        k = coarse_ranks or min(coarse_procs, n_dev)
-        first = n_dev - k if coarse_ranks else 0  # trailing vs leading devs
         nc_s = -(-nc // k)  # ceil
         slab = np.zeros((n_dev, nc_s, nc))
         for j in range(k):
@@ -798,30 +818,27 @@ def distributed_two_level(dmat, part=None, points: Optional[np.ndarray] = None,
                 from feddlib_tpu.la.sparse_lu import BatchedSparseLU
 
                 r_pad = jnp.zeros((1, S_lu), rc.dtype).at[0, :nc].set(rc)
-                z = BatchedSparseLU.apply_ops(tuple(solver_arrs), r_pad,
-                                              lu_dims)
-                return z[0, :nc]
+                z = BatchedSparseLU.apply_ops(
+                    tuple(solver_arrs[:-1] if k else solver_arrs), r_pad,
+                    lu_dims)[0, :nc]
+                if k:  # coarse-device results psum-recovered, rest masked
+                    return lax.psum(z * solver_arrs[-1][0], AXIS)
+                return z
             if coarse_solver == "iterative":
-                evs, ecs = solver_arrs
+                evs, ecs = solver_arrs[0], solver_arrs[1]
 
                 def A0mv(v):
                     return jnp.sum(evs * v[ecs], axis=1)
 
-                def body(i, carry):
-                    x, r, p, rr = carry
-                    Ap = A0mv(p)
-                    alpha = rr / (jnp.vdot(p, Ap) + 1e-300)
-                    x = x + alpha * p
-                    r = r - alpha * Ap
-                    rr2 = jnp.vdot(r, r)
-                    p = r + (rr2 / (rr + 1e-300)) * p
-                    return x, r, p, rr2
+                from feddlib_tpu.solvers.krylov import gmres_loop
 
-                x0 = jnp.zeros_like(rc)
-                x, _, _, _ = lax.fori_loop(
-                    0, it_steps, body,
-                    (x0, rc, rc, jnp.vdot(rc, rc)))
-                return x
+                z, _, _ = gmres_loop(A0mv, lambda r: r, rc,
+                                     jnp.zeros_like(rc), coarse_tol,
+                                     min(coarse_maxiter, nc),
+                                     coarse_maxiter, axis_name=None)
+                if k:
+                    return lax.psum(z * solver_arrs[-1][0], AXIS)
+                return z
             A0i = solver_arrs[0]
             if sel is None:
                 return A0i @ rc  # replicated dense solve

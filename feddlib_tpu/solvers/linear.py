@@ -521,8 +521,10 @@ class LinearSolver:
                     coarse_procs=0 if cprocs <= 1 else cprocs,
                     level_combination=params.get("Level Combination",
                                                  "Additive"),
-                    coarse_solver=("dense" if cprocs > 1 else
-                                       params.get("Coarse Solver", "dense")),
+                    coarse_solver=params.get("Coarse Solver", "dense"),
+                    coarse_tol=float(params.get("Coarse Tolerance", 1e-6)),
+                    coarse_maxiter=int(params.get("Coarse Max Iterations",
+                                                  200)),
                     blocks=block_specs)
                 precond = (build, arrs)
             elif prec_type == "Jacobi":
@@ -648,6 +650,8 @@ class LinearSolver:
                         faces=bool(params.get("IPOU Faces", True)))
                 cprocs = int(params.get("Coarse NumProcs", 0))
                 cprocs = 0 if cprocs <= 1 else cprocs
+                ctol = float(params.get("Coarse Tolerance", 1e-6))
+                cmax = int(params.get("Coarse Max Iterations", 200))
                 if len(problem.variables) == 1:
                     build, arrs = distributed_two_level(
                         dmat, part, dom0.mesh.points,
@@ -657,8 +661,8 @@ class LinearSolver:
                         variant=variant, ipou=ipou, coarse_procs=cprocs,
                         level_combination=params.get("Level Combination",
                                                      "Additive"),
-                        coarse_solver=("dense" if cprocs > 1 else
-                                       params.get("Coarse Solver", "dense")))
+                        coarse_solver=params.get("Coarse Solver", "dense"),
+                        coarse_tol=ctol, coarse_maxiter=cmax)
                 else:
                     # monolithic block GDSW (the FROSch MONOLITHIC feed,
                     # Preconditioner_def.hpp:295-383) — now available on
@@ -669,8 +673,8 @@ class LinearSolver:
                         variant=variant, ipou=ipou, coarse_procs=cprocs,
                         level_combination=params.get("Level Combination",
                                                      "Additive"),
-                        coarse_solver=("dense" if cprocs > 1 else
-                                       params.get("Coarse Solver", "dense")),
+                        coarse_solver=params.get("Coarse Solver", "dense"),
+                        coarse_tol=ctol, coarse_maxiter=cmax,
                         blocks=problem.preconditioner._block_specs(part, nsp))
             elif prec_type == "Jacobi":
                 build, arrs = "jacobi", None

@@ -515,9 +515,11 @@ def test_distributed_two_level_variants_match_serial(combo, csolver):
 
 
 def test_distributed_two_level_iterative_coarse():
-    """'Coarse Solver: iterative' (fixed-iteration CG on sparse A0 — the
-    reference's Belos GMRES tol 1e-6 CoarseSolver sublist) converges to
-    the same solution; iteration counts may differ slightly."""
+    """'Coarse Solver: iterative' (GMRES to tol 1e-6, ≤200 its on sparse
+    A0 — the reference's Belos CoarseSolver sublist,
+    parametersPrec.xml:216-225) pins OUTER-iteration parity with the
+    exact dense coarse solve: at inner tol 1e-6 the coarse correction is
+    exact to well below the outer convergence behavior."""
     from feddlib_tpu.bc import BCBuilder
     from feddlib_tpu.fe import ops
     from feddlib_tpu.mesh.partition import MeshPartition
@@ -538,12 +540,102 @@ def test_distributed_two_level_iterative_coarse():
     solver = DistributedSolver(dmat, DeviceAxis.make(8))
     b_dist = distribute_vector(np.asarray(bb), part.unique_map,
                                dmat.plan.N_o)
-    build, arrs = distributed_two_level(dmat, part, dom.mesh.points, 1,
-                                        dirichlet_mask=dmask,
-                                        coarse_solver="iterative")
-    x, it, rel = solver.solve(b_dist, method="gmres", tol=1e-8, maxiter=500,
-                              precond=(build, arrs))
-    assert rel < 1e-8
-    xg = collect_vector(x, part.unique_map)
-    res = np.asarray(Kb.matvec(jnp.asarray(xg))) - np.asarray(bb)
-    assert np.linalg.norm(res) / np.linalg.norm(np.asarray(bb)) < 1e-7
+    its = {}
+    for csolver in ("dense", "iterative"):
+        build, arrs = distributed_two_level(dmat, part, dom.mesh.points, 1,
+                                            dirichlet_mask=dmask,
+                                            coarse_solver=csolver)
+        x, it, rel = solver.solve(b_dist, method="gmres", tol=1e-8,
+                                  maxiter=500, precond=(build, arrs))
+        assert rel < 1e-8
+        its[csolver] = it
+        xg = collect_vector(x, part.unique_map)
+        res = np.asarray(Kb.matvec(jnp.asarray(xg))) - np.asarray(bb)
+        # tolerance-based inner solves make M weakly nonlinear, so the
+        # outer Krylov's implicit residual estimate drifts from the true
+        # residual by ~inner tol (the reference's Belos-around-Belos
+        # CoarseSolver has the same property); dense is exact
+        cap = 1e-7 if csolver == "dense" else 2e-5
+        assert np.linalg.norm(res) / np.linalg.norm(np.asarray(bb)) < cap
+    # outer-iteration parity (round-4 weak item 8)
+    assert abs(its["iterative"] - its["dense"]) <= 1, its
+
+
+def test_distributed_iterative_coarse_nonsymmetric():
+    """The GMRES coarse solve handles NONSYMMETRIC A0 (advective momentum
+    block — the case the round-4 fixed-CG silently rerouted): outer
+    iterations match the dense coarse solve."""
+    from feddlib_tpu.bc import BCBuilder
+    from feddlib_tpu.fe import ops
+    from feddlib_tpu.mesh.partition import MeshPartition
+    from feddlib_tpu.parallel.solve import DistributedSolver
+    from feddlib_tpu.parallel.spmd import (
+        DeviceAxis, DistributedCsr, distribute_vector)
+    from feddlib_tpu.precond.gdsw import distributed_two_level
+
+    dom = Domain.structured(2, 12)
+    n_u = dom.n_dofs(2)
+    adv = jnp.asarray(np.tile([1.0, 0.3], dom.n_nodes))
+    A = ops.assemble_laplace_vec(dom, 0.1).add(
+        ops.assemble_advection(dom, adv))
+    bcb = BCBuilder()
+    bcb.add_bc(lambda x, t: np.zeros(2), 1, 0, dom, "Dirichlet", 2)
+    bb = jnp.asarray(np.random.default_rng(3).standard_normal(n_u))
+    Ab, bb = bcb.apply_symmetric(A, bb, 0)
+    dmask = bcb.dirichlet_mask(0, n_u)
+    part = MeshPartition(dom.mesh, 8)
+    dof_map = part.unique_map.build_vec_field_map(2)
+    dmat = DistributedCsr(Ab, dof_map)
+    solver = DistributedSolver(dmat, DeviceAxis.make(8))
+    b_dist = distribute_vector(np.asarray(bb), dof_map, dmat.plan.N_o)
+    its = {}
+    for csolver in ("dense", "iterative"):
+        build, arrs = distributed_two_level(
+            dmat, part, dom.mesh.points, 2, dirichlet_mask=dmask,
+            coarse_solver=csolver)
+        _, it, rel = solver.solve(b_dist, method="gmres", tol=1e-8,
+                                  maxiter=500, precond=(build, arrs))
+        assert rel < 1e-8
+        its[csolver] = it
+    assert abs(its["iterative"] - its["dense"]) <= 1, its
+
+
+@pytest.mark.parametrize("csolver", ["sparse", "iterative"])
+def test_distributed_coarse_solver_with_numprocs(csolver):
+    """Scalable coarse solvers compose with the Distribution sublist
+    (Coarse NumProcs): only k devices hold the A0 factors/values (the
+    rest carry a padded identity), the correction is psum-recovered —
+    iterates identical to the replicated form."""
+    from feddlib_tpu.bc import BCBuilder
+    from feddlib_tpu.fe import ops
+    from feddlib_tpu.mesh.partition import MeshPartition
+    from feddlib_tpu.parallel.solve import DistributedSolver
+    from feddlib_tpu.parallel.spmd import (
+        DeviceAxis, DistributedCsr, collect_vector, distribute_vector)
+    from feddlib_tpu.precond.gdsw import distributed_two_level
+
+    dom = Domain.structured(2, 16)
+    K = ops.assemble_laplace(dom)
+    bcb = BCBuilder()
+    bcb.add_bc(lambda x, t: 0.0, 1, 0, dom, "Dirichlet", 1)
+    b = ops.assemble_rhs(dom, lambda x: 1.0 + 0 * x[0])
+    Kb, bb = bcb.apply_symmetric(K, b, 0)
+    dmask = bcb.dirichlet_mask(0, dom.n_nodes)
+    part = MeshPartition(dom.mesh, 8)
+    dmat = DistributedCsr(Kb, part.unique_map)
+    solver = DistributedSolver(dmat, DeviceAxis.make(8))
+    b_dist = distribute_vector(np.asarray(bb), part.unique_map,
+                               dmat.plan.N_o)
+    sols, its = {}, {}
+    for cp in (0, 2):
+        build, arrs = distributed_two_level(dmat, part, dom.mesh.points, 1,
+                                            dirichlet_mask=dmask,
+                                            coarse_solver=csolver,
+                                            coarse_procs=cp)
+        x, it, rel = solver.solve(b_dist, method="gmres", tol=1e-8,
+                                  maxiter=500, precond=(build, arrs))
+        assert rel < 1e-8
+        sols[cp] = collect_vector(x, part.unique_map)
+        its[cp] = it
+    assert its[2] == its[0]
+    np.testing.assert_allclose(sols[2], sols[0], atol=1e-10)
