@@ -18,10 +18,19 @@ from feddlib_tpu.la.csr import CsrMatrix, SparsityPattern
 
 
 class BlockVector:
-    """List of per-block device vectors."""
+    """List of per-block device vectors.
+
+    A vector may carry a `_dist_mirror = (pipe, shards)` attachment — the
+    same values as distributed owned shards [n_dev, N_o] of a
+    DistributedPipeline's dof map.  Elementwise ops (axpy/scale/copy)
+    propagate it, so Newton/time updates keep the device shards alive and
+    the distributed solver never re-uploads the solution (the reference's
+    u_rep_ update flow never leaves the process either,
+    NavierStokes_decl.hpp:102).  Any direct block write invalidates it."""
 
     def __init__(self, blocks: List[jnp.ndarray]):
         self.blocks = [jnp.asarray(b) for b in blocks]
+        self._dist_mirror = None
 
     @classmethod
     def zeros(cls, sizes, dtype=jnp.float64):
@@ -36,6 +45,7 @@ class BlockVector:
 
     def __setitem__(self, i, v):
         self.blocks[i] = jnp.asarray(v)
+        self._dist_mirror = None  # host write → device shards stale
 
     def __len__(self):
         return len(self.blocks)
@@ -58,13 +68,24 @@ class BlockVector:
         return sum(jnp.vdot(a, b) for a, b in zip(self.blocks, other.blocks))
 
     def axpy(self, alpha, x: "BlockVector") -> "BlockVector":
-        return BlockVector([a + alpha * b for a, b in zip(self.blocks, x.blocks)])
+        out = BlockVector([a + alpha * b
+                           for a, b in zip(self.blocks, x.blocks)])
+        ma, mb = self._dist_mirror, getattr(x, "_dist_mirror", None)
+        if ma is not None and mb is not None and ma[0] is mb[0]:
+            out._dist_mirror = (ma[0], ma[1] + alpha * mb[1])
+        return out
 
     def scale(self, alpha) -> "BlockVector":
-        return BlockVector([alpha * b for b in self.blocks])
+        out = BlockVector([alpha * b for b in self.blocks])
+        if self._dist_mirror is not None:
+            out._dist_mirror = (self._dist_mirror[0],
+                                alpha * self._dist_mirror[1])
+        return out
 
     def copy(self) -> "BlockVector":
-        return BlockVector(list(self.blocks))
+        out = BlockVector(list(self.blocks))
+        out._dist_mirror = self._dist_mirror
+        return out
 
 
 class BlockMatrix:

@@ -1142,6 +1142,7 @@ class DistributedPipeline:
         [n_dev, N_ob] (the layout assemble(ext_fields=...) expects)."""
         if b not in self.field_plans:
             raise ValueError(f"variable {b} has no field plan")
+        self.n_distributes += 1
         bmap = self._var_gmap(b)
         N_ob = self.field_plans[b]["plan"].N_o
         out = np.zeros((self.n_dev, N_ob))
@@ -1152,9 +1153,15 @@ class DistributedPipeline:
         return jnp.asarray(out)
 
     # -- host vector helpers -------------------------------------------------
+    #: host→device uploads through this pipeline (scalability telemetry:
+    #: a device-resident Newton/time loop must stop incrementing after the
+    #: first step — tests assert on it)
+    n_distributes = 0
+
     def distribute(self, x_global) -> jnp.ndarray:
         from feddlib_tpu.parallel.spmd import distribute_vector
 
+        self.n_distributes += 1
         return distribute_vector(np.asarray(x_global), self.dof_map, self.N_o)
 
     def collect(self, x_dist) -> np.ndarray:

@@ -380,11 +380,31 @@ class DistributedCsr:
             shape=(self.n_global, self.n_global))
         return self._locator
 
+    def ell_host(self) -> np.ndarray:
+        """Host copy of the stacked ELL values [n_dev, K, N_o] — cached
+        per matrix.  Multiprocess-safe: when the array spans devices of
+        OTHER processes (pipeline output under jax.distributed), the
+        remote shards are gathered once via process_allgather (the
+        reference's rank-local KLU setup reads only local rows; here the
+        replicated-host setup convention needs the full copy)."""
+        cached = getattr(self, "_host_ell", None)
+        if cached is not None and cached[0] is self.ell_data:
+            return cached[1]
+        try:
+            vals = np.asarray(self.ell_data)
+        except RuntimeError:  # spans non-addressable devices
+            from jax.experimental import multihost_utils
+
+            vals = np.asarray(multihost_utils.process_allgather(
+                self.ell_data, tiled=True))
+        self._host_ell = (self.ell_data, vals)
+        return vals
+
     def values_host(self) -> np.ndarray:
         """Flat host copy of the stacked ELL values (per-device pulls; used
         only at preconditioner SETUP — the f64 subdomain factorizations the
         reference does on host via KLU, parametersPrec.xml Solver→KLU)."""
-        return np.asarray(self.ell_data).reshape(-1)
+        return self.ell_host().reshape(-1)
 
     def local_rows(self, p: int):
         """(owned_gids, scipy CSR [n_own, n_global]) of device p's owned
@@ -399,7 +419,7 @@ class DistributedCsr:
         N_o = self.plan.N_o
         lens = self.row_lens[p][:n_own]
         ec = np.asarray(self.ell_cols[p])
-        ed = np.asarray(self.ell_data[p])
+        ed = self.ell_host()[p]
         cmap = np.zeros(N_o + max(len(self.col_gids[p]) - n_own, 0) + 1,
                         dtype=np.int64)
         cmap[:n_own] = owned

@@ -251,8 +251,11 @@ class FSI(NonLinearProblem):
         pipe.add_block(0, 0, "mass", coeff=self.density_f * beta0_dt,
                        dofs_per_node=dim)
         pipe.add_block(0, 0, "laplace_vec", viscosity=self.viscosity)
-        pipe.add_block(0, 0, "advection", coeff=self.density_f,
-                       field_src="ext:adv")
+        # N(ρ(u−w)) split by linearity into N(ρu) (field = solution shards,
+        # no per-Newton host upload) − N(ρw) (w changes once per time step)
+        pipe.add_block(0, 0, "advection", coeff=self.density_f)
+        pipe.add_block(0, 0, "advection", coeff=-self.density_f,
+                       field_src="ext:w")
         pipe.add_block(0, 0, "advection_in_u", coeff=self.density_f)
         pipe.add_block(0, 0, "ale_divergence", coeff=-self.density_f,
                        field_src="ext:w")
@@ -284,11 +287,8 @@ class FSI(NonLinearProblem):
         Returns a DistributedCsr over the merged 4-field dof map."""
         dim = self.dim
         n_u = self.variables[0][0].n_dofs(dim)
-        u = (np.asarray(self.solution[0]) if self.solution is not None
-             else np.zeros(n_u))
         w_np = np.zeros(n_u) if w is None else np.asarray(w)
-        ext = {"adv": pipe.distribute_field(0, u - w_np),
-               "w": pipe.distribute_field(0, w_np)}
+        ext = {"w": pipe.distribute_field(0, w_np)}
         x = pipe.distribute(np.asarray(self.solution.concat())
                             if self.solution is not None
                             else np.zeros(int(pipe.offsets[-1])))
@@ -319,13 +319,21 @@ class FSI(NonLinearProblem):
 
         pipe = cache["pipe"]
         dom_u = self.variables[0][0]
-        u = np.asarray(self.solution[0])
-        w_np = np.asarray(w)
-        ext = {"adv": pipe.distribute_field(0, u - w_np),
-               "w": pipe.distribute_field(0, w_np)}
-        x = pipe.distribute(np.asarray(self.solution.concat()))
-        vc = pipe.mesh_vert_coords(0, dom_u.mesh.points)
-        dmat = pipe.assemble(x=x, ext_fields=ext, vert_coords={0: vc})
+        # w and the moved-mesh coordinates change once per TIME step;
+        # the solution rides its device-shard mirror across Newton steps
+        # (only the very first assembly uploads it)
+        if cache.get("w_obj") is not w:
+            cache["w_ext"] = {"w": pipe.distribute_field(0, np.asarray(w))}
+            cache["w_obj"] = w
+            cache["vc"] = pipe.mesh_vert_coords(0, dom_u.mesh.points)
+        mir = getattr(self.solution, "_dist_mirror", None)
+        if mir is not None and mir[0] is pipe:
+            x = mir[1]
+        else:
+            x = pipe.distribute(np.asarray(self.solution.concat()))
+            self.solution._dist_mirror = (pipe, x)
+        dmat = pipe.assemble(x=x, ext_fields=cache["w_ext"],
+                             vert_coords={0: cache["vc"]})
         dmask = self.merged_dirichlet_mask()
         dmat, _ = pipe.apply_dirichlet(dmat, None, dmask)
         if cache["locator"] is None:
@@ -363,7 +371,11 @@ class FSI(NonLinearProblem):
             restart=restart, precond=cache["prec"])
         self.last_relres = rel
         xg = pipe.collect(x)
-        return BlockVector.split(jnp.asarray(xg), self.block_sizes()), iters
+        out = BlockVector.split(jnp.asarray(xg), self.block_sizes())
+        # δ carries its device shards: the Newton update (BlockVector.axpy)
+        # propagates them into the solution mirror — no re-upload
+        out._dist_mirror = (pipe, x)
+        return out, iters
 
     # -- time loop (GE; reference advanceInTimeFSI) --------------------------
     def advance(self, t_end: float, source_f: Optional[Callable] = None,

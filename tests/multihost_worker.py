@@ -68,6 +68,50 @@ def main():
     assert it == ref.iters, (it, ref.iters)
     assert rel <= 1e-10
 
+    # ---- production stack across the process boundary: device-resident
+    # pipeline assembly (ppermute contribution exchange) + two-level GDSW
+    # GMRES — the reference's full-stack NUM_MPI_PROCS CTests
+    # (SURVEY.md §4); iteration count must equal the serial two-level
+    # solve (rank-count invariance, now across OS processes)
+    import jax.numpy as jnp  # noqa: E402
+
+    from feddlib_tpu.bc import BCBuilder
+    from feddlib_tpu.fe import ops
+    from feddlib_tpu.parallel.pipeline import DistributedPipeline
+    from feddlib_tpu.precond.gdsw import TwoLevelSchwarz, distributed_two_level
+    from feddlib_tpu.solvers.krylov import gmres
+
+    dom2 = Domain.structured(2, 16)
+    part2 = MeshPartition(dom2.mesh, n_dev)
+    pipe = DistributedPipeline(part2, [(dom2, 1)])
+    pipe.add_block(0, 0, "laplace")
+    pipe.finalize(axis)
+    dmat2 = pipe.assemble()
+    rhs2 = pipe.assemble_rhs({0: lambda x: 1.0 + 0 * x[0]})
+    bcb = BCBuilder()
+    bcb.add_bc(lambda x, t: 0.0, 1, 0, dom2, "Dirichlet", 1)
+    dmask = np.asarray(bcb.dirichlet_mask(0, dom2.n_nodes))
+    dmat2, rhs2 = pipe.apply_dirichlet(dmat2, rhs2, dmask,
+                                       np.zeros(dom2.n_nodes))
+    build, arrs = distributed_two_level(dmat2, part2, dom2.mesh.points, 1,
+                                        dirichlet_mask=dmask)
+    solver2 = DistributedSolver(dmat2, axis)
+    x2, it2, rel2 = solver2.solve(rhs2, method="gmres", tol=1e-8,
+                                  maxiter=300, precond=(build, arrs))
+    # serial oracle with the SAME rows-only BC elimination
+    K2 = bcb.apply_to_matrix(ops.assemble_laplace(dom2), 0)
+    b2 = ops.assemble_rhs(dom2, lambda x: 1.0 + 0 * x[0])
+    b2 = jnp.where(jnp.asarray(dmask), 0.0, b2)
+    tls = TwoLevelSchwarz(K2, part2.unique_map,
+                          part2.repeated_map.partition_indices,
+                          dom2.mesh.points, 1, overlap=1,
+                          dirichlet_mask=dmask)
+    ref2 = gmres(K2.matvec, b2, M=tls.apply, tol=1e-8, maxiter=300)
+    print(f"MULTIHOST_PIPELINE pid={pid} iters={it2} "
+          f"serial_iters={ref2.iters} relres={rel2:.3e}", flush=True)
+    assert rel2 <= 1e-8
+    assert it2 == ref2.iters, (it2, ref2.iters)
+
 
 if __name__ == "__main__":
     main()

@@ -63,3 +63,13 @@ def test_two_process_distributed_cg_matches_serial():
     f1 = dict(kv.split("=") for kv in results[1].split()[1:])
     assert f0["iters"] == f1["iters"] == f0["serial_iters"]
     assert f0["procs"] == "2" and f0["devices"] == "4"
+    # production stack (pipeline assembly + two-level GDSW GMRES) also
+    # crossed the process boundary with serial-equal iterations
+    pipe_lines = []
+    for pid, out in enumerate(outs):
+        ln = [x for x in out.splitlines()
+              if x.startswith("MULTIHOST_PIPELINE")]
+        assert ln, f"worker {pid} ran no pipeline stage:\n{out[-2000:]}"
+        pipe_lines.append(dict(kv.split("=") for kv in ln[0].split()[1:]))
+    assert (pipe_lines[0]["iters"] == pipe_lines[1]["iters"]
+            == pipe_lines[0]["serial_iters"])

@@ -330,6 +330,12 @@ def test_use_device_pipeline_navier_stokes_newton():
         solver = NonLinearSolver("Newton")
         its = solver.solve(prob)
         results[backend] = (its, np.asarray(prob.solution[0]))
+        if backend == "pipeline":
+            # the solution rides its device-shard mirror across Newton
+            # steps: ONE solution upload total; the per-step uploads are
+            # only the Newton RHS (host residual) — round-4 weak item 4
+            pipe = prob._pipe_cache["pipe"]
+            assert pipe.n_distributes == 1 + its, pipe.n_distributes
     assert results["pipeline"][0] == results["serial"][0]
     np.testing.assert_allclose(results["pipeline"][1],
                                results["serial"][1], atol=1e-6)
@@ -522,18 +528,22 @@ def test_unsteady_heat_distributed_device_rhs():
     pipeM.finalize(pipe.axis)
     dM = pipeM.assemble()
 
-    u = np.zeros(n)
     m_dist, _ = pipe.dirichlet_arrays(dmask)
+    # DEVICE-RESIDENT time loop: the state stays as owned shards across
+    # steps; zero host↔device vector traffic inside the loop (collect only
+    # for the final assertion) — round-4 weak item 4
+    u_dist = jnp.zeros((pipe.n_dev, dmat.plan.N_o))
+    pipe.n_distributes = 0
     for k in range(3):
         t = (k + 1) * dt
         b_dev = pipe.assemble_rhs_device(t=t)  # compiled once, traced t
-        # history term (M u)/dt as a distributed SpMV
-        u_dist = distribute_vector(u, pipe.dof_map, dmat.plan.N_o)
+        # history term (M u)/dt as a distributed SpMV on the live shards
         b_tot = b_dev + _dist_matvec(dM, pipe, u_dist)
         b_tot = jnp.where(m_dist > 0, 0.0, b_tot)
-        x, it, rel = solver.solve(b_tot, method="cg", tol=1e-12,
-                                  maxiter=2000)
-        u = collect_vector(x, pipe.dof_map)
+        u_dist, it, rel = solver.solve(b_tot, method="cg", tol=1e-12,
+                                       maxiter=2000)
+    assert pipe.n_distributes == 0
+    u = collect_vector(u_dist, pipe.dof_map)
     assert np.abs(u - u_ser).max() < 1e-8 * max(np.abs(u_ser).max(), 1.0)
 
 
