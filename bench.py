@@ -100,6 +100,7 @@ def main():
     note(f"headline operator n={dom_h.n_nodes} nnz={nnz_h}")
 
     compile_s = {}
+    repeat_stats = {}
 
     def time_chain(fn, opnds, nx, lo, hi, label=None):
         @jax.jit
@@ -125,9 +126,20 @@ def main():
             _ = float(jnp.asarray(rr).ravel()[0])
             return time.perf_counter() - t0
 
-        t_lo = min(run(lo) for _ in range(3))
-        t_hi = min(run(hi) for _ in range(3))
-        return max((t_hi - t_lo) / (hi - lo), 1e-9)
+        # >=3 repeats each; report min AND median per-apply so a
+        # round-over-round move is classifiable as noise vs regression
+        # (round-4 weak item 7: 169->154 Gnnz/s was unclassifiable)
+        lo_s = sorted(run(lo) for _ in range(3))
+        hi_s = sorted(run(hi) for _ in range(3))
+        dt_min = max((hi_s[0] - lo_s[0]) / (hi - lo), 1e-9)
+        dt_med = max((hi_s[1] - lo_s[1]) / (hi - lo), 1e-9)
+        if label:
+            repeat_stats[label] = {
+                "repeats": 3, "per_apply_ms_min": round(dt_min * 1e3, 4),
+                "per_apply_ms_median": round(dt_med * 1e3, 4),
+                "spread_pct": round(100.0 * (dt_med - dt_min)
+                                    / max(dt_min, 1e-12), 1)}
+        return dt_min
 
     hbm_gbps = 819e9 if on_tpu else 50e9
     sol_nnz_per_s = hbm_gbps / 8.0  # chip sparse speed-of-light at 8 B/nnz
@@ -172,7 +184,8 @@ def main():
             fn_e, ops_e = Be.operator()
             nx_e = Ke.shape[0]
         dt_e = time_chain(fn_e, ops_e, nx_e,
-                          *((5, 1205) if on_tpu else (2, 30)))
+                          *((5, 1205) if on_tpu else (2, 30)),
+                          label="elasticity")
         e_nnz_per_s = Ke.nnz / dt_e
         note(f"{fmt_e} elasticity spmv {dt_e*1e3:.3f} ms = "
              f"{e_nnz_per_s/1e9:.2f} Gnnz/s "
@@ -205,8 +218,7 @@ def main():
         t0 = time.perf_counter()
         Ap32 = PaddedSplitSpMV(Kb, db32, dtype=jnp.float32)
         t_sellp = time.perf_counter() - t0
-        note(f"padded split SELL K_loc={Ap32.A_loc.K} K_gst={Ap32.B.K} "
-             f"E_gst={Ap32.B.E}")
+        note(f"padded fused SELL E={Ap32.Ac.E} K={Ap32.Ac.K}")
         A_fn, A_ops = Ap32.operator()
         # production preconditioner: padded-space TWO-LEVEL Schwarz
         # (restricted dense-block level 1 with the bf16 inverse store +
@@ -256,6 +268,30 @@ def main():
         res = iterative_refinement(Kb.matvec, inner, bb, tol=1e-8)
         ir_s = time.perf_counter() - t0
         note("IR done")
+        # setup compile-vs-compute split (round-4 weak item 3): a SECOND
+        # build in-process reuses every compiled program, so its wall
+        # time is the COMPUTE component; cold − warm ≈ compile+transfer
+        warm = {}
+        if have_time(120 if on_tpu else 10):
+            t0 = time.perf_counter()
+            db_w = DenseBlockSpMV.from_csr(Kb, cluster, dtype=jnp.float32)
+            warm["blocks"] = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            Ap_w = PaddedSplitSpMV(Kb, db_w, dtype=jnp.float32)
+            warm["padded_sell"] = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            prec_w = PaddedTwoLevelSchwarz(Kb, part, db_w,
+                                           dirichlet_mask=mask_d,
+                                           level_combination="Additive",
+                                           l1_store_dtype=jnp.bfloat16,
+                                           coarse_store_dtype=jnp.bfloat16,
+                                           A_padded_op=(A_fn, A_ops))
+            warm["level1"] = prec_w.timings["level1_s"]
+            warm["gdsw"] = prec_w.timings["gdsw_s"]
+            warm["coarse_layout"] = prec_w.timings["coarse_layout_s"]
+            warm["total"] = sum(warm.values())
+            note(f"WARM setup (compute component): "
+                 + " ".join(f"{k}={v:.1f}s" for k, v in warm.items()))
         extra.update({
             "spmv_schwarz_apply_ms": round(dt_ma * 1e3, 3),
             "spmv_schwarz_nnz_per_s": round(ma_nnz_per_s),
@@ -277,9 +313,48 @@ def main():
             "ir_inner_iters": res.iters,
             "ir_relres": float(res.relres),
             "ir_total_s": round(ir_s, 2),
+            "setup_warm_s": {k: round(v, 2) for k, v in warm.items()},
         })
     else:
         extra["skipped"].append("two_level_ir")
+
+    # ---- extra 3b: UNSTRUCTURED SpMV — RCM-banded DIA+SELL split -----------
+    # (round-4 verdict item 3: unstructured meshes are the reference's
+    # normal case; format answer, not kernel tuning)
+    if have_time(180 if on_tpu else 25):
+        from feddlib_tpu.la.dia import SplitDiaMatrix
+        from feddlib_tpu.mesh.refine import refine_uniform
+
+        dom_u0 = Domain.from_file("/root/reference/meshes/cube4.mesh")
+        mesh_u = refine_uniform(dom_u0.mesh) if on_tpu else dom_u0.mesh
+        dom_u = Domain(mesh_u)
+        Ku = host_lin_elasticity_p1(dom_u, mu=1.0, lam=1.0)
+        note(f"unstructured operator n={Ku.shape[0]} nnz={Ku.nnz} "
+             f"({mesh_u.n_points} nodes)")
+        t0 = time.perf_counter()
+        Su = SplitDiaMatrix.from_csr(Ku, dtype=jnp.float32, dofs_per_node=3,
+                                     min_occupancy=0.3, min_dia_share=0.05)
+        t_su = time.perf_counter() - t0
+        if Su is not None:
+            fn_u, ops_u = Su.permuted_operator()
+            dt_u = time_chain(fn_u, ops_u, (3, Su.nn),
+                              *((5, 205) if on_tpu else (2, 6)),
+                              label="unstructured")
+            u_nnz_per_s = Ku.nnz / dt_u
+            note(f"unstructured split spmv {dt_u*1e3:.3f} ms = "
+                 f"{u_nnz_per_s/1e9:.2f} Gnnz/s (dia share "
+                 f"{Su.dia_share:.2f}, setup {t_su:.1f}s)")
+            extra.update({
+                "unstructured_nnz": Ku.nnz,
+                "unstructured_nnz_per_s": round(u_nnz_per_s),
+                "unstructured_spmv_ms": round(dt_u * 1e3, 3),
+                "unstructured_dia_share": round(Su.dia_share, 3),
+                "unstructured_bytes_per_nnz": round(
+                    Su.hbm_bytes_per_apply() / Ku.nnz, 2),
+                "unstructured_format": "SplitDiaMatrix",
+            })
+    else:
+        extra["skipped"].append("unstructured")
 
     # ---- extra 3: general-format windowed sliced-ELL -----------------------
     if have_time(45 if on_tpu else 10):
@@ -290,7 +365,7 @@ def main():
              f"spill={spill} bytes/nnz={sell_bpn:.2f}")
         fn_s, ops_s = A32.operator()
         dt_s = time_chain(fn_s, ops_s, dom_h.n_nodes,
-                          *((5, 205) if on_tpu else (2, 12)))
+                          *((5, 205) if on_tpu else (2, 12)), label="sell")
         sell_nnz_per_s = nnz_h / dt_s
         note(f"SELL spmv {dt_s*1e3:.3f} ms = "
              f"{sell_nnz_per_s/1e9:.2f} Gnnz/s "
@@ -364,6 +439,7 @@ def main():
         extra["skipped"].append("assembly")
 
     extra["compile_s"] = compile_s
+    extra["repeat_stats"] = repeat_stats
     print(json.dumps({
         "metric": "spmv_nnz_per_s_f32_auto",
         "value": round(nnz_per_s),

@@ -193,8 +193,16 @@ class DenseBlockSpMV:
         gc = (guniq % M).astype(np.int64)
         gcounts = np.bincount(gp, minlength=P)
         G = max(int(gcounts.max()) if len(gcounts) else 1, 1)
-        # align the block width R+G to 128 lanes (Pallas/Mosaic tiling)
-        G = _round_up(R + G, 128) - R
+        # width alignment: 8 sublanes — but NOT a multiple of 128 lanes.
+        # Measured on v5e (round 5, [544,128,W] bf16 batched matvec inside
+        # a fori_loop): W % 128 == 0 runs the plain HBM-streamed pipeline
+        # (~78-100 us), while any 8-aligned non-128-multiple W lets XLA
+        # promote the loop-invariant inverse into VMEM (~35-45 us, above
+        # the HBM roofline — the win of v5e's large VMEM for
+        # loop-invariant preconditioner data).
+        G = _round_up(R + G, 8) - R
+        if (R + G) % 128 == 0:
+            G += 8
         gstart = np.concatenate([[0], np.cumsum(gcounts)])
         gpos = np.arange(len(guniq)) - gstart[gp]
 
@@ -469,8 +477,14 @@ def dense_block_schwarz_op(ops, rp):
     ghosts = _gather_ghosts(ghost_idx, ghost_plan, rp)
     rs = jnp.concatenate([r_own, ghosts], axis=1)  # [P, W]
     if inv.dtype != rs.dtype:  # low-precision storage, f32 accumulation
-        z = jnp.einsum("prw,pw->pr", inv, rs.astype(inv.dtype),
-                       preferred_element_type=rs.dtype)
+        from feddlib_tpu.la.pallas_kernels import (
+            dense_block_mv_lowp_pallas, use_pallas_lowp)
+
+        if use_pallas_lowp(inv.dtype, R):
+            z = dense_block_mv_lowp_pallas(inv, rs)
+        else:
+            z = jnp.einsum("prw,pw->pr", inv, rs.astype(inv.dtype),
+                           preferred_element_type=rs.dtype)
     else:
         z = _batched_gemv(inv, rs)  # [P, R]
     return z.reshape(-1)  # Restricted combine = owned rows only

@@ -385,16 +385,276 @@ def _block_apply_planar(vals, s_rows, s_cols, s_vals, xc, d, offsets):
     return y.astype(out_dtype)
 
 
+class SplitDiaMatrix:
+    """RCM-banded (block-)DIA + windowed-SELL residue for UNSTRUCTURED
+    operators — the format answer to the general SELL kernel being
+    VPU-issue-bound (~15 Gnnz/s, round-4 ablation), not HBM-bound.
+
+    RCM reordering concentrates most nnz of an unstructured FE operator
+    onto O(1) near diagonals; those stream through the gather-free
+    (Block)DiaMatrix path at HBM bandwidth (~100+ Gnnz/s) and only the
+    residue pays the SELL gather loop — and with the dense diagonals
+    removed, the residue's slots-per-row (K passes) shrink too.
+    A node diagonal is kept when its occupancy clears `min_occupancy`:
+    the marginal DIA rate is BW·occ/4 B, which beats the ~15 Gnnz/s SELL
+    rate down to occ ≈ 0.07; 0.15 leaves margin for the pass overhead.
+
+    The operator lives in RCM-PERMUTED (and, for d > 1, PLANAR [d, nn])
+    space; `operator()` wraps it with one fused PermutationGather each
+    way (interleaved NodeWise in/out — drop-in for the Krylov paths),
+    `permuted_operator()` exposes the raw form for whole-loop use.
+
+    Reference role: Tpetra CrsMatrix::apply on unstructured meshes
+    (Matrix_decl.hpp:116-120)."""
+
+    def __init__(self, dia_part, sell_part, d, nn, node_perm, sel_dia,
+                 sel_res, nnz, dtype, gin, gout):
+        self.dia = dia_part          # DiaMatrix (d=1) | BlockDiaMatrix
+        self.sell = sell_part        # SellMatrix | BlockSellMatrix | None
+        self.d = d
+        self.nn = nn
+        self.shape = (nn * d, nn * d)
+        self.node_perm = node_perm
+        self.sel_dia = sel_dia       # original CSR positions per part
+        self.sel_res = sel_res
+        self._sel_dia_dev = None
+        self._sel_res_dev = None
+        self.nnz = nnz
+        self.dtype = dtype
+        self.gin = gin               # PermutationGather in/out plans
+        self.gout = gout
+
+    @classmethod
+    def from_csr(cls, A, dtype=jnp.float32, dofs_per_node: int = 1,
+                 min_occupancy: float = 0.15, max_offsets: int = 96,
+                 min_dia_share: float = 0.25):
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+        import scipy.sparse as sps
+
+        from feddlib_tpu.la.permute import PermutationGather
+        from feddlib_tpu.la.sell import BlockSellMatrix, SellMatrix
+
+        is_fedd = hasattr(A, "to_scipy")
+        sp = (A.to_scipy() if is_fedd else A).tocsr()
+        sp.sort_indices()
+        n = sp.shape[0]
+        d = int(dofs_per_node)
+        if sp.shape[0] != sp.shape[1] or n == 0 or n % max(d, 1):
+            return None
+        nn = n // d
+        data_np = np.asarray(sp.data)
+
+        # node-graph RCM (symmetric pattern)
+        if d > 1:
+            row = np.repeat(np.arange(n, dtype=np.int64), np.diff(sp.indptr))
+            ng = sps.csr_matrix(
+                (np.ones(sp.nnz, np.int8), (row // d, sp.indices // d)),
+                shape=(nn, nn))
+        else:
+            ng = sp
+        node_perm = np.asarray(
+            reverse_cuthill_mckee(ng.tocsr(), symmetric_mode=True),
+            dtype=np.int64)
+        dof_perm = ((node_perm[:, None] * d
+                     + np.arange(d)[None, :]).reshape(-1) if d > 1
+                    else node_perm)
+
+        # permute WITH original-position tracking (with_data plans)
+        pos = sp.copy()
+        pos.data = np.arange(sp.nnz, dtype=np.int64) + 1
+        pos_p = pos[dof_perm][:, dof_perm].tocsr()
+        pos_p.sort_indices()
+        opos = pos_p.data - 1
+        rowp = np.repeat(np.arange(n, dtype=np.int64), np.diff(pos_p.indptr))
+        colp = pos_p.indices.astype(np.int64)
+
+        # node-offset occupancy → kept diagonals
+        noff = colp // d - rowp // d
+        uoff, inv, counts = np.unique(noff, return_inverse=True,
+                                      return_counts=True)
+        slots = np.maximum(nn - np.abs(uoff), 1) * d * d
+        occ = counts / slots
+        cand = np.flatnonzero(occ >= min_occupancy)
+        if len(cand) > max_offsets:
+            cand = cand[np.argsort(-occ[cand], kind="stable")[:max_offsets]]
+        keep = np.zeros(len(uoff), np.bool_)
+        keep[cand] = True
+        in_dia = keep[inv]
+        covered = int(in_dia.sum())
+        if covered < min_dia_share * sp.nnz:
+            return None  # not diagonal-concentrated even under RCM
+
+        def _sub(mask):
+            """Sub-CSR of the permuted matrix + the ORIGINAL CSR position
+            per entry, in the sub's canonical (row-major) data order —
+            the with_data plan."""
+            r, c, o = rowp[mask], colp[mask], opos[mask]
+            srt = np.lexsort((c, r))
+            return (sps.csr_matrix((data_np[o[srt]], (r[srt], c[srt])),
+                                   shape=(n, n)), o[srt])
+
+        sub_dia, sel_dia = _sub(in_dia)
+        if d > 1:
+            dia_part = BlockDiaMatrix.from_csr(
+                sub_dia, d, dtype=dtype, max_offsets=len(cand) + 1,
+                coverage=0.0, max_bytes_per_nnz=1e12)
+        else:
+            dia_part = DiaMatrix.from_csr(
+                sub_dia, dtype=dtype, max_offsets=len(cand) + 1,
+                coverage=0.0, max_bytes_per_nnz=1e12)
+        if dia_part is None:
+            return None
+        if dia_part.spill_rows is not None:
+            return None  # by construction the sub is pure-diagonal
+
+        if int((~in_dia).sum()):
+            sub_res, sel_res = _sub(~in_dia)
+            sell_part = (BlockSellMatrix.from_csr(sub_res, d, dtype=dtype)
+                         if d > 1 else
+                         SellMatrix.from_csr(sub_res, dtype=dtype))
+            if sell_part is None and d > 1:
+                # partial blocks in the residue: planar-indexed scalar SELL
+                m = ~in_dia
+                r_pl = (rowp[m] % d) * nn + rowp[m] // d
+                c_pl = (colp[m] % d) * nn + colp[m] // d
+                order = np.lexsort((c_pl, r_pl))
+                sub_pl = sps.csr_matrix(
+                    (data_np[opos[m]][order], (r_pl[order], c_pl[order])),
+                    shape=(n, n))
+                sell_part = SellMatrix.from_csr(sub_pl, dtype=dtype)
+                sel_res = opos[m][order]
+        else:
+            sell_part = None
+            sel_res = np.zeros(0, np.int64)
+
+        # fused entry/exit gathers: interleaved NodeWise original order ↔
+        # permuted (planar for d > 1) operator space
+        inode = np.empty(nn, np.int64)
+        inode[node_perm] = np.arange(nn)
+        if d > 1:
+            cc, ii = np.meshgrid(np.arange(d), np.arange(nn), indexing="ij")
+            idx_in = (node_perm[ii] * d + cc).reshape(-1)  # [d*nn] planar
+            no, co = np.meshgrid(np.arange(nn), np.arange(d), indexing="ij")
+            idx_out = (co * nn + inode[no]).reshape(-1)    # [nn*d]
+        else:
+            idx_in, idx_out = node_perm, inode
+        gin = PermutationGather(idx_in, n)
+        gout = PermutationGather(idx_out, n)
+        return cls(dia_part, sell_part, d, nn, node_perm, sel_dia,
+                   sel_res, sp.nnz, dtype, gin, gout)
+
+    @property
+    def dia_share(self) -> float:
+        return len(self.sel_dia) / max(self.nnz, 1)
+
+    def with_data(self, data: jnp.ndarray) -> "SplitDiaMatrix":
+        d_arr = jnp.asarray(data)
+        if self._sel_dia_dev is None:
+            self._sel_dia_dev = jnp.asarray(self.sel_dia)
+            self._sel_res_dev = (jnp.asarray(self.sel_res)
+                                 if len(self.sel_res) else None)
+        new_dia = self.dia.with_data(d_arr[self._sel_dia_dev])
+        new_sell = (self.sell.with_data(d_arr[self._sel_res_dev])
+                    if self.sell is not None else None)
+        out = SplitDiaMatrix(new_dia, new_sell, self.d, self.nn,
+                             self.node_perm, self.sel_dia, self.sel_res,
+                             self.nnz, self.dtype, self.gin, self.gout)
+        out._sel_dia_dev = self._sel_dia_dev
+        out._sel_res_dev = self._sel_res_dev
+        return out
+
+    def _part_ops(self):
+        if self.d > 1:
+            dia_fn, dia_ops = self.dia.planar_operator()
+            if self.sell is None:
+                sell_fn = None
+                sell_ops = ()
+            elif hasattr(self.sell, "planar_operator"):
+                sell_fn, sell_ops = self.sell.planar_operator()
+            else:  # planar-indexed scalar SELL: flat [d*nn] in/out
+                sf, sell_ops = self.sell.operator()
+                nn = self.nn
+
+                def sell_fn(ops, xc):
+                    return sf(ops, xc.reshape(-1)).reshape(-1, nn)
+            return dia_fn, dia_ops, sell_fn, sell_ops
+        dia_fn, dia_ops = self.dia.operator()
+        sell_fn, sell_ops = (self.sell.operator() if self.sell is not None
+                             else (None, ()))
+        return dia_fn, dia_ops, sell_fn, sell_ops
+
+    def permuted_operator(self):
+        """(fn, ops) in the RCM-permuted (planar for d>1) space: x is
+        [d, nn] planar (d>1) or [n] (d=1)."""
+        dia_fn, dia_ops, sell_fn, sell_ops = self._part_ops()
+        key = ("split-perm", id(dia_fn), id(sell_fn))
+        fn = _op_fn_cache.get(key)
+        if fn is None:
+            if sell_fn is None:
+                def fn(ops, x):
+                    return dia_fn(ops[0], x)
+            else:
+                def fn(ops, x):
+                    return dia_fn(ops[0], x) + sell_fn(ops[1], x)
+
+            _op_fn_cache[key] = fn
+        return fn, (dia_ops, sell_ops)
+
+    def operator(self):
+        """(fn, ops) on interleaved NodeWise vectors in the ORIGINAL
+        numbering — one fused permutation gather each way."""
+        p_fn, _ = self.permuted_operator()
+        gin_fn, gin_ops = self.gin.operator()
+        gout_fn, gout_ops = self.gout.operator()
+        d, nn = self.d, self.nn
+        key = ("split", id(p_fn), id(gin_fn), id(gout_fn), d, nn)
+        fn = _op_fn_cache.get(key)
+        if fn is None:
+            def fn(ops, x):
+                p_ops, gi, go = ops
+                xp = gin_fn(gi, x)
+                if d > 1:
+                    xp = xp.reshape(d, nn)
+                y = p_fn(p_ops, xp)
+                return gout_fn(go, y.reshape(-1))
+
+            _op_fn_cache[key] = fn
+        p2_fn, p_ops = self.permuted_operator()
+        return fn, (p_ops, gin_ops, gout_ops)
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        fn, ops = self.operator()
+        return fn(ops, jnp.asarray(x))
+
+    def to_permuted(self, x: jnp.ndarray):
+        y = self.gin(jnp.asarray(x))
+        return y.reshape(self.d, self.nn) if self.d > 1 else y
+
+    def from_permuted(self, y: jnp.ndarray) -> jnp.ndarray:
+        return self.gout(jnp.asarray(y).reshape(-1))
+
+    def hbm_bytes_per_apply(self) -> int:
+        b = self.dia.hbm_bytes_per_apply()
+        if self.sell is not None:
+            b += self.sell.hbm_bytes_per_apply()
+        b += 2 * self.shape[0] * 6  # entry/exit permutation gathers
+        return b
+
+
 def auto_spmv(A, dtype=jnp.float32, order=None, dofs_per_node=1):
-    """Pick the fastest TPU SpMV operator for this matrix: block-DIA for
-    vector-field operators on banded node patterns, DIA when the scalar
-    pattern is diagonal-concentrated (structured grids), windowed
-    sliced-ELL otherwise.  All expose the same (operator()/matvec/
-    with_data/hbm_bytes_per_apply) surface."""
+    """Pick the fastest TPU SpMV operator for this matrix: (block-)DIA
+    for banded node patterns (structured grids), the RCM-banded
+    DIA+SELL split for unstructured patterns that concentrate under
+    reordering, windowed sliced-ELL otherwise.  All expose the same
+    (operator()/matvec/with_data/hbm_bytes_per_apply) surface."""
     if dofs_per_node > 1:
         bdia = BlockDiaMatrix.from_csr(A, dofs_per_node, dtype=dtype)
         if bdia is not None:
             return bdia
+        split = SplitDiaMatrix.from_csr(A, dtype=dtype,
+                                        dofs_per_node=dofs_per_node)
+        if split is not None:
+            return split
         from feddlib_tpu.la.sell import BlockSellMatrix
 
         bsell = BlockSellMatrix.from_csr(A, dofs_per_node, dtype=dtype)
@@ -403,6 +663,10 @@ def auto_spmv(A, dtype=jnp.float32, order=None, dofs_per_node=1):
     dia = DiaMatrix.from_csr(A, dtype=dtype)
     if dia is not None:
         return dia
+    if dofs_per_node == 1:
+        split = SplitDiaMatrix.from_csr(A, dtype=dtype)
+        if split is not None:
+            return split
     from feddlib_tpu.la.sell import SellMatrix
 
     return SellMatrix.from_csr(A, dtype=dtype, order=order)

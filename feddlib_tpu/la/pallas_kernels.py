@@ -45,6 +45,57 @@ def dense_block_mv_pallas(blocks, xs):
     return y3.reshape(P, R)
 
 
+def dense_block_mv_lowp_pallas(blocks, xs):
+    """blocks [P, R, W] low-precision store (bf16), xs [P, W] f32 →
+    y [P, R] f32 — the level-1 Schwarz batched matvec.
+
+    dot_general per nblk-block with f32 accumulation; BIT-EXACT vs
+    `einsum(..., preferred_element_type=f32)` (validated on v5e).  Paired
+    with the W % 128 != 0 width rule (la/dense_blocks.from_csr): the
+    loop-invariant inverse gets VMEM-promoted and the apply runs ABOVE
+    the HBM roofline (measured 35-45 us vs 78-100 for the einsum at
+    [544, 128, 368])."""
+    from jax.experimental import pallas as pl
+
+    P, R, W = blocks.shape
+    nblk = next(b for b in (16, 8, 4, 2, 1) if P % b == 0)
+
+    def _k(x_ref, b_ref, o_ref):
+        y = jax.lax.dot_general(b_ref[...], x_ref[...],
+                                (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        o_ref[...] = y.transpose(0, 2, 1)
+
+    with jax.enable_x64(False):
+        y3 = pl.pallas_call(
+            _k,
+            out_shape=jax.ShapeDtypeStruct((P, 1, R), jnp.float32),
+            grid=(P // nblk,),
+            in_specs=[pl.BlockSpec((nblk, 1, W), lambda p: (p, 0, 0)),
+                      pl.BlockSpec((nblk, R, W), lambda p: (p, 0, 0))],
+            out_specs=pl.BlockSpec((nblk, 1, R), lambda p: (p, 0, 0)),
+        )(xs.reshape(P, 1, W).astype(blocks.dtype), blocks)
+    return y3.reshape(P, R)
+
+
+def use_pallas_lowp(store_dtype, R) -> bool:
+    """Route the LOW-PRECISION-store batched matvec through Pallas
+    (default ON for bf16 on TPU; opt out with FEDD_NO_PALLAS_L1=1).
+    Unlike the f32 kernel below (loop-aliasing defect under while_loop
+    buffer reuse), this kernel is bit-exact vs the einsum and validated
+    inside fori_loop chains and the GMRES IR anchor on v5e."""
+    import os
+
+    if os.environ.get("FEDD_NO_PALLAS_L1") == "1":
+        return False
+    try:
+        return (jnp.dtype(store_dtype) == jnp.bfloat16 and R % 8 == 0
+                and jax.default_backend() not in ("cpu",)
+                and pallas_available())
+    except Exception:
+        return False
+
+
 def pallas_available() -> bool:
     try:
         from jax.experimental import pallas  # noqa: F401

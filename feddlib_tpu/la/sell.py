@@ -434,28 +434,20 @@ def sell_padded_from(A, db, dtype=jnp.float32, K=12):
 
 
 class PaddedSplitSpMV:
-    """Padded-space SpMV split into a same-cluster LOCAL part and a
-    compact-column GHOST part.
+    """Padded-space SpMV as ONE fused windowed-SELL over [xp ++ g(xp)].
 
     The padded-cluster permutation scatters the ghost-column support of
     each row chunk across many 128-blocks, driving the windowed-SELL pass
-    count to K≈12 (vs 4-7 in natural order) — and the K-pass select loop
-    is the kernel's cost.  Split instead:
+    count to K≈12 (vs 4-7 in natural order).  Round 4 split the operator
+    into a block-diagonal LOCAL part (K≈2) and a compact-ghost part
+    (K≈5); round 5 fuses the two into a SINGLE SELL whose column space is
+    [padded ids 0..M) ++ [compact ghost ids M..M+P·G): same K budget, one
+    kernel pass, one output — measured 151 (monolithic) → 121 (split) →
+    105 us (fused) on the 69k anchor at P=512.
 
-      y = A_loc xp  +  B g(xp)
+      y = [A_loc | B] · concat(xp, g(xp)),   g = the one-pass
+      permutation-gather of the cluster ghost values (la/permute.py).
 
-    - A_loc: entries whose column lies in the row's own cluster — block-
-      diagonal in padded space, so each chunk's windows stay inside its
-      1-2 clusters (K≈4);
-    - g(xp): the cluster ghost values [P·G] fetched by the one-pass
-      permutation-gather kernel (la/permute.py, the same plan the
-      dense-block Schwarz level uses);
-    - B: the cross-cluster entries with columns REMAPPED to the compact
-      ghost space p·G + j (each row's ghosts live in its own G-span,
-      K≈3-4, short rows ⇒ small E).
-
-    Measured (v5e, 69k anchor, P=512, feedback-loop harness): 151 us
-    (monolithic K=12) → 121 us (K_loc=2, K_gst=5, zero spill).
     with_data() supports Newton/time reassembly."""
 
     def __init__(self, A, db, dtype=jnp.float32):
@@ -471,18 +463,8 @@ class PaddedSplitSpMV:
         pc = pad_of_old[sp.col]
         own = (pc // R) == (pr // R)
 
-        loc = sps.csr_matrix(
-            (np.asarray(sp.data)[own], (pr[own], pc[own])), shape=(M, M))
-        self.A_loc = SellMatrix.from_csr(loc, dtype=dtype)
-        # original-CSR slots of the local entries, ordered as loc's CSR
-        pos = sps.csr_matrix(
-            (np.flatnonzero(own).astype(np.int64) + 1,
-             (pr[own], pc[own])), shape=(M, M)).tocsr()
-        pos.sort_indices()
-        self._loc_sel = jnp.asarray(np.asarray(pos.data) - 1)
-
-        # ghost part: columns -> compact ghost-space ids via the cluster's
-        # ghost list (sorted padded ids per cluster)
+        # ghost columns -> compact ghost-space ids M + p*G + j via the
+        # cluster's ghost list (sorted padded ids per cluster)
         gi = np.asarray(db.ghost_idx)          # [P, G] padded ids (pad M)
         rows_g = pr[~own]
         cols_g = pc[~own]
@@ -491,15 +473,15 @@ class PaddedSplitSpMV:
         for p in np.unique(pcl):
             sel = pcl == p
             j[sel] = np.searchsorted(gi[p], cols_g[sel])
-        gcols = pcl * G + j
-        B = sps.csr_matrix(
-            (np.asarray(sp.data)[~own], (rows_g, gcols)), shape=(M, P * G))
-        self.B = SellMatrix.from_csr(B, dtype=dtype)
-        posb = sps.csr_matrix(
-            (np.flatnonzero(~own).astype(np.int64) + 1,
-             (rows_g, gcols)), shape=(M, P * G)).tocsr()
-        posb.sort_indices()
-        self._gst_sel = jnp.asarray(np.asarray(posb.data) - 1)
+        rows = np.concatenate([pr[own], rows_g])
+        cols = np.concatenate([pc[own], M + pcl * G + j])
+        opos = np.concatenate([np.flatnonzero(own), np.flatnonzero(~own)])
+        srt = np.lexsort((cols, rows))
+        comb = sps.csr_matrix(
+            (np.asarray(sp.data)[opos[srt]], (rows[srt], cols[srt])),
+            shape=(M, M + P * G))
+        self.Ac = SellMatrix.from_csr(comb, dtype=dtype)
+        self._sel = jnp.asarray(opos[srt])
         self.ghost_plan = db.ghost_plan
         self.P, self.G = P, G
         self.nnz = sp.nnz
@@ -508,28 +490,26 @@ class PaddedSplitSpMV:
         d = jnp.asarray(data)
         new = object.__new__(PaddedSplitSpMV)
         new.__dict__.update(self.__dict__)
-        new.A_loc = self.A_loc.with_data(d[self._loc_sel])
-        new.B = self.B.with_data(d[self._gst_sel])
+        new.Ac = self.Ac.with_data(d[self._sel])
         return new
 
     def operands(self):
-        return (self.A_loc.operands(), self.B.operands(), self.ghost_plan)
+        return (self.Ac.operands(), self.ghost_plan)
 
     def operator(self):
-        loc_fn, _ = self.A_loc.operator()
-        b_fn, _ = self.B.operator()
-        key = ("split", self.shape[0], self.P, self.G,
-               self.A_loc.E, self.A_loc.K, self.B.E, self.B.K)
+        c_fn, _ = self.Ac.operator()
+        key = ("splitf", self.shape[0], self.P, self.G,
+               self.Ac.E, self.Ac.K)
         fn = _op_fn_cache.get(key)
         if fn is None:
             P, G = self.P, self.G
 
             def fn(ops, xp):
-                loc_ops, b_ops, gplan = ops
+                c_ops, gplan = ops
                 from feddlib_tpu.la.permute import _permute_apply
 
                 g = _permute_apply(*gplan, xp, P * G, xp.shape[0])
-                return loc_fn(loc_ops, xp) + b_fn(b_ops, g)
+                return c_fn(c_ops, jnp.concatenate([xp, g]))
 
             _op_fn_cache[key] = fn
         return fn, self.operands()
@@ -539,8 +519,7 @@ class PaddedSplitSpMV:
         return _jit_by_key(fn)(ops, jnp.asarray(xp))
 
     def hbm_bytes_per_apply(self) -> int:
-        return (self.A_loc.hbm_bytes_per_apply()
-                + self.B.hbm_bytes_per_apply())
+        return self.Ac.hbm_bytes_per_apply() + self.P * self.G * 6
 
 
 @partial(jax.jit, static_argnames=("size",))

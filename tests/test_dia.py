@@ -71,10 +71,14 @@ def test_dia_spill_is_exact():
 
 
 def test_auto_spmv_rejects_unstructured_and_uses_sell():
+    # unstructured scalar: no plain DIA; RCM split (round 5) or SELL
+    from feddlib_tpu.la.dia import SplitDiaMatrix
+
     dom = Domain.from_file("/root/reference/meshes/cube_131.mesh")
     K = ops.assemble_laplace(dom)
     A = auto_spmv(K, dtype=jnp.float32)
-    assert isinstance(A, SellMatrix)
+    assert isinstance(A, (SplitDiaMatrix, SellMatrix))
+    assert not isinstance(A, DiaMatrix)
     sp = K.to_scipy().tocsr()
     x = np.random.RandomState(3).rand(sp.shape[0]).astype(np.float32)
     y = np.asarray(A.matvec(jnp.asarray(x)))
@@ -136,3 +140,51 @@ def test_host_elasticity_matches_fe_path():
         assert K.nnz == Kh.nnz
         assert np.array_equal(K.indices, Kh.indices)
         assert np.abs(K.data - Kh.data).max() < 1e-12
+
+
+def test_split_dia_matches_csr_scalar_unstructured():
+    """SplitDiaMatrix (RCM-banded DIA + SELL residue) equals the CSR
+    apply on an unstructured scalar operator, including with_data."""
+    from feddlib_tpu.fe import ops
+    from feddlib_tpu.fe.domain import Domain
+    from feddlib_tpu.la.dia import SplitDiaMatrix
+
+    dom = Domain.from_file("/root/reference/meshes/cube3.mesh")
+    K = ops.assemble_laplace(dom)
+    S = SplitDiaMatrix.from_csr(K, dtype=jnp.float64, min_dia_share=0.1)
+    assert S is not None and S.dia_share > 0.1
+    sp = K.to_scipy().tocsr()
+    x = np.random.default_rng(0).standard_normal(K.shape[0])
+    y_ref = sp @ x
+    y = np.asarray(S.matvec(jnp.asarray(x)))
+    assert np.abs(y - y_ref).max() / np.abs(y_ref).max() < 1e-13
+    S2 = S.with_data(K.data * 2.5)
+    y2 = np.asarray(S2.matvec(jnp.asarray(x)))
+    assert np.abs(y2 - 2.5 * y_ref).max() / np.abs(y_ref).max() < 1e-13
+    # permuted-space operator: conjugation identity
+    yp = np.asarray(S.from_permuted(
+        S.permuted_operator()[0](S.permuted_operator()[1],
+                                 S.to_permuted(jnp.asarray(x)))))
+    assert np.abs(yp - y_ref).max() / np.abs(y_ref).max() < 1e-13
+
+
+def test_split_dia_matches_csr_vector_unstructured():
+    """Vector-field split (block-DIA + block-SELL residue, planar
+    internals) equals the CSR apply on unstructured 3D elasticity."""
+    from feddlib_tpu.fe import ops
+    from feddlib_tpu.fe.domain import Domain
+    from feddlib_tpu.la.dia import SplitDiaMatrix
+
+    dom = Domain.from_file("/root/reference/meshes/cube3.mesh")
+    K = ops.assemble_lin_elasticity(dom, 37.0, 11.0)
+    S = SplitDiaMatrix.from_csr(K, dtype=jnp.float64, dofs_per_node=3,
+                                min_dia_share=0.1)
+    assert S is not None and S.dia_share > 0.1
+    sp = K.to_scipy().tocsr()
+    x = np.random.default_rng(1).standard_normal(K.shape[0])
+    y_ref = sp @ x
+    y = np.asarray(S.matvec(jnp.asarray(x)))
+    assert np.abs(y - y_ref).max() / np.abs(y_ref).max() < 1e-13
+    S2 = S.with_data(K.data * 3.0)
+    y2 = np.asarray(S2.matvec(jnp.asarray(x)))
+    assert np.abs(y2 - 3.0 * y_ref).max() / np.abs(y_ref).max() < 1e-13

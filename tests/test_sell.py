@@ -203,16 +203,24 @@ def test_block_sell_refuses_non_blocked_patterns():
     assert BlockSellMatrix.from_csr(sp, 3) is None
 
 
-def test_auto_spmv_block_sell_for_unstructured_vector():
+def test_auto_spmv_split_for_unstructured_vector():
+    """Unstructured vector operators route to the RCM-banded DIA+SELL
+    split (round 5; block-SELL remains the fallback when the pattern
+    does not concentrate under RCM)."""
     from feddlib_tpu.fe import ops
     from feddlib_tpu.fe.domain import Domain
-    from feddlib_tpu.la.dia import auto_spmv
+    from feddlib_tpu.la.dia import SplitDiaMatrix, auto_spmv
     from feddlib_tpu.la.sell import BlockSellMatrix
 
     dom = Domain.from_file("/root/reference/meshes/cube_131.mesh")
     K = ops.assemble_lin_elasticity(dom, 1.0, 1.0)
-    A = auto_spmv(K, dtype=jnp.float32, dofs_per_node=3)
-    assert isinstance(A, BlockSellMatrix)
+    A = auto_spmv(K, dtype=jnp.float64, dofs_per_node=3)
+    assert isinstance(A, (SplitDiaMatrix, BlockSellMatrix))
+    sp = K.to_scipy().tocsr()
+    x = np.random.default_rng(2).standard_normal(K.shape[0])
+    y = np.asarray(A.matvec(jnp.asarray(x)))
+    y_ref = sp @ x
+    assert np.abs(y - y_ref).max() / np.abs(y_ref).max() < 1e-12
 
 
 def test_padded_split_spmv_matches_monolithic():
@@ -231,7 +239,7 @@ def test_padded_split_spmv_matches_monolithic():
     db = DenseBlockSpMV.from_csr(K, cluster, dtype=jnp.float32)
     mono = sell_padded_from(K, db, dtype=jnp.float32)
     split = PaddedSplitSpMV(K, db, dtype=jnp.float32)
-    assert split.A_loc.K <= mono.K
+    assert split.Ac.K <= mono.K + 1  # fused [A_loc | B] single kernel
     rng = np.random.default_rng(0)
     xp = jnp.asarray(rng.standard_normal(db.P * db.R), jnp.float32)
     y0 = np.asarray(mono.matvec(xp))
