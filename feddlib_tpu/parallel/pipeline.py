@@ -110,9 +110,21 @@ class _BlockDef:
     params: dict
     row_dofs: np.ndarray  # [E, nr] merged-global row dof ids
     col_dofs: np.ndarray  # [E, nc] merged-global col dof ids
-    needs_field: Optional[int] = None  # variable index of the field (u)
-    field_src: str = "x"  # "x" (slice of solution) or "ext:<name>"
+    #: element fields the kernel consumes, in argument order: each entry
+    #: is (variable index, source) with source "x" (solution slice) or
+    #: "ext:<name>" (assemble(ext_fields=...)).  Single-field kinds
+    #: (advection, hyperelastic, ...) have one entry.
+    fields: List[Tuple[int, str]] = field(default_factory=list)
     mesh: int = 0         # element-mesh index (0 = main partition)
+    geom: str = "current"  # "current" | "ref" (reference-configuration vc)
+
+    @property
+    def needs_field(self):  # back-compat single-field view
+        return self.fields[0][0] if self.fields else None
+
+    @property
+    def field_src(self):
+        return self.fields[0][1] if self.fields else "x"
 
 
 @dataclass
@@ -292,6 +304,39 @@ def _block_eval(kind: str, dim: int, fe_r: str, fe_c: str, params: dict):
                 asm.elem_advection_in_u(vc, ue, dim, fe_r)) * coeff
 
         return f
+    if kind in ("shape_u", "shape_p"):
+        # GI shape-derivative blocks ∂(fluid residual)/∂(mesh displacement)
+        # differentiated INSIDE the device kernel (jax.jacfwd of the same
+        # element residual the serial fe/shape_derivatives path uses) —
+        # the reference's DK/DN/DW/DP/DM + divergence shape derivative
+        # (FE_def.hpp:3410-4246, FSI_def.hpp:567-577).
+        from feddlib_tpu.fe.shape_derivatives import _fluid_elem_residual
+
+        fe_u = params["_fe_u"]
+        fe_p = params["_fe_p"]
+        mu = float(params.get("viscosity", 1.0))
+        rho = float(params.get("density", 1.0))
+        dt = float(params["dt"])
+        mass_coef = float(params.get("mass_coef", 0.0))
+        res = _fluid_elem_residual(dim, fe_u, fe_p, mu, rho, dt, mass_coef)
+        want_u = kind == "shape_u"
+
+        def f(vc_ref, u_e, p_e, g_e, gp_e, uo_e):
+            p_e = p_e[..., 0]  # [E, nb_p, 1] → [E, nb_p]
+            nbu = u_e.shape[1] * u_e.shape[2]
+
+            def per_elem(rv, ue, pe, ge, gpe, uoe):
+                def fr(gflat):
+                    Ru, Rp = res(ue, pe, gflat.reshape(ge.shape), gpe,
+                                 rv, uoe)
+                    return jnp.concatenate([Ru.reshape(-1), Rp])
+
+                J = jax.jacfwd(fr)(ge.reshape(-1))
+                return J[:nbu] if want_u else J[nbu:]
+
+            return jax.vmap(per_elem)(vc_ref, u_e, p_e, g_e, gp_e, uo_e)
+
+        return f
     raise ValueError(f"unknown block kind {kind!r}")
 
 
@@ -365,6 +410,7 @@ class DistributedPipeline:
             self.dof_map = self.dof_map.with_free_parts(n_free)
         self.blocks: List[_BlockDef] = []
         self.coo_blocks: List[_CooBlockDef] = []
+        self.row_weight_defs: Dict[int, np.ndarray] = {}
         self._final = False
         self._asm_fn = None
         self.dim = part.mesh.dim
@@ -431,16 +477,36 @@ class DistributedPipeline:
             raise ValueError("element block variables must share a mesh")
         rows = dom_i.elem_dofs(dofs_i) + self.offsets[i]
         cols = dom_j.elem_dofs(dofs_j) + self.offsets[j]
-        needs = None
-        src = "x"
+        fields: List[Tuple[int, str]] = []
         if kind in ("advection", "advection_in_u", "ale_divergence",
                     "hyperelastic"):
             # the field rides in the COLUMN variable's space; an external
             # source name ("ext:w") reads it from assemble(ext_fields=...)
-            needs = int(params.pop("field_var", j))
-            src = params.pop("field_src", "x")
-        self.blocks.append(_BlockDef(i, j, kind, params, rows, cols, needs,
-                                     src, self.var_mesh[i]))
+            fields = [(int(params.pop("field_var", j)),
+                       params.pop("field_src", "x"))]
+        elif kind in ("shape_u", "shape_p"):
+            # GI shape derivatives consume (u, p, g, g_prev, u_old);
+            # g = the column variable, u/p from u_var/p_var
+            uvar = int(params.pop("u_var", 0))
+            pvar = int(params.pop("p_var", 1))
+            gvar = int(params.pop("g_var", j))
+            fields = [(uvar, "x"), (pvar, "x"), (gvar, "x"),
+                      (gvar, params.pop("gp_src", "ext:gp")),
+                      (uvar, params.pop("uold_src", "ext:uold"))]
+            params["_fe_u"] = self.variables[uvar][0].fe_type
+            params["_fe_p"] = self.variables[pvar][0].fe_type
+        geom = params.pop("geom",
+                          "ref" if kind in ("shape_u", "shape_p")
+                          else "current")
+        rw = params.pop("row_weights", None)
+        if rw is not None:
+            # per-row 0/1 weights in the ROW variable's block-local dof
+            # space (BC-structured rows: keep interior element rows, drop
+            # boundary ones — the GI geometry block's built-in Dirichlet)
+            self.row_weight_defs[len(self.blocks)] = np.asarray(
+                rw, dtype=np.float64)
+        self.blocks.append(_BlockDef(i, j, kind, params, rows, cols, fields,
+                                     self.var_mesh[i], geom))
 
     def add_coo_block(self, i: int, j: int, rows: np.ndarray,
                       cols: np.ndarray, vals: np.ndarray) -> None:
@@ -624,6 +690,32 @@ class DistributedPipeline:
         self.vert_coords = self.mesh_vc[0]   # back-compat alias (mesh 0)
         self.valid = self.mesh_valid[0]
 
+        # reference-configuration coordinates for geom="ref" blocks (GI
+        # shape derivatives differentiate around the REFERENCE mesh; the
+        # partitioned base mesh never moves, so its points are the
+        # reference unless it carries an explicit ref_points)
+        self._ref_meshes = sorted({blk.mesh for blk in self.blocks
+                                   if blk.geom == "ref"})
+        self.mesh_vc_ref = {}
+        for m in self._ref_meshes:
+            mp, _, _ = self._mesh_part(m)
+            msh = mp.mesh
+            pts = (msh.ref_points
+                   if getattr(msh, "ref_points", None) is not None
+                   else msh.points)
+            self.mesh_vc_ref[m] = self.mesh_vert_coords(m, pts)
+
+        # per-block row weights [n_dev, E_max, nr]
+        self.row_wts = {}
+        for bi, rw in self.row_weight_defs.items():
+            blk = self.blocks[bi]
+            wt_e = rw[blk.row_dofs - self.offsets[blk.i]]  # [E, nr]
+            out = np.zeros((n_dev, E_max_m[blk.mesh], wt_e.shape[1]))
+            for q in range(n_dev):
+                eids = self._eids(q, blk.mesh)
+                out[q, : len(eids)] = wt_e[eids]
+            self.row_wts[bi] = jnp.asarray(out)
+
         # per-element static data ("elem_data" param) sharded per block
         self.elem_data = {}
         for bi, blk in enumerate(self.blocks):
@@ -640,8 +732,8 @@ class DistributedPipeline:
         # field plans (one per distinct field variable among blocks)
         self.field_plans: Dict[int, dict] = {}
         for blk in self.blocks:
-            if blk.needs_field is not None:
-                self._build_field_plan(blk.needs_field)
+            for b, _src in blk.fields:
+                self._build_field_plan(b)
 
         self._final = True
 
@@ -722,9 +814,12 @@ class DistributedPipeline:
         blocks = self.blocks
         field_ids = sorted(self.field_plans.keys())
         # external field names in deterministic order
-        ext_names = sorted({blk.field_src[4:] for blk in blocks
-                            if blk.field_src.startswith("ext:")})
+        ext_names = sorted({src[4:] for blk in blocks
+                            for _b, src in blk.fields
+                            if src.startswith("ext:")})
         data_ids = sorted(self.elem_data.keys())
+        rw_ids = sorted(self.row_wts.keys())
+        ref_meshes = list(self._ref_meshes)
         fplans = [self.field_plans[b] for b in field_ids]
         importers = [fp["plan"].importer() for fp in fplans]
 
@@ -741,6 +836,14 @@ class DistributedPipeline:
             vcs = [rest[pos + 2 * m][0] for m in range(n_mesh)]
             valids = [rest[pos + 2 * m + 1][0] for m in range(n_mesh)]
             pos += 2 * n_mesh
+            vcs_ref = {}
+            for m in ref_meshes:
+                vcs_ref[m] = rest[pos][0]
+                pos += 1
+            rwts = {}
+            for bi in rw_ids:
+                rwts[bi] = rest[pos][0]
+                pos += 1
             edata = {}
             for bi in data_ids:
                 edata[bi] = rest[pos][0]
@@ -758,8 +861,8 @@ class DistributedPipeline:
                 pos_b, mask_b, eidx = pos_b[0], mask_b[0], eidx[0]
                 himp = jax.tree.map(lambda a: a[0], himp)
                 u_own = x[pos_b] * mask_b
-                srcs = {blk.field_src for blk in blocks
-                        if blk.needs_field == b}
+                srcs = {src for blk in blocks for bb, src in blk.fields
+                        if bb == b}
                 for src in srcs:
                     own = (u_own if src == "x"
                            else exts[src[4:]][: mask_b.shape[0]] * mask_b)
@@ -768,14 +871,17 @@ class DistributedPipeline:
 
             vals = []
             for bi, (blk, ev) in enumerate(zip(blocks, evals)):
-                vc_b = vcs[blk.mesh]
+                vc_b = (vcs_ref[blk.mesh] if blk.geom == "ref"
+                        else vcs[blk.mesh])
                 valid_b = valids[blk.mesh]
                 args = [vc_b]
-                if blk.needs_field is not None:
-                    args.append(u_elems[(blk.needs_field, blk.field_src)])
+                for fspec in blk.fields:
+                    args.append(u_elems[fspec])
                 if bi in edata:
                     args.append(edata[bi])
                 v = ev(*args)
+                if bi in rwts:
+                    v = v * rwts[bi][:, :, None]
                 vals.append((v * valid_b[:, None, None]).reshape(-1))
             flat = jnp.concatenate(vals)
             acc = jax.ops.segment_sum(flat, seg, num_segments=L + S + 1)
@@ -791,13 +897,14 @@ class DistributedPipeline:
                                     jnp.zeros(1, local.dtype)])
             return data[ell_src.reshape(-1)].reshape(K, N_o)[None]
 
-        n_rest = (2 * n_mesh + len(data_ids) + len(ext_names)
-                  + 4 * len(field_ids))
+        n_rest = (2 * n_mesh + len(ref_meshes) + len(rw_ids)
+                  + len(data_ids) + len(ext_names) + 4 * len(field_ids))
         in_specs = tuple([P(AXIS)] * (6 + n_rest))
         self._asm_fn = jax.jit(self.axis.shard_map(prog, in_specs, P(AXIS)))
         self._field_ids = field_ids
         self._ext_names = ext_names
         self._data_ids = data_ids
+        self._rw_ids = rw_ids
         return self._asm_fn
 
     def assemble(self, x: Optional[jnp.ndarray] = None,
@@ -819,6 +926,10 @@ class DistributedPipeline:
         for m in range(self._n_meshes()):
             vc = (vert_coords or {}).get(m, self.mesh_vc[m])
             rest += [vc, self.mesh_valid[m]]
+        for m in self._ref_meshes:
+            rest.append(self.mesh_vc_ref[m])
+        for bi in self._rw_ids:
+            rest.append(self.row_wts[bi])
         for bi in self._data_ids:
             rest.append(self.elem_data[bi])
         for nm in self._ext_names:

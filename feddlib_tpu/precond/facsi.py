@@ -260,7 +260,9 @@ def distributed_facsi(dmat, offsets, uf_cols, ds_cols, iface_rows,
 
     from feddlib_tpu.parallel.spmd import AXIS
 
-    o = [int(v) for v in offsets[:5]]
+    o = [int(v) for v in offsets[:6]] if len(offsets) >= 6 else \
+        [int(v) for v in offsets[:5]]
+    has_geom = len(o) == 6  # 5-field GI system (…, λ, g)
     n_lam = o[4] - o[3]
     unique_map = dmat.unique_map
     N_o = dmat.plan.N_o
@@ -276,6 +278,9 @@ def distributed_facsi(dmat, offsets, uf_cols, ds_cols, iface_rows,
     inv_f, ovcol_f, fpos, plan_f, fact_f = _field_subdomains(
         dmat, o[0], o[2], overlap, vals_flat, ident_rows=uf_glob,
         with_refresh=True)
+    if has_geom:  # geometry sub-solve (the reference's GI FaCSI stage)
+        inv_g, ovcol_g, gpos, plan_g, fact_g = _field_subdomains(
+            dmat, o[4], o[5], overlap, vals_flat, with_refresh=True)
 
     src_lam, dst_lam = _scatter_plan(unique_map, lam_glob, slot, N_o, n_lam)
     src_ds, dst_ds = _scatter_plan(unique_map, ds_glob, slot, N_o, n_lam)
@@ -295,6 +300,10 @@ def distributed_facsi(dmat, offsets, uf_cols, ds_cols, iface_rows,
             wpos_uf, widx_uf, wpos_lam, widx_lam]
     n_head = len(head)
     arrays = head + ia_s_leaves + ia_f_leaves
+    if has_geom:
+        imp_g = plan_g.importer()
+        ia_g_leaves, ia_g_def = jax.tree.flatten(plan_g.import_arrays)
+        arrays = arrays + [inv_g, ovcol_g, gpos] + ia_g_leaves
     inv_dt = 1.0 / dt
 
     def build(prec_arrays, ctx):
@@ -306,9 +315,18 @@ def distributed_facsi(dmat, offsets, uf_cols, ds_cols, iface_rows,
                                   prec_arrays[n_head: n_head + n_s])
         ia_f = jax.tree.unflatten(
             ia_f_def, prec_arrays[n_head + n_s: n_head + n_s + n_f])
+        if has_geom:
+            base = n_head + n_s + n_f
+            inv_g, ovcol_g, gpos = prec_arrays[base: base + 3]
+            ia_g = jax.tree.unflatten(ia_g_def, prec_arrays[base + 3:])
 
         def M(r):
             dt_ = r.dtype
+            # 0) geometry solve (GI only): z_g = G̃⁻¹ r_g — the reference
+            # GI FaCSI's geometry stage (PrecOpFaCSI_decl.hpp:27)
+            if has_geom:
+                z_ovg = inv_g @ imp_g(r, ia_g)[ovcol_g]
+                zg = jnp.concatenate([z_ovg, jnp.zeros(1, dt_)])[gpos]
             # 1) solid restricted Schwarz
             z_ov = inv_s @ imp_s(r, ia_s)[ovcol_s]
             zd = jnp.concatenate([z_ov, jnp.zeros(1, dt_)])[spos]
@@ -324,9 +342,11 @@ def distributed_facsi(dmat, offsets, uf_cols, ds_cols, iface_rows,
             rhat = rex.at[wpos_uf].set(uGx[widx_uf])[:N_o]
             z_ovf = inv_f @ imp_f(rhat, ia_f)[ovcol_f]
             zf = jnp.concatenate([z_ovf, jnp.zeros(1, dt_)])[fpos]
-            # 4) traction recovery zλ = (r_u − A z_f)|Γ (merged SpMV: rows
-            # uf of the merged matrix are [Auu Bᵀ 0 C1ᵀ]; z_f is zero on
-            # d and λ so C1ᵀ contributes nothing)
+            if has_geom:
+                zf = zf + zg  # disjoint owned ranges
+            # 4) traction recovery zλ = (r_u − A z_fg)|Γ (merged SpMV:
+            # rows uf are [Auu Bᵀ 0 C1ᵀ (D_ug)]; z is zero on d and λ so
+            # C1ᵀ contributes nothing; the GI shape column rides z_g)
             y = jnp.sum(ed * imp_A(zf)[ec], axis=0)
             resu = rex - jnp.concatenate([y, jnp.zeros(1, dt_)])
             acc2 = jnp.zeros(n_lam + 1, dt_).at[dst_uf].add(resu[src_uf])
@@ -345,8 +365,11 @@ def distributed_facsi(dmat, offsets, uf_cols, ds_cols, iface_rows,
         closure identity, hence the compiled solver program — is reused
         (the FROSch Reuse: Symbolic Factorization role)."""
         vf = dmat_new.values_host()
-        return ([fact_s(vf), ovcol_s, spos, fact_f(vf), ovcol_f, fpos]
-                + head[6:] + ia_s_leaves + ia_f_leaves)
+        out = ([fact_s(vf), ovcol_s, spos, fact_f(vf), ovcol_f, fpos]
+               + head[6:] + ia_s_leaves + ia_f_leaves)
+        if has_geom:
+            out += [fact_g(vf), ovcol_g, gpos] + ia_g_leaves
+        return out
 
     build.refresh = refresh
     return build, arrays

@@ -498,6 +498,147 @@ class FSI(NonLinearProblem):
                 observer(t_new, self.solution)
             t = t_new
 
+    # -- GI helpers -----------------------------------------------------------
+    def _gi_g_dirichlet(self) -> np.ndarray:
+        """Dirichlet mask of the GI geometry block: outer fluid boundary
+        (g = 0) and interface rows (g = d, coupled through the (4,2)
+        block) — the C4 structure of FSI_def.hpp:248."""
+        dom_u = self.variables[0][0]
+        dim = self.dim
+        n_u = dom_u.n_dofs(dim)
+        g_dirichlet = np.zeros(n_u, dtype=bool)
+        outer = (dom_u.mesh.point_flags > 0) & ~np.isin(
+            np.arange(dom_u.n_nodes), self.interface.nodes_a)
+        for c in range(dim):
+            g_dirichlet[np.nonzero(outer)[0] * dim + c] = True
+        g_dirichlet[self._uf_cols] = True
+        return g_dirichlet
+
+    def _gi_geometry_operator(self):
+        """(Lg_bc, g_dirichlet): vector Laplace on the REFERENCE fluid
+        configuration with the GI Dirichlet rows built in."""
+        dom_u = self.variables[0][0]
+        n_u = dom_u.n_dofs(self.dim)
+        if dom_u.mesh.ref_points is None:
+            dom_u.mesh.save_reference_configuration()
+        cur_pts = dom_u.mesh.points.copy()
+        dom_u.mesh.points = dom_u.mesh.ref_points.copy()
+        dom_u.invalidate_geometry()
+        Lg = ops.assemble_laplace_vec(dom_u)
+        dom_u.mesh.points = cur_pts
+        dom_u.invalidate_geometry()
+        g_dirichlet = self._gi_g_dirichlet()
+        pat = Lg.pattern
+        rows = pat.rows_of_slots()
+        in_d = g_dirichlet[rows]
+        is_diag = pat.indices == rows
+        data = Lg.data.at[jnp.asarray(
+            np.nonzero(in_d & ~is_diag)[0])].set(0.0)
+        data = data.at[jnp.asarray(np.nonzero(in_d & is_diag)[0])].set(1.0)
+        return CsrMatrix(pat, data, Lg.dtype), g_dirichlet
+
+    def build_pipeline_gi(self, n_dev: int,
+                          solid_devices: Optional[int] = None, axis=None):
+        """Multi-mesh DistributedPipeline for the 5-field GI Jacobian:
+        the GE blocks plus the shape-derivative kinds (0,4)/(1,4)
+        (∂(fluid)/∂(mesh) differentiated inside the device kernel —
+        FE_def.hpp:3410-4246, FSI_def.hpp:567-577), the reference-config
+        geometry block (4,4) with built-in Dirichlet rows, and the (4,2)
+        interface coupling g = d."""
+        from feddlib_tpu.mesh.partition import MeshPartition
+        from feddlib_tpu.parallel.pipeline import DistributedPipeline
+
+        self._gi = True
+        dom_u, dom_p = self.variables[0][0], self.variables[1][0]
+        dom_d = self.variables[2][0]
+        dim = self.dim
+        if dom_u.mesh.ref_points is None:
+            dom_u.mesh.save_reference_configuration()
+        ns = solid_devices if solid_devices is not None else max(
+            1, n_dev // 4)
+        nf = n_dev - ns
+        if nf < 1 or ns < 1:
+            raise ValueError("need at least one fluid and one solid device")
+        fluid_base = (dom_u.parent_p1.mesh if dom_u.parent_p1 is not None
+                      else dom_u.mesh)
+        solid_base = (dom_d.parent_p1.mesh if dom_d.parent_p1 is not None
+                      else dom_d.mesh)
+        part_f = MeshPartition(fluid_base, nf)
+        part_s = MeshPartition(solid_base, ns)
+        pipe = DistributedPipeline(
+            part_f,
+            [(dom_u, dim, 0), (dom_p, 1, 0), (dom_d, dim, 1),
+             {"extra": self.n_lam, "owner": 0}, (dom_u, dim, 0)],
+            aux_parts=[{"part": part_s, "range": (nf, n_dev)}])
+
+        beta0_dt = 1.0 / self.dt
+        newmark_m = 1.0 / (self.newmark_beta * self.dt * self.dt)
+        pipe.add_block(0, 0, "mass", coeff=self.density_f * beta0_dt,
+                       dofs_per_node=dim)
+        pipe.add_block(0, 0, "laplace_vec", viscosity=self.viscosity)
+        pipe.add_block(0, 0, "advection", coeff=self.density_f)
+        pipe.add_block(0, 0, "advection", coeff=-self.density_f,
+                       field_src="ext:w")
+        pipe.add_block(0, 0, "advection_in_u", coeff=self.density_f)
+        pipe.add_block(0, 0, "ale_divergence", coeff=-self.density_f,
+                       field_src="ext:w")
+        pipe.add_block(0, 1, "divergence_T")
+        pipe.add_block(1, 0, "divergence")
+        pipe.add_block(2, 2, "mass", coeff=self.density_s * newmark_m,
+                       dofs_per_node=dim)
+        if self.material == "linear":
+            pipe.add_block(2, 2, "lin_elasticity", mu=self.mu_s,
+                           lam=self.lam_s)
+        else:
+            pipe.add_block(2, 2, "hyperelastic", material=self.material,
+                           mat_params=self.params_s)
+        # GI shape-derivative blocks (device jacfwd around the REFERENCE
+        # configuration; fields u, p, g, g_prev, u_old)
+        pipe.add_block(0, 4, "shape_u", viscosity=self.viscosity,
+                       density=self.density_f, dt=self.dt,
+                       mass_coef=beta0_dt)
+        pipe.add_block(1, 4, "shape_p", viscosity=self.viscosity,
+                       density=self.density_f, dt=self.dt,
+                       mass_coef=beta0_dt)
+        # geometry block: interior Laplace on the reference config; the
+        # Dirichlet rows (outer boundary g=0, interface g=d) enter as
+        # zero row-weights + unit COO diagonals + the (4,2) coupling
+        g_dir = self._gi_g_dirichlet()
+        pipe.add_block(4, 4, "laplace_vec", geom="ref",
+                       row_weights=(~g_dir).astype(np.float64))
+        diag = np.flatnonzero(g_dir)
+        pipe.add_coo_block(4, 4, diag, diag, np.ones(len(diag)))
+        pipe.add_coo_block(4, 2, self._uf_cols, self._ds_cols,
+                           -np.ones(len(self._uf_cols)))
+        # interface couplings (as in GE)
+        ones = np.ones(len(self._iface_rows))
+        pipe.add_coo_block(0, 3, self._uf_cols, self._iface_rows, ones)
+        pipe.add_coo_block(3, 0, self._iface_rows, self._uf_cols, ones)
+        pipe.add_coo_block(2, 3, self._ds_cols, self._iface_rows, -ones)
+        pipe.add_coo_block(3, 2, self._iface_rows, self._ds_cols,
+                           -ones / self.dt)
+        pipe.finalize(axis)
+        return pipe
+
+    def assemble_distributed_gi(self, pipe, gp_vec, u_old):
+        """One device-resident GI Jacobian at the current 5-field
+        solution: standard fluid blocks on the MOVED coordinates
+        (ref + g vertex override), shape blocks around the reference
+        configuration.  No global matrix is formed."""
+        dim = self.dim
+        dom_u = self.variables[0][0]
+        g = np.asarray(self.solution[4])
+        w = (g - np.asarray(gp_vec)) / self.dt
+        ext = {"w": pipe.distribute_field(0, w),
+               "gp": pipe.distribute_field(4, np.asarray(gp_vec)),
+               "uold": pipe.distribute_field(0, np.asarray(u_old))}
+        x = pipe.distribute(np.asarray(self.solution.concat()))
+        ref = (dom_u.mesh.ref_points if dom_u.mesh.ref_points is not None
+               else dom_u.mesh.points)
+        moved = ref + g.reshape(-1, dim)
+        vc = pipe.mesh_vert_coords(0, moved)
+        return pipe.assemble(x=x, ext_fields=ext, vert_coords={0: vc})
+
     # -- geometry-implicit (GI) time loop ------------------------------------
     # 5-field monolithic system (u, p, d, λ, g): geometry is an unknown with
     #   rows  L_g g = 0 interior, g = 0 outer boundary, g = d on Γ  (the C4
@@ -526,28 +667,7 @@ class FSI(NonLinearProblem):
             self.rhs.blocks.append(jnp.zeros(n_u))
 
         # geometry operator on the REFERENCE mesh with built-in BC rows
-        if dom_u.mesh.ref_points is None:
-            dom_u.mesh.save_reference_configuration()
-        cur_pts = dom_u.mesh.points.copy()
-        dom_u.mesh.points = dom_u.mesh.ref_points.copy()
-        dom_u.invalidate_geometry()
-        Lg = ops.assemble_laplace_vec(dom_u)
-        dom_u.mesh.points = cur_pts
-        dom_u.invalidate_geometry()
-        g_dirichlet = np.zeros(n_u, dtype=bool)
-        outer = (dom_u.mesh.point_flags > 0) & ~np.isin(
-            np.arange(dom_u.n_nodes), self.interface.nodes_a)
-        for c in range(dim):
-            g_dirichlet[np.nonzero(outer)[0] * dim + c] = True
-        g_dirichlet[self._uf_cols] = True  # interface g-rows: g = d
-        pat = Lg.pattern
-        rows = pat.rows_of_slots()
-        in_d = g_dirichlet[rows]
-        is_diag = pat.indices == rows
-        data = Lg.data.at[jnp.asarray(np.nonzero(in_d & ~is_diag)[0])].set(0.)
-        data = data.at[jnp.asarray(np.nonzero(in_d & is_diag)[0])].set(1.0)
-        Lg_bc = CsrMatrix(pat, data, Lg.dtype)
-        iface_g_mask = jnp.zeros(n_u).at[jnp.asarray(self._uf_cols)].set(1.0)
+        Lg_bc, g_dirichlet = self._gi_geometry_operator()
 
         res_fn = _fluid_elem_residual(dim, dom_u.fe_type, dom_p.fe_type,
                                       self.viscosity, self.density_f, dt,

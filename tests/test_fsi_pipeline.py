@@ -72,6 +72,93 @@ def test_fsi_pipeline_matches_serial_jacobian(material):
     assert diff.max() / denom < 1e-10, f"max diff {diff.max()}"
 
 
+def test_fsi_gi_pipeline_matches_serial_jacobian():
+    """5-field GI Jacobian through the pipeline (shape-derivative kinds
+    jacfwd'd INSIDE the device kernel around the reference configuration,
+    fluid blocks on moved coords, geometry block with built-in BC rows)
+    is entry-exact vs the serial GI assembly (fe/shape_derivatives) —
+    reference FE_def.hpp:3410-4246, FSI_def.hpp:567-577."""
+    from feddlib_tpu.fe.shape_derivatives import (
+        assemble_shape_derivative_blocks)
+
+    dom_u, dom_p, dom_d = _two_box_domains(n=3)
+    pl = ParameterList({"dt": 0.02, "Viscosity": 0.5, "Density Fluid": 1.2,
+                        "Density Solid": 2.0, "E": 5.0})
+    prob = FSI(dom_u, dom_p, dom_d, [IFACE], parameter_list=pl)
+    prob.assemble()
+    prob._gi = True
+    prob.init_vectors()
+    dim = prob.dim
+    n_u = dom_u.n_dofs(dim)
+    prob.solution.blocks.append(jnp.zeros(n_u))
+    rng = np.random.default_rng(3)
+    prob.solution[0] = jnp.asarray(0.05 * rng.standard_normal(n_u))
+    prob.solution[1] = jnp.asarray(
+        0.05 * rng.standard_normal(dom_p.n_dofs(1)))
+    prob.solution[2] = jnp.asarray(
+        0.01 * rng.standard_normal(dom_d.n_dofs(dim)))
+    g = 0.01 * rng.standard_normal(n_u)
+    prob.solution[4] = jnp.asarray(g)
+    gp_vec = 0.005 * rng.standard_normal(n_u)
+    u_old = 0.02 * rng.standard_normal(n_u)
+
+    # ---- serial oracle: the advance_gi reassemble, expanded ----
+    dt = prob.dt
+    newmark_m = 1.0 / (prob.newmark_beta * dt * dt)
+    Lg_bc, g_dir = prob._gi_geometry_operator()
+    ref = dom_u.mesh.ref_points
+    dom_u.mesh.points = ref + g.reshape(-1, dim)
+    dom_u.invalidate_geometry()
+    prob._assemble_fluid_constant()
+    w = jnp.asarray((g - gp_vec) / dt)
+    Pmat = ops.assemble_ale_divergence(dom_u, w).scale(-prob.density_f)
+    prob._build_system("Newton", w, 1.0 / dt, newmark_m, P=Pmat)
+    Dug, Dpg = assemble_shape_derivative_blocks(
+        dom_u, dom_p, prob.solution[0], prob.solution[1], g, gp_vec,
+        u_old, prob.viscosity, prob.density_f, dt, 1.0 / dt)
+    from feddlib_tpu.problems.fsi import _interface_identity
+
+    sizes = prob.block_sizes()
+    S = prob.system
+    S.add_block(0, 4, Dug)
+    S.add_block(1, 4, Dpg)
+    S.add_block(4, 4, Lg_bc)
+    S.add_block(4, 2, _interface_identity(
+        sizes[4], sizes[2], prob._uf_cols, prob._ds_cols, -1.0))
+    S_sp = S.merge().to_scipy().tocsr()
+
+    # ---- distributed: multi-mesh GI pipeline ----
+    pipe = prob.build_pipeline_gi(6, solid_devices=2)
+    dmat = prob.assemble_distributed_gi(pipe, gp_vec, u_old)
+    D = _collect(dmat)
+
+    diff = abs(S_sp - D)
+    denom = max(abs(S_sp).max(), 1.0)
+    assert diff.max() / denom < 1e-9, f"max diff {diff.max()}"
+
+    # ---- 5-field GI FaCSI (geometry stage + FaCSI order) solves the
+    # distributed system in few iterations and the solution is correct
+    from feddlib_tpu.parallel.solve import DistributedSolver
+    from feddlib_tpu.parallel.spmd import collect_vector, distribute_vector
+    from feddlib_tpu.precond.facsi import distributed_facsi
+
+    n = int(pipe.offsets[-1])
+    b = rng.standard_normal(n)
+    b_dist = distribute_vector(b, pipe.dof_map, dmat.plan.N_o)
+    solver = DistributedSolver(dmat, pipe.axis)
+    build, arrs = distributed_facsi(
+        dmat, pipe.offsets, prob._uf_cols, prob._ds_cols,
+        prob._iface_rows, prob.dt, overlap=1)
+    x_d, iters, rel = solver.solve(b_dist, method="gmres", tol=1e-9,
+                                   maxiter=200, restart=200,
+                                   precond=(build, arrs))
+    xg = collect_vector(x_d, pipe.dof_map)
+    res = np.linalg.norm(S_sp @ xg - b)
+    assert rel < 1e-8
+    assert res / np.linalg.norm(b) < 1e-7
+    assert iters <= 80, f"GI FaCSI took {iters} iterations"
+
+
 def test_fsi_pipeline_distributed_facsi():
     """Distributed FaCSI (per-field subdomain solves + interface
     condensation inside one shard_map apply) preconditions the multi-mesh
