@@ -270,9 +270,16 @@ def main():
         note("IR done")
         # setup compile-vs-compute split (round-4 weak item 3): a SECOND
         # build in-process reuses every compiled program, so its wall
-        # time is the COMPUTE component; cold − warm ≈ compile+transfer
+        # time is the COMPUTE component; cold − warm ≈ compile+transfer.
+        # The cold preconditioner is freed FIRST — holding two full
+        # two-level structures pushes this 2-core harness host into
+        # memory pressure and pollutes the host-side (GDSW) phase.
         warm = {}
         if have_time(120 if on_tpu else 10):
+            import gc
+
+            del M_fn, M_ops, prec32, inner
+            gc.collect()
             t0 = time.perf_counter()
             db_w = DenseBlockSpMV.from_csr(Kb, cluster, dtype=jnp.float32)
             warm["blocks"] = time.perf_counter() - t0
@@ -292,6 +299,8 @@ def main():
             warm["total"] = sum(warm.values())
             note(f"WARM setup (compute component): "
                  + " ".join(f"{k}={v:.1f}s" for k, v in warm.items()))
+            del prec_w, db_w, Ap_w
+            gc.collect()
         extra.update({
             "spmv_schwarz_apply_ms": round(dt_ma * 1e3, 3),
             "spmv_schwarz_nnz_per_s": round(ma_nnz_per_s),

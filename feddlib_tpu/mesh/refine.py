@@ -270,13 +270,16 @@ def mark_elements(eta: np.ndarray, strategy: str = "Doerfler",
     if strategy == "Maximum":
         return eta >= theta * eta.max()
     if strategy in ("Doerfler", "Dörfler"):
+        # THRESHOLD semantics: mark {η ≥ v*} where v* is the stopping
+        # value of the greedy accumulation, INCLUDING all ties of v* —
+        # the reference's reduceAll-threshold form
+        # (MeshUnstructuredRefinement_def.hpp:477-487), and identical to
+        # the distributed bisected-threshold marking (mark_distributed)
         order = np.argsort(eta)[::-1]
         c = np.cumsum(eta[order] ** 2)
         total = c[-1]
         k = int(np.searchsorted(c, theta * total)) + 1
-        mark = np.zeros(len(eta), dtype=bool)
-        mark[order[:k]] = True
-        return mark
+        return eta >= eta[order[min(k, len(eta)) - 1]]
     if strategy == "Uniform":
         return np.ones(len(eta), dtype=bool)
     raise ValueError(f"unknown marking strategy {strategy!r}")
@@ -417,6 +420,278 @@ def refine_mesh_2d(mesh: Mesh, marked: np.ndarray, blue: bool = True) -> Mesh:
                surface_flags=(np.array(new_sflags, dtype=np.int32)
                               if new_surf else None))
     return out
+
+
+# ---------------------------------------------------------------------------
+# distributed AMR (per-part estimate / mark / refine with tagged-edge
+# reconciliation — reference MeshUnstructuredRefinement_decl.hpp:90-99)
+# ---------------------------------------------------------------------------
+
+def estimate_distributed(mesh: Mesh, part, u: np.ndarray,
+                         f: Optional[Callable] = None) -> list:
+    """Per-part error estimation on OWNED elements only: each part works
+    on its owned elements plus ONE ghost layer of face-neighbors (the
+    ∇u ghost exchange of the jump terms — O(local cut) data), never on
+    the replicated element set.  Returns per-part η arrays over owned
+    elements; their concatenation equals the serial estimator exactly."""
+    elems = mesh.elements
+    if mesh.dim == 2:
+        edges, elem_edge = mesh.unique_edges()
+        n_ent = len(edges)
+        ent_of_elem = elem_edge
+    else:
+        faces = np.sort(np.stack([elems[:, [1, 2, 3]], elems[:, [0, 2, 3]],
+                                  elems[:, [0, 1, 3]], elems[:, [0, 1, 2]]],
+                                 axis=1), axis=2)
+        flat = faces.reshape(-1, 3)
+        _, inv = np.unique(flat, axis=0, return_inverse=True)
+        ent_of_elem = inv.reshape(len(elems), -1)
+        n_ent = int(ent_of_elem.max()) + 1
+    # entity → adjacent elements (≤2)
+    e0 = np.full(n_ent, -1, np.int64)
+    e1 = np.full(n_ent, -1, np.int64)
+    for e in range(len(elems)):
+        for g in ent_of_elem[e]:
+            if e0[g] < 0:
+                e0[g] = e
+            else:
+                e1[g] = e
+
+    out = []
+    for p in range(part.n_parts):
+        own = np.asarray(part.elem_ids[p])
+        own_set = np.zeros(len(elems), bool)
+        own_set[own] = True
+        # ghost layer: face-neighbors of owned elements (the exchanged ∇u)
+        ents = np.unique(ent_of_elem[own].ravel())
+        nb = np.unique(np.concatenate([e0[ents], e1[ents]]))
+        nb = nb[(nb >= 0) & ~own_set[nb]]
+        patch = np.concatenate([own, nb])
+        # patch submesh (local ids)
+        pnodes, pelems = np.unique(elems[patch].ravel(),
+                                   return_inverse=True)
+        sub = Mesh(mesh.dim, "P1", mesh.points[pnodes],
+                   mesh.point_flags[pnodes],
+                   pelems.reshape(len(patch), -1),
+                   np.zeros(len(patch), np.int32))
+        eta_patch = error_estimate_p1(sub, np.asarray(u)[pnodes], f)
+        out.append(eta_patch[: len(own)])
+    return out
+
+
+def mark_distributed(eta_parts: list, strategy: str = "Doerfler",
+                     theta: float = 0.5) -> list:
+    """Global marking from per-part indicators using only ALLREDUCE-style
+    scalars (the reference's reduceAll, MeshUnstructuredRefinement_def.hpp
+    :487): Maximum needs one global max; Dörfler finds the threshold t*
+    with Σ_{η≥t*} η² ≥ θ Σ η² by bisection on globally-summed scalars —
+    no global sort, no gathered η array.  Returns per-part bool masks."""
+    sq = [np.asarray(e) ** 2 for e in eta_parts]
+    gmax = max((float(e.max()) if len(e) else 0.0) for e in eta_parts)
+    if strategy == "Maximum":
+        return [np.asarray(e) >= theta * gmax for e in eta_parts]
+    total = sum(float(s.sum()) for s in sq)  # psum
+    lo, hi = 0.0, gmax
+    for _ in range(50):  # bisection on the threshold (50 psums)
+        mid = 0.5 * (lo + hi)
+        covered = sum(float(s[np.sqrt(s) >= mid].sum()) for s in sq)
+        if covered >= theta * total:
+            lo = mid
+        else:
+            hi = mid
+    return [np.asarray(e) >= lo for e in eta_parts]
+
+
+def refine_distributed_2d(mesh: Mesh, part, marked_parts: list,
+                          blue: bool = True):
+    """Per-part red/green/blue refinement with cross-part TAGGED-EDGE
+    reconciliation (reference MeshUnstructuredRefinement_decl.hpp:90-99):
+
+    1. each part tags the edges of ITS marked owned elements;
+    2. tags on shared edges are exchanged neighbor-wise (one round for
+       the blue closure, which never propagates; iterated to a fixed
+       point for blue=False red-promotion);
+    3. each part refines its OWNED elements from the reconciled tags;
+       midpoint ids derive from the GLOBAL edge keys, so all parts agree
+       on shared new nodes without further communication.
+
+    Returns (refined mesh, per-part exchanged-tag counts).  The merged
+    result is partition-count invariant and equals the serial
+    refine_mesh_2d geometry."""
+    n_parts = part.n_parts
+    edges, elem_edge = mesh.unique_edges()
+    n_edges = len(edges)
+    elems = mesh.elements
+
+    # which parts touch each edge (via their owned elements)
+    owner_sets = []
+    tags = []
+    for p in range(n_parts):
+        own = np.asarray(part.elem_ids[p])
+        touched = np.zeros(n_edges, bool)
+        touched[elem_edge[own].ravel()] = True
+        owner_sets.append(touched)
+        t = np.zeros(n_edges, bool)
+        t[elem_edge[own[np.asarray(marked_parts[p], bool)]].ravel()] = True
+        tags.append(t)
+
+    exchanged = [0] * n_parts
+
+    def _reconcile():
+        # neighbor-wise exchange of tags on SHARED edges (O(cut) keys)
+        changed = False
+        for p in range(n_parts):
+            for q in range(p + 1, n_parts):
+                shared = owner_sets[p] & owner_sets[q]
+                if not shared.any():
+                    continue
+                sp = tags[p] & shared
+                sq = tags[q] & shared
+                new_q = sp & ~tags[q]
+                new_p = sq & ~tags[p]
+                exchanged[p] += int(new_p.sum())
+                exchanged[q] += int(new_q.sum())
+                if new_q.any():
+                    tags[q] |= new_q
+                    changed = True
+                if new_p.any():
+                    tags[p] |= new_p
+                    changed = True
+        return changed
+
+    if blue:
+        _reconcile()  # blue closure never propagates: ONE round suffices
+    else:
+        while True:  # red-promotion closure ↔ exchange to fixed point
+            for p in range(n_parts):
+                own = np.asarray(part.elem_ids[p])
+                while True:
+                    cnt = tags[p][elem_edge[own]].sum(axis=1)
+                    promote = own[cnt >= 2]
+                    before = tags[p].sum()
+                    tags[p][elem_edge[promote].ravel()] = True
+                    if tags[p].sum() == before:
+                        break
+            if not _reconcile():
+                break
+
+    # per-part refinement of owned elements from the reconciled tags;
+    # midpoints numbered by GLOBAL edge id (deterministic across parts)
+    edge_marked = np.zeros(n_edges, bool)
+    for p in range(n_parts):
+        edge_marked |= tags[p] & owner_sets[p]
+    mid_id = np.full(n_edges, -1, np.int64)
+    m_edges = np.flatnonzero(edge_marked)
+    mid_id[m_edges] = mesh.n_points + np.arange(len(m_edges))
+    midpoints = 0.5 * (mesh.points[edges[m_edges, 0]]
+                       + mesh.points[edges[m_edges, 1]])
+    mid_flags = np.zeros(len(m_edges), dtype=np.int32)
+    if mesh.surfaces is not None:
+        surf_lookup = {}
+        for s, fl in zip(np.sort(mesh.surfaces, axis=1),
+                         mesh.surface_flags):
+            surf_lookup[(int(s[0]), int(s[1]))] = int(fl)
+        for i, ge in enumerate(m_edges):
+            key = (int(edges[ge, 0]), int(edges[ge, 1]))
+            if key in surf_lookup:
+                mid_flags[i] = surf_lookup[key]
+
+    pair = P2_EDGE_ORDER[2]
+    part_children = []
+    for p in range(n_parts):
+        own = np.asarray(part.elem_ids[p])
+        kids = _split_elements_2d(mesh, midpoints, elems, elem_edge,
+                                  edge_marked, mid_id, own, pair, blue)
+        part_children.append(kids)
+
+    new_elems = np.concatenate(part_children)
+    # merged mesh (the verification form; production keeps per-part pieces)
+    pts = np.concatenate([mesh.points, midpoints])
+    flags = np.concatenate([mesh.point_flags, mid_flags])
+    # orientation fix (blue children may invert the relabeled order)
+    p = pts[new_elems]
+    d = ((p[:, 1, 0] - p[:, 0, 0]) * (p[:, 2, 1] - p[:, 0, 1])
+         - (p[:, 1, 1] - p[:, 0, 1]) * (p[:, 2, 0] - p[:, 0, 0]))
+    neg = d < 0
+    new_elems[neg, 1], new_elems[neg, 2] = \
+        new_elems[neg, 2].copy(), new_elems[neg, 1].copy()
+    out = Mesh(2, "P1", pts, flags, new_elems,
+               np.zeros(len(new_elems), np.int32))
+    _rebuild_boundary_surfaces_2d(out, mesh, edges, m_edges, mid_id)
+    return out, exchanged
+
+
+def _split_elements_2d(mesh, midpoints, elems, elem_edge, edge_marked,
+                       mid_id, subset, pair, blue):
+    """Red/green/blue children of `subset` elements under the given edge
+    marks — the SAME local rules as refine_mesh_2d (blue splits the quad
+    along its shorter diagonal), so the merged distributed result is
+    geometry-identical to the serial refinement."""
+    def _coord(nid):
+        return (mesh.points[nid] if nid < mesh.n_points
+                else midpoints[nid - mesh.n_points])
+
+    out = []
+    for e in subset:
+        vv = elems[e]
+        ee = elem_edge[e]
+        mk = edge_marked[ee]
+        n_mk = int(mk.sum())
+        if n_mk == 0:
+            out.append([vv[0], vv[1], vv[2]])
+        elif n_mk == 3:
+            m01, m12, m02 = mid_id[ee[0]], mid_id[ee[1]], mid_id[ee[2]]
+            out += [[vv[0], m01, m02], [m01, vv[1], m12],
+                    [m02, m12, vv[2]], [m01, m12, m02]]
+        elif n_mk == 1:
+            le = int(np.nonzero(mk)[0][0])
+            i, j = pair[le]
+            k = 3 - i - j
+            m = mid_id[ee[le]]
+            out += [[vv[k], vv[i], m], [vv[k], m, vv[j]]]
+        else:  # blue: split the (a, m_ab, m_bc, c) quad on the shorter diag
+            if not blue:
+                raise AssertionError("closure left a 2-marked element")
+            l1, l2 = np.nonzero(mk)[0]
+            (i1, j1), (i2, j2) = pair[l1], pair[l2]
+            common = set((i1, j1)) & set((i2, j2))
+            b_l = common.pop()
+            a_l = i1 + j1 - b_l
+            c_l = i2 + j2 - b_l
+            a, b_, c = vv[a_l], vv[b_l], vv[c_l]
+            m_ab = mid_id[ee[l1]]
+            m_bc = mid_id[ee[l2]]
+            d1 = np.sum((_coord(m_ab) - mesh.points[c]) ** 2)
+            d2 = np.sum((_coord(m_bc) - mesh.points[a]) ** 2)
+            out.append([m_ab, b_, m_bc])
+            if d1 <= d2:
+                out += [[a, m_ab, c], [m_ab, m_bc, c]]
+            else:
+                out += [[a, m_ab, m_bc], [a, m_bc, c]]
+    return np.asarray(out, dtype=np.int64)
+
+
+def _rebuild_boundary_surfaces_2d(out: Mesh, mesh: Mesh, edges, m_edges,
+                                  mid_id):
+    """Split flagged boundary edges of the refined mesh (flags inherit)."""
+    if mesh.surfaces is None:
+        return
+    new_surfs, new_sflags = [], []
+    marked_set = {}
+    for ge in m_edges:
+        key = (int(edges[ge, 0]), int(edges[ge, 1]))
+        marked_set[key] = int(mid_id[ge])
+    for s, fl in zip(np.sort(mesh.surfaces, axis=1), mesh.surface_flags):
+        key = (int(s[0]), int(s[1]))
+        if key in marked_set:
+            m = marked_set[key]
+            new_surfs += [[s[0], m], [m, s[1]]]
+            new_sflags += [int(fl), int(fl)]
+        else:
+            new_surfs.append([int(s[0]), int(s[1])])
+            new_sflags.append(int(fl))
+    out.surfaces = np.asarray(new_surfs, dtype=np.int64)
+    out.surface_flags = np.asarray(new_sflags, dtype=np.int32)
 
 
 def refine_uniform(mesh: Mesh) -> Mesh:

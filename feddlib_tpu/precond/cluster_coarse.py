@@ -179,8 +179,22 @@ class PaddedTwoLevelSchwarz:
             null_space=null_space, dirichlet_mask=dirichlet_mask,
             variant=variant, dtype=jnp.float64)
         t2 = _time.perf_counter()
+        # A0^-1 on DEVICE for accelerator backends: ship the SPARSE A0
+        # (~nnz(A0) values instead of nc^2), densify + invert on chip —
+        # the host O(nc^3) LAPACK inverse was seconds of setup on
+        # few-core hosts; the coarse solve is preconditioner-only and the
+        # outer f64 refinement absorbs the f32 inverse
+        if jax.default_backend() != "cpu":
+            A0s = co.A0_sparse().tocoo()
+            ncc = co.n_coarse
+            dense = (jnp.zeros((ncc, ncc), jnp.float32)
+                     .at[jnp.asarray(A0s.row), jnp.asarray(A0s.col)]
+                     .set(jnp.asarray(A0s.data, jnp.float32)))
+            A0_inv = jnp.linalg.inv(dense)
+        else:
+            A0_inv = np.asarray(co.A0_inv)
         self.coarse = PaddedClusterCoarse(co.phi.to_scipy(),
-                                          np.asarray(co.A0_inv), db,
+                                          A0_inv, db,
                                           dtype=dtype,
                                           store_dtype=coarse_store_dtype)
         t3 = _time.perf_counter()

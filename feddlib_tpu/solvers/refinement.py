@@ -44,6 +44,14 @@ def adaptive_solve_cycles(mesh0, source, cycles: int, theta: float = 0.5,
     Distributed Solve' / 'Use Device Pipeline') re-partition and rebuild
     every communication/assembly plan.
 
+    With 'Use Distributed AMR' (2D P1), estimation runs PER PART on owned
+    elements + one ghost layer, marking uses only allreduce-style scalars,
+    and refinement is per-part with cross-part tagged-edge reconciliation
+    (mesh/refine.py estimate_distributed/mark_distributed/
+    refine_distributed_2d — the reference's distributed AMR,
+    MeshUnstructuredRefinement_decl.hpp:90-99); no host-replicated
+    estimate/refine step remains.
+
     Returns a history list of dicts (n_elements, eta, iters)."""
     import numpy as np
 
@@ -51,6 +59,8 @@ def adaptive_solve_cycles(mesh0, source, cycles: int, theta: float = 0.5,
     from feddlib_tpu.mesh.refine import adapt, error_estimate_p1
     from feddlib_tpu.problems.laplace import Laplace
 
+    dist_amr = bool(params.get("Use Distributed AMR", False)) \
+        if params is not None else False
     mesh = mesh0
     history = []
     f_np = source_np or source
@@ -63,6 +73,25 @@ def adaptive_solve_cycles(mesh0, source, cycles: int, theta: float = 0.5,
             prob.add_bc(lambda x, t: 0.0, flag, 0)
         iters = prob.solve()
         u = np.asarray(prob.solution[0])
+        if dist_amr and mesh.dim == 2:
+            import jax as _jax
+
+            from feddlib_tpu.mesh.partition import MeshPartition
+            from feddlib_tpu.mesh.refine import (estimate_distributed,
+                                                 mark_distributed,
+                                                 refine_distributed_2d)
+
+            n_parts = int(params.get("Devices", len(_jax.devices())))
+            part = MeshPartition(mesh, n_parts)
+            eta_parts = estimate_distributed(mesh, part, u, f_np)
+            eta_sq = sum(float((e ** 2).sum()) for e in eta_parts)  # psum
+            history.append(dict(n_elements=mesh.n_elements,
+                                eta=float(np.sqrt(eta_sq)), iters=iters))
+            if c < cycles - 1:
+                marks = mark_distributed(eta_parts, strategy=strategy,
+                                         theta=theta)
+                mesh, _ = refine_distributed_2d(mesh, part, marks)
+            continue
         eta = error_estimate_p1(mesh, u, f_np)
         history.append(dict(n_elements=mesh.n_elements,
                             eta=float(np.sqrt((eta ** 2).sum())),

@@ -346,22 +346,125 @@ def test_amr_distributed_loop():
     base = {"Preconditioner Type": "SchwarzOneLevel", "Subdomains": 4,
             "Convergence Tolerance": 1e-10, "Maximum Iterations": 2000}
     hist = {}
-    for dist in (False, True):
+    for mode in ("serial", "dist", "dist_amr"):
         pl = ParameterList("P")
         opts = dict(base)
-        if dist:
+        if mode != "serial":
             opts.update({"Use Distributed Solve": True, "Devices": 4,
                          "Use Device Pipeline": True})
+        if mode == "dist_amr":
+            # fully distributed AMR: per-part estimate + allreduce marking
+            # + per-part refine with tagged-edge reconciliation
+            opts["Use Distributed AMR"] = True
         for k, v in opts.items():
             pl[k] = v
-        hist[dist] = adaptive_solve_cycles(mesh, f, cycles=3, theta=0.6,
+        hist[mode] = adaptive_solve_cycles(mesh, f, cycles=3, theta=0.6,
                                            params=pl, source_np=f_np)
     for h in hist.values():
         assert h[1]["eta"] < h[0]["eta"]
         assert h[2]["eta"] < h[1]["eta"]
         assert h[2]["n_elements"] > h[0]["n_elements"]
-    # identical refinement history distributed vs serial
-    assert [c["n_elements"] for c in hist[True]] == \
-        [c["n_elements"] for c in hist[False]]
-    for a, b in zip(hist[True], hist[False]):
-        assert np.isclose(a["eta"], b["eta"], rtol=1e-8)
+    # identical refinement history across all three backends
+    for mode in ("dist", "dist_amr"):
+        assert [c["n_elements"] for c in hist[mode]] == \
+            [c["n_elements"] for c in hist["serial"]], mode
+        for a, b in zip(hist[mode], hist["serial"]):
+            assert np.isclose(a["eta"], b["eta"], rtol=1e-8)
+
+
+def test_distributed_estimate_matches_serial():
+    """Per-part estimation (owned elements + one ghost layer, the ∇u
+    exchange of the jump terms) concatenates to EXACTLY the serial
+    estimator — no replicated-element estimate at n_parts>1."""
+    import jax.numpy as jnp
+    from feddlib_tpu.fe.domain import Domain
+    from feddlib_tpu.mesh.partition import MeshPartition
+    from feddlib_tpu.mesh.refine import (error_estimate_p1,
+                                         estimate_distributed)
+    from feddlib_tpu.mesh.structured import build_structured_mesh
+
+    mesh = build_structured_mesh(2, 12)
+    dom = Domain(mesh)
+    rng = np.random.default_rng(0)
+    u = rng.standard_normal(mesh.n_points)
+
+    def f(x):
+        return float(np.sin(x[0]) + x[1])
+
+    eta_ser = error_estimate_p1(mesh, u, f)
+    for n_parts in (3, 5):
+        part = MeshPartition(mesh, n_parts)
+        eta_parts = estimate_distributed(mesh, part, u, f)
+        for p in range(n_parts):
+            np.testing.assert_allclose(
+                eta_parts[p], eta_ser[np.asarray(part.elem_ids[p])],
+                rtol=1e-12, atol=1e-14)
+
+
+def test_distributed_mark_matches_serial():
+    """Distributed marking uses only allreduce-style scalars: Maximum is
+    exact; Doerfler's bisected threshold reproduces the serial marked set
+    on generic (non-tied) indicator values."""
+    from feddlib_tpu.mesh.partition import MeshPartition
+    from feddlib_tpu.mesh.refine import mark_distributed, mark_elements
+    from feddlib_tpu.mesh.structured import build_structured_mesh
+
+    mesh = build_structured_mesh(2, 10)
+    rng = np.random.default_rng(1)
+    eta = rng.random(mesh.n_elements)
+    part = MeshPartition(mesh, 4)
+    eids = [np.asarray(part.elem_ids[p]) for p in range(4)]
+    for strategy in ("Maximum", "Doerfler"):
+        ser = mark_elements(eta, strategy=strategy, theta=0.5)
+        parts = mark_distributed([eta[e] for e in eids],
+                                 strategy=strategy, theta=0.5)
+        got = np.zeros(mesh.n_elements, bool)
+        for p in range(4):
+            got[eids[p]] = parts[p]
+        assert np.array_equal(got, ser), strategy
+
+
+def _canon_hash(mesh):
+    """Geometry-canonical mesh hash: sorted element corner coordinates
+    (numbering- and orientation-insensitive)."""
+    import hashlib
+
+    v = np.round(mesh.points[mesh.elements], 12)  # [E, 3, 2]
+    v = v.reshape(len(v), -1, 2)
+    # canonical per-element vertex order, then canonical element order
+    key = np.array([sorted(map(tuple, e)) for e in v]).reshape(len(v), -1)
+    order = np.lexsort(key.T[::-1])
+    return hashlib.sha1(key[order].tobytes()).hexdigest()
+
+
+@pytest.mark.parametrize("blue", [True, False])
+def test_distributed_refine_partition_invariant(blue):
+    """Per-part refinement with cross-part tagged-edge reconciliation
+    produces the SAME refined geometry at every partition count, equal to
+    the serial refine (reference tagged-edge reconciliation,
+    MeshUnstructuredRefinement_decl.hpp:90-99)."""
+    from feddlib_tpu.mesh.partition import MeshPartition
+    from feddlib_tpu.mesh.refine import (refine_distributed_2d,
+                                         refine_mesh_2d)
+    from feddlib_tpu.mesh.structured import build_structured_mesh
+
+    mesh = build_structured_mesh(2, 8)
+    rng = np.random.default_rng(2)
+    marked = rng.random(mesh.n_elements) < 0.25
+
+    ser = refine_mesh_2d(mesh, np.flatnonzero(marked), blue=blue)
+    h_ser = _canon_hash(ser)
+    for n_parts in (1, 4, 7):
+        part = MeshPartition(mesh, n_parts)
+        mp = [marked[np.asarray(part.elem_ids[p])]
+              for p in range(n_parts)]
+        ref, exchanged = refine_distributed_2d(mesh, part, mp, blue=blue)
+        assert _canon_hash(ref) == h_ser, n_parts
+        if n_parts > 1:
+            # reconciliation moved only O(cut) tags
+            assert sum(exchanged) < mesh.n_elements
+    # positive areas everywhere (orientation fix)
+    p = ref.points[ref.elements]
+    d = ((p[:, 1, 0] - p[:, 0, 0]) * (p[:, 2, 1] - p[:, 0, 1])
+         - (p[:, 1, 1] - p[:, 0, 1]) * (p[:, 2, 0] - p[:, 0, 0]))
+    assert (d > 0).all()
