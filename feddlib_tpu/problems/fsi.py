@@ -309,31 +309,13 @@ class FSI(NonLinearProblem):
             self._pipe_ge = cache
         return cache
 
-    def _dist_reassemble(self, cache, w: jnp.ndarray) -> None:
-        """Device-resident GE Jacobian at the current Newton iterate and
-        moved (ALE) fluid mesh — the serial merged system is never formed
-        (the reference's per-step reassembly + Export, FE_def.hpp:637-665;
-        FaCSI initializePrec per Newton step, Preconditioner_def.hpp:789)."""
+    def _dist_finish(self, cache, dmat) -> None:
+        """Shared tail of the distributed reassemblies: Dirichlet rows,
+        locator reuse, FaCSI build/refresh, solver-value swap."""
         from feddlib_tpu.parallel.solve import DistributedSolver
         from feddlib_tpu.precond.facsi import distributed_facsi
 
         pipe = cache["pipe"]
-        dom_u = self.variables[0][0]
-        # w and the moved-mesh coordinates change once per TIME step;
-        # the solution rides its device-shard mirror across Newton steps
-        # (only the very first assembly uploads it)
-        if cache.get("w_obj") is not w:
-            cache["w_ext"] = {"w": pipe.distribute_field(0, np.asarray(w))}
-            cache["w_obj"] = w
-            cache["vc"] = pipe.mesh_vert_coords(0, dom_u.mesh.points)
-        mir = getattr(self.solution, "_dist_mirror", None)
-        if mir is not None and mir[0] is pipe:
-            x = mir[1]
-        else:
-            x = pipe.distribute(np.asarray(self.solution.concat()))
-            self.solution._dist_mirror = (pipe, x)
-        dmat = pipe.assemble(x=x, ext_fields=cache["w_ext"],
-                             vert_coords={0: cache["vc"]})
         dmask = self.merged_dirichlet_mask()
         dmat, _ = pipe.apply_dirichlet(dmat, None, dmask)
         if cache["locator"] is None:
@@ -356,10 +338,62 @@ class FSI(NonLinearProblem):
         else:
             cache["solver"].dmat = dmat  # fresh values, identical plans
 
+    def _dist_reassemble_gi(self, cache, gp_vec, u_old) -> None:
+        """Device-resident 5-field GI Jacobian at the current Newton
+        iterate: fluid blocks on moved (ref + g) vertex coords, shape
+        blocks jacfwd'd around the reference config — no serial system,
+        no host mesh move."""
+        pipe = cache["pipe"]
+        dom_u = self.variables[0][0]
+        dim = self.dim
+        if cache.get("step_obj") is not gp_vec:  # per-time-step fields
+            cache["gp_ext"] = pipe.distribute_field(4, np.asarray(gp_vec))
+            cache["uold_ext"] = pipe.distribute_field(
+                0, np.asarray(u_old))
+            cache["step_obj"] = gp_vec
+        g = np.asarray(self.solution[4])
+        w = (g - np.asarray(gp_vec)) / self.dt
+        ext = {"w": pipe.distribute_field(0, w), "gp": cache["gp_ext"],
+               "uold": cache["uold_ext"]}
+        mir = getattr(self.solution, "_dist_mirror", None)
+        if mir is not None and mir[0] is pipe:
+            x = mir[1]
+        else:
+            x = pipe.distribute(np.asarray(self.solution.concat()))
+            self.solution._dist_mirror = (pipe, x)
+        ref = dom_u.mesh.ref_points
+        vc = pipe.mesh_vert_coords(0, ref + g.reshape(-1, dim))
+        dmat = pipe.assemble(x=x, ext_fields=ext, vert_coords={0: vc})
+        self._dist_finish(cache, dmat)
+
+    def _dist_reassemble(self, cache, w: jnp.ndarray) -> None:
+        """Device-resident GE Jacobian at the current Newton iterate and
+        moved (ALE) fluid mesh — the serial merged system is never formed
+        (the reference's per-step reassembly + Export, FE_def.hpp:637-665;
+        FaCSI initializePrec per Newton step, Preconditioner_def.hpp:789)."""
+        pipe = cache["pipe"]
+        dom_u = self.variables[0][0]
+        # w and the moved-mesh coordinates change once per TIME step;
+        # the solution rides its device-shard mirror across Newton steps
+        # (only the very first assembly uploads it)
+        if cache.get("w_obj") is not w:
+            cache["w_ext"] = {"w": pipe.distribute_field(0, np.asarray(w))}
+            cache["w_obj"] = w
+            cache["vc"] = pipe.mesh_vert_coords(0, dom_u.mesh.points)
+        mir = getattr(self.solution, "_dist_mirror", None)
+        if mir is not None and mir[0] is pipe:
+            x = mir[1]
+        else:
+            x = pipe.distribute(np.asarray(self.solution.concat()))
+            self.solution._dist_mirror = (pipe, x)
+        dmat = pipe.assemble(x=x, ext_fields=cache["w_ext"],
+                             vert_coords={0: cache["vc"]})
+        self._dist_finish(cache, dmat)
+
     def _fsi_dist_solve(self, b):
         """The `_distributed_solve_hook` for Newton's linear solve: J δ = b
         through the shard_map GMRES with distributed FaCSI."""
-        cache = self._pipe_ge
+        cache = self._dist_active
         pipe = cache["pipe"]
         pl = self.parameter_list
         tol = float(pl.get("Convergence Tolerance", 1e-8))
@@ -408,6 +442,7 @@ class FSI(NonLinearProblem):
             sdev = pl.get("Solid Devices", None)
             dist_cache = self._ensure_pipeline(
                 n_dev, None if sdev is None else int(sdev))
+            self._dist_active = dist_cache
 
         while t < t_end - 1e-12:
             t_new = t + dt
@@ -683,6 +718,25 @@ class FSI(NonLinearProblem):
             self.g_prev = np.zeros((dom_u.n_nodes, dim))
         t = 0.0
         prob = self
+        # distributed mode: 5-field GI Jacobians assemble device-resident
+        # through the GI pipeline; solves ride 5-field distributed FaCSI
+        pl = self.parameter_list
+        dist_cache = None
+        if bool(pl.get("Use Distributed Solve", False)):
+            import jax as _jax
+
+            n_dev = int(pl.get("Devices", len(_jax.devices())))
+            sdev = pl.get("Solid Devices", None)
+            key = ("gi", n_dev, sdev, self.dt)
+            dist_cache = getattr(self, "_pipe_gi", None)
+            if dist_cache is None or dist_cache["key"] != key:
+                pipe = self.build_pipeline_gi(
+                    n_dev,
+                    solid_devices=None if sdev is None else int(sdev))
+                dist_cache = {"key": key, "pipe": pipe, "prec": None,
+                              "solver": None, "locator": None}
+                self._pipe_gi = dist_cache
+            self._dist_active = dist_cache
 
         def fluid_residual(u, p, g, gp_vec, u_old):
             ue = u.reshape(-1, dim)[conn_u]
@@ -728,6 +782,9 @@ class FSI(NonLinearProblem):
                     r, prob.solution, tt)
 
             def reassemble(mode="Newton"):
+                if dist_cache is not None:
+                    prob._dist_reassemble_gi(dist_cache, gp_vec, u_old)
+                    return
                 u, p, d, lam, g = (prob.solution[i] for i in range(5))
                 # move the fluid mesh to the CURRENT geometry iterate
                 dom_u.mesh.move(np.asarray(g).reshape(-1, dim))
@@ -752,11 +809,14 @@ class FSI(NonLinearProblem):
             base_res, base_rea = self.calculate_residual, self.reassemble
             self.calculate_residual = residual
             self.reassemble = reassemble
+            if dist_cache is not None:
+                self._distributed_solve_hook = self._fsi_dist_solve
             try:
                 solver.solve(self, t_new)
             finally:
                 self.calculate_residual = base_res
                 self.reassemble = base_rea
+                self._distributed_solve_hook = None
 
             d_new = self.solution[2]
             a_new = ((d_new - d_old) * newmark_m - v_old / (be * dt)
