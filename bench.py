@@ -278,6 +278,8 @@ def main():
         if have_time(120 if on_tpu else 10):
             import gc
 
+            prec_timings = dict(prec32.timings)
+            nc_dim = prec32.n_coarse
             del M_fn, M_ops, prec32, inner
             gc.collect()
             t0 = time.perf_counter()
@@ -310,13 +312,13 @@ def main():
             "setup_partition_s": round(t_part, 2),
             "setup_blocks_s": round(t_blocks, 2),
             "setup_padded_sell_s": round(t_sellp, 2),
-            "setup_level1_s": round(prec32.timings["level1_s"], 2),
-            "setup_gdsw_s": round(prec32.timings["gdsw_s"], 2),
+            "setup_level1_s": round(prec_timings["level1_s"], 2),
+            "setup_gdsw_s": round(prec_timings["gdsw_s"], 2),
             "setup_coarse_layout_s": round(
-                prec32.timings["coarse_layout_s"], 2),
+                prec_timings["coarse_layout_s"], 2),
             "level_combination": "Additive",
             "l1_store": "bf16",
-            "coarse_dim": prec32.n_coarse,
+            "coarse_dim": nc_dim,
             "ir_converged_1e-8": bool(res.converged),
             "ir_passes": res.passes,
             "ir_inner_iters": res.iters,

@@ -48,6 +48,8 @@ class ParameterList:
     """
 
     def __init__(self, name: str = "", items: Optional[dict] = None):
+        if isinstance(name, dict):  # ParameterList({...}) convenience form
+            name, items = "", name
         self.name = name
         self._items: dict[str, Any] = dict(items or {})
 

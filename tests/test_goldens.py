@@ -66,3 +66,48 @@ def test_golden_iteration_counts_laplace():
     res = gmres(Kb.matvec, bb, M=prec.apply, tol=1e-8, maxiter=200)
     assert res.converged
     assert res.iters == 8, res.iters
+
+
+def test_golden_3d_navier_stokes_anchor():
+    """FAST-SUITE 3D anchor (round-4 weak item 9: the DFG3D golden lives
+    in the slow suite and only guards regressions when it runs): a small
+    3D lid-driven cavity, P2/P1 Newton with monolithic two-level GDSW —
+    Newton and per-step GMRES iteration counts pinned as goldens, plus a
+    kinetic-energy observable."""
+    from feddlib_tpu.problems import NavierStokes
+    from feddlib_tpu.solvers.nonlinear import NonLinearSolver
+    from feddlib_tpu.utils.config import ParameterList
+
+    pl = ParameterList("P")
+    for k, v in {"Viscosity": 0.1, "Density": 1.0,
+                 "Preconditioner Type": "SchwarzTwoLevel",
+                 "Subdomains": 4, "Convergence Tolerance": 1e-9,
+                 "Maximum Iterations": 2000,
+                 "relNonLinTol": 1e-8, "MaxNonLinIts": 12}.items():
+        pl[k] = v
+    dom_p = Domain.structured(3, 3)
+    dom_u = dom_p.p2_domain()
+    prob = NavierStokes(dom_u, dom_p, parameter_list=pl)
+    prob.assemble()
+
+    def lid(x, t):
+        on_lid = jnp.isclose(x[2], 1.0)
+        return jnp.where(on_lid, jnp.array([1.0, 0.0, 0.0]), jnp.zeros(3))
+
+    prob.add_bc(lid, 1, 0)
+    solver = NonLinearSolver("Newton")
+    its = solver.solve(prob)
+    assert its == NEWTON_3D_CAVITY, f"Newton iterations changed: {its}"
+    # per-Newton-step linear iterations (golden; small drift allowed)
+    lins = solver.linear_iters
+    assert len(lins) == its
+    assert all(abs(a - b) <= 2 for a, b in zip(lins, GMRES_3D_CAVITY)), lins
+    u = np.asarray(prob.solution[0]).reshape(-1, 3)
+    ke = 0.5 * float((u ** 2).sum()) / len(u)
+    assert np.isclose(ke, KE_3D_CAVITY, rtol=1e-6), ke
+
+
+#: goldens of the 3D cavity anchor (f64, deterministic partitions)
+NEWTON_3D_CAVITY = 3
+GMRES_3D_CAVITY = [22, 23, 22]
+KE_3D_CAVITY = 0.07462684304806966
