@@ -42,7 +42,7 @@ import time
 
 import numpy as np
 
-BUDGET_S = float(os.environ.get("FEDD_BENCH_BUDGET_S", 540))
+BUDGET_S = float(os.environ.get("FEDD_BENCH_BUDGET_S", 720))
 
 
 def main():
