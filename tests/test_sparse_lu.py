@@ -111,9 +111,10 @@ def test_sparse_setup_beats_dense():
     t_dense = time.perf_counter() - t0
     mem_sparse = ps.slu.nnz_factors * 8 * 2  # vals+cols per factor entry
     mem_dense = pd.inv.size * 8
-    # O(nnz·fill) vs O(S³): ≥3.5x at 2.4k-dof subdomains (≥5x typical;
-    # timing slack for loaded CI hosts), memory <25%
-    assert t_dense / t_sparse >= 3.5, (t_dense, t_sparse)
+    # O(nnz·fill) vs O(S³): ≥2.5x at 2.4k-dof subdomains (≥5x typical;
+    # slack for loaded few-core CI hosts — observed flaky at 3.5x when
+    # other suite files share the 2-core box), memory <25%
+    assert t_dense / t_sparse >= 2.5, (t_dense, t_sparse)
     assert mem_sparse < 0.25 * mem_dense
     ref = gmres(Kb.matvec, bb, M=pd.apply, tol=1e-8, maxiter=300)
     res = gmres(Kb.matvec, bb, M=ps.apply, tol=1e-8, maxiter=300)
